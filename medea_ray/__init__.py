@@ -1,0 +1,67 @@
+"""medea_ray — a Ray-Data-native schema-graph + constraint validation engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference Medea implementation (juspay/medea, read-only at /root/reference),
+re-expressed Ray-Data-first:
+
+- ``medea_ray.schema``   — .medea schema-graph parsing + compilation
+  (driver-side, pure Python; reference: src/Data/Medea/Parser/*,
+  src/Data/Medea/Analysis.hs).
+- ``medea_ray.validate`` — the per-row validation kernel (pure Python, no Ray
+  import; reference: src/Data/Medea.hs:258-425).
+- ``medea_ray.engine``   — the distributed engine: Parquet sources/sinks,
+  actor-pool validation over zero-copy Arrow batches, stats sketches
+  (HLL / TDigest), uniqueness, drift, dedup, similarity search,
+  checkpoint/resume.
+
+Public API mirror of the reference exports (src/Data/Medea.hs:48-68):
+``compile_schema`` ≈ buildSchema/loadSchemaFromFile,
+``validate`` ≈ validate.
+"""
+
+from medea_ray.schema.errors import (
+    MedeaError,
+    MedeaParseError,
+    MedeaSchemaError,
+)
+from medea_ray.schema.parser import parse_specification
+from medea_ray.schema.compile import compile_schemata, CompiledSchema, Schema
+from medea_ray.validate.kernel import (
+    MedeaValidationError,
+    ValidatedJSON,
+    validate,
+    validate_obj,
+)
+
+__all__ = [
+    "MedeaError",
+    "MedeaParseError",
+    "MedeaSchemaError",
+    "MedeaValidationError",
+    "CompiledSchema",
+    "Schema",
+    "ValidatedJSON",
+    "compile_schema",
+    "compile_schemata",
+    "parse_specification",
+    "validate",
+    "validate_obj",
+]
+
+
+def compile_schema(source) -> "Schema":
+    """Parse + compile a Medea schema graph from text, bytes, or a path.
+
+    Equivalent of the reference's ``buildSchema`` / ``loadSchemaFromFile``
+    (src/Data/Medea/Loader.hs:100-112): decode UTF-8 → parse → analyze.
+    Raises MedeaParseError / MedeaSchemaError.
+    """
+    import os
+
+    if isinstance(source, (str, os.PathLike)) and not isinstance(source, bytes):
+        text = str(source)
+        if "\n" not in text and (text.endswith(".medea") or os.path.sep in text):
+            with open(source, "rb") as f:
+                source = f.read()
+    spec = parse_specification(source)
+    return compile_schemata(spec)

@@ -1,0 +1,313 @@
+"""Per-row validation kernel — pure Python, no Ray import.
+
+Re-expression of the reference validator (src/Data/Medea.hs:258-425): a
+recursive checker with state ``(candidate TypeNode set, parent schema)``,
+started at ``({CustomNode "$start"}, None)`` (Data/Medea.hs:229-232),
+dispatching ``checkAny <|> checkPrim <|> checkCustoms``
+(Data/Medea.hs:297-298). Pass/fail semantics are identical; two documented
+deviations where the reference's behavior is an artifact of its Haskell
+encoding (conformance only asserts pass/fail on both):
+
+1. Error choice: the reference's ``Alternative`` instance keeps the first
+   branch's error (Data/Medea.hs:278-286), which in practice surfaces
+   ``checkAny``'s EmptyError. We report the most specific error instead —
+   the primitive-branch error when the value's JSON type was a candidate,
+   else the first (sorted-order) custom candidate's error, else
+   ``not_one_of_options``.
+2. Annotations: the reference's ``checkCustom`` fmaps ``UserDefined name``
+   over the *whole* subtree (Data/Medea.hs:401 ``($> ...) <$>``); we
+   annotate only the dispatched node itself.
+
+Violation vocabulary (§2.4 of SURVEY.md; ValidationError at
+Data/Medea.hs:173-210): ``not_json, not_one_of_options,
+additional_prop_banned, required_prop_missing, out_of_bounds_array_length,
+implementation_error``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from medea_ray.schema.compile import CompiledSchema, Schema
+
+__all__ = [
+    "MedeaValidationError",
+    "ValidatedJSON",
+    "json_type_of",
+    "loads_json",
+    "validate",
+    "validate_obj",
+]
+
+
+class MedeaValidationError(Exception):
+    """A validation failure: (code, schema, path, detail).
+
+    ``path`` is the JSON-pointer-ish location walked from the root (e.g.
+    ``$/tags[2]``), ``schema`` the name of the specifying schema — together
+    these are the engine's violation row (url, schema_path,
+    failed_specifier), per BASELINE.json.
+    """
+
+    def __init__(self, code: str, schema: str | None, path: str, detail: str = ""):
+        self.code = code
+        self.schema = schema
+        self.path = path
+        self.detail = detail
+        super().__init__(f"{code} at {path}" + (f" (schema {schema})" if schema else ""))
+
+
+def json_type_of(v) -> str:
+    # JSONType.hs:30-36 typeOf. bool before int: Python bools are ints.
+    if v is None:
+        return "null"
+    if v is True or v is False:
+        return "boolean"
+    t = type(v)
+    if t is str:
+        return "string"
+    if t is int or t is float:
+        return "number"
+    if t is list:
+        return "array"
+    if t is dict:
+        return "object"
+    # Subclasses (rare path).
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise MedeaValidationError("implementation_error", None, "$", f"unhandled type {t!r}")
+
+
+def loads_json(payload):
+    """decodeStrict equivalent (Data/Medea.hs:225-227): strict JSON only —
+    Aeson rejects NaN/Infinity, so we do too. Raises MedeaValidationError
+    ``not_json``."""
+
+    def _reject_const(_s):
+        raise ValueError("non-standard JSON constant")
+
+    if isinstance(payload, (bytes, bytearray)):
+        try:
+            payload = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            raise MedeaValidationError("not_json", None, "$", "invalid utf-8") from None
+    try:
+        return json.loads(payload, parse_constant=_reject_const)
+    except (ValueError, TypeError) as e:
+        raise MedeaValidationError("not_json", None, "$", str(e)) from None
+
+
+_ANY_SET = frozenset([("any",)])
+
+
+class _Checker:
+    """One validation pass over one document. Holds the schema map and a
+    mutable path stack; per-document state is discarded (mirrors the RWST
+    state discipline, Data/Medea.hs:260-276)."""
+
+    __slots__ = ("m", "path", "annotate")
+
+    def __init__(self, schema_map: Schema, annotate: bool):
+        self.m = schema_map
+        self.path: list[str] = ["$"]
+        self.annotate = annotate
+
+    def _pathstr(self) -> str:
+        return "".join(self.path)
+
+    def fail(self, code: str, schema: str | None, detail: str = ""):
+        raise MedeaValidationError(code, schema, self._pathstr(), detail)
+
+    # checkTypes (Data/Medea.hs:297-298) over a candidate description.
+    # For speed the candidate set arrives pre-split when coming from a
+    # schema (has_any/prims/customs); ad-hoc singleton nodes use _check_node.
+    def check_schema_of(self, v, scm: CompiledSchema, as_name: str):
+        """Validate v against schema `as_name` (checkCustom body,
+        Data/Medea.hs:398-404): candidates = scm.types_as, parent = name."""
+        if scm.has_any:
+            return self._ann("any", v)
+        err = None
+        t = json_type_of(v)
+        if t in scm.prim_types:
+            try:
+                return self.check_prim(v, t, as_name)
+            except MedeaValidationError as e:
+                err = e
+        else:
+            err = None  # prim type not even a candidate
+        for name in scm.custom_types:
+            try:
+                sub = self.m[name]
+            except KeyError:
+                self.fail("implementation_error", name, "unknown schema")
+            try:
+                r = self.check_schema_of(v, sub, name)
+                return ("user", name, r) if self.annotate else None
+            except MedeaValidationError as e:
+                if err is None:
+                    err = e
+        if err is not None:
+            raise err
+        self.fail("not_one_of_options", as_name, f"value of type {t}")
+
+    def _check_node(self, v, node: tuple):
+        """Validate v against a singleton TypeNode with no parent (array
+        elements / object property values: Data/Medea.hs:352-356,378-380)."""
+        kind = node[0]
+        if kind == "any":
+            return self._ann("any", v)
+        t = json_type_of(v)
+        if kind == "prim":
+            if t != node[1]:
+                self.fail("not_one_of_options", None, f"expected {node[1]}, got {t}")
+            return self.check_prim(v, t, None)
+        # custom
+        name = node[1]
+        try:
+            scm = self.m[name]
+        except KeyError:
+            self.fail("implementation_error", name, "unknown schema")
+        r = self.check_schema_of(v, scm, name)
+        return ("user", name, r) if self.annotate else None
+
+    def check_prim(self, v, t: str, parent: str | None):
+        # checkPrim (Data/Medea.hs:310-336).
+        if t == "null" or t == "boolean" or t == "number":
+            return (t, v) if self.annotate else None
+        if t == "string":
+            if parent is not None:
+                sv = self.m[parent].string_vals_set
+                # Data/Medea.hs:318-328: empty enum accepts any string.
+                if sv and v not in sv:
+                    self.fail("not_one_of_options", parent, f"string {v!r} not in enum")
+            return ("string", v) if self.annotate else None
+        if t == "array":
+            if parent is None:
+                # Bare-array fast path (Data/Medea.hs:329-336): children
+                # validate against {AnyNode} — unconditionally accepted.
+                return ("array", v) if self.annotate else None
+            return self.check_array(v, parent)
+        # object
+        if parent is None:
+            return ("object", v) if self.annotate else None
+        return self.check_object(v, parent)
+
+    def check_array(self, arr: list, parent: str):
+        # checkArray (Data/Medea.hs:339-359).
+        scm = self.m[parent]
+        n = len(arr)
+        lo, hi = scm.min_array_len, scm.max_array_len
+        if (lo is not None and n < lo) or (hi is not None and n > hi):
+            self.fail(
+                "out_of_bounds_array_length", parent, f"length {n} not in [{lo},{hi}]"
+            )
+        kind = scm.array_kind
+        out = [] if self.annotate else None
+        if kind is None:
+            # Elements validate against {AnyNode} (pairValsWithTypes).
+            pass
+        elif kind == "list":
+            node = scm.element_node
+            push, pop = self.path.append, self.path.pop
+            for i, el in enumerate(arr):
+                push(f"[{i}]")
+                try:
+                    r = self._check_node(el, node)
+                finally:
+                    pop()
+                if out is not None:
+                    out.append(r)
+        else:  # tuple: element i vs nodes[i]; arity enforced by bounds above
+            push, pop = self.path.append, self.path.pop
+            for i, (el, node) in enumerate(zip(arr, scm.tuple_nodes)):
+                push(f"[{i}]")
+                try:
+                    r = self._check_node(el, node)
+                finally:
+                    pop()
+                if out is not None:
+                    out.append(r)
+        return ("array", out if self.annotate else arr) if self.annotate else None
+
+    def check_object(self, obj: dict, parent: str):
+        # checkObject + pairPropertySchemaAndVal (Data/Medea.hs:362-391).
+        scm = self.m[parent]
+        props = scm.props
+        additional_ok = scm.additional_allowed
+        additional_node = scm.additional_node
+        out = {} if self.annotate else None
+        push, pop = self.path.append, self.path.pop
+        for key, val in obj.items():
+            spec = props.get(key)
+            if spec is not None:
+                node = spec[0]
+            elif additional_ok:
+                node = additional_node
+            else:
+                self.fail("additional_prop_banned", parent, key)
+            push(f"/{key}")
+            try:
+                r = self._check_node(val, node)
+            finally:
+                pop()
+            if out is not None:
+                out[key] = r
+        for key, (_node, optional) in props.items():
+            if not optional and key not in obj:
+                self.fail("required_prop_missing", parent, key)
+        return ("object", out if self.annotate else obj) if self.annotate else None
+
+    def _ann(self, label: str, v):
+        if not self.annotate:
+            return None
+        t = json_type_of(v)
+        return (label, v) if t not in ("array", "object") else (label, v)
+
+
+class ValidatedJSON:
+    """Mirror of the reference's ValidatedJSON (Data/Medea.hs:140-170):
+    the document plus the annotation tree. ``to_value()`` strips annotations;
+    ``valid_against()`` reads the root annotation."""
+
+    __slots__ = ("_value", "_tree")
+
+    def __init__(self, value, tree):
+        self._value = value
+        self._tree = tree
+
+    def to_value(self):
+        return self._value
+
+    def valid_against(self):
+        t = self._tree
+        while isinstance(t, tuple) and t[0] == "user":
+            return ("user_defined", t[1])
+        return (t[0],) if isinstance(t, tuple) else ("any",)
+
+
+def validate_obj(schema_map: Schema, obj, annotate: bool = False):
+    """Validate an already-parsed JSON value. Returns the annotation tree
+    (or None when annotate=False); raises MedeaValidationError.
+
+    Start state: candidates {CustomNode $start}, no parent
+    (Data/Medea.hs:229-232)."""
+    chk = _Checker(schema_map, annotate)
+    start = schema_map.get("$start")
+    if start is None:
+        chk.fail("implementation_error", "$start", "missing start schema")
+    r = chk.check_schema_of(obj, start, "$start")
+    return ("user", "$start", r) if annotate else None
+
+
+def validate(schema_map: Schema, payload) -> ValidatedJSON:
+    """validate (Data/Medea.hs:225-232): bytes/str → parse JSON → check.
+    Returns ValidatedJSON or raises MedeaValidationError."""
+    obj = loads_json(payload)
+    tree = validate_obj(schema_map, obj, annotate=True)
+    return ValidatedJSON(obj, tree)

@@ -1,0 +1,82 @@
+"""Schema-builder conformance: the reference's 27 fixtures
+(/root/reference/conformance/schema-builder/{fail,pass}), mirroring
+test/schema-builder/Main.hs:17-37 but stricter — each fail fixture must
+raise the *specific* analysis error (error-code mapping per
+src/Data/Medea/Analysis.hs / Loader.hs constructor names)."""
+
+import os
+
+import pytest
+
+from medea_ray import MedeaSchemaError, compile_schema
+
+FAIL_DIR = "/root/reference/conformance/schema-builder/fail"
+PASS_DIR = "/root/reference/conformance/schema-builder/pass"
+
+EXPECTED_CODES = {
+    "duplicate-prop.medea": "multiple_prop_schema_definition",
+    "duplicate-schemata.medea": "multiple_schema_definition",
+    "indirect-self-typing.medea": "self_typing_schema",
+    "isolated-schemata.medea": "isolated_schemata",
+    "list-spec-without-array-1.medea": "list_spec_without_array_type",
+    "list-spec-without-array-2.medea": "list_spec_without_array_type",
+    "list-spec-without-array-3.medea": "list_spec_without_array_type",
+    "list-spec-without-array-4.medea": "list_spec_without_array_type",
+    # The additional-property schema ref is checked through the property-ref
+    # path (Analysis.hs:249-250).
+    "missing-additional-prop-schema.medea": "missing_prop_schema_definition",
+    # Despite the filename, this fixture's dangling ref sits in a $tuple spec
+    # (conformance/schema-builder/fail/missing-list-schema.medea:8-10), so the
+    # reference raises the tuple variant too (Analysis.hs getListTypeRefs only
+    # covers ListType); its hspec asserts only the error *class*.
+    "missing-list-schema.medea": "missing_tuple_schema_definition",
+    "missing-prop-schema.medea": "missing_prop_schema_definition",
+    "missing-schema.medea": "missing_schema_definition",
+    "missing-tuple-schema.medea": "missing_tuple_schema_definition",
+    "no-start-schema.medea": "start_schema_missing",
+    "property-spec-without-object-1.medea": "property_spec_without_object_type",
+    "property-spec-without-object-2.medea": "property_spec_without_object_type",
+    "property-spec-without-object-3.medea": "property_spec_without_object_type",
+    "property-spec-without-object-4.medea": "property_spec_without_object_type",
+    "reserved-redefined.medea": "schema_name_reserved",
+    "self-typing.medea": "self_typing_schema",
+    "stringVals-without-string.medea": "string_spec_without_string_type",
+    "tuple-spec-without-array.medea": "tuple_spec_without_array_type",
+    "type-length.medea": "minimum_length_greater_than_maximum",
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_CODES))
+def test_builder_fail(name):
+    with open(os.path.join(FAIL_DIR, name), "rb") as f:
+        data = f.read()
+    with pytest.raises(MedeaSchemaError) as exc:
+        compile_schema(data)
+    assert exc.value.code == EXPECTED_CODES[name]
+
+
+def test_all_fail_fixtures_covered():
+    on_disk = {f for f in os.listdir(FAIL_DIR) if f.endswith(".medea")}
+    assert on_disk == set(EXPECTED_CODES)
+
+
+def test_missing_list_schema_definition():
+    # No reference fixture exercises the list-variant dangling ref (the
+    # "missing-list-schema" fixture actually uses $tuple) — cover it here.
+    src = (
+        "$schema $start\n    $type\n        $array\n"
+        "    $element-type\n        nope\n"
+    )
+    with pytest.raises(MedeaSchemaError) as exc:
+        compile_schema(src)
+    assert exc.value.code == "missing_list_schema_definition"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(f for f in os.listdir(PASS_DIR) if f.endswith(".medea"))
+)
+def test_builder_pass(name):
+    with open(os.path.join(PASS_DIR, name), "rb") as f:
+        data = f.read()
+    graph = compile_schema(data)
+    assert "$start" in graph

@@ -1,0 +1,33 @@
+"""Parser conformance: the reference's 42 parser fixtures
+(/root/reference/conformance/parser/{fail,pass}), mirroring
+test/parser/Main.hs:9-28 — fail fixtures must raise a parse error, pass
+fixtures must parse (some intentionally fail the later build step)."""
+
+import os
+
+import pytest
+
+from medea_ray import MedeaParseError, parse_specification
+
+FAIL_DIR = "/root/reference/conformance/parser/fail"
+PASS_DIR = "/root/reference/conformance/parser/pass"
+
+
+def _fixtures(d):
+    return sorted(f for f in os.listdir(d) if f.endswith(".medea"))
+
+
+@pytest.mark.parametrize("name", _fixtures(FAIL_DIR))
+def test_parser_fail(name):
+    with open(os.path.join(FAIL_DIR, name), "rb") as f:
+        data = f.read()
+    with pytest.raises(MedeaParseError):
+        parse_specification(data)
+
+
+@pytest.mark.parametrize("name", _fixtures(PASS_DIR))
+def test_parser_pass(name):
+    with open(os.path.join(PASS_DIR, name), "rb") as f:
+        data = f.read()
+    spec = parse_specification(data)
+    assert len(spec.schemata) >= 1
