@@ -1,0 +1,344 @@
+"""The distributed validation pipeline (SURVEY.md §2.5 E1-E5, E11-E12).
+
+Ray-Data-first design:
+
+- ``read_parquet(files, columns=[...], include_paths=True)`` — column-pruned
+  source; the input *file* is the partition unit (a stable ``partition_id``
+  derives from the file path and is carried to verdicts, violations,
+  manifests — SURVEY.md §4.3).
+- ``map_batches(ValidatorActor, batch_format="pyarrow", concurrency=...)``
+  — a stateful actor pool; the compiled schema DAG is built once per actor
+  in ``__init__`` (the reference's read-only Reader state,
+  src/Data/Medea.hs:260-276, is exactly what makes this pool trivial).
+- One pass, no shuffle: the actor emits violation rows *and* per-batch
+  partial verdict rows in a single tagged stream (``kind`` column);
+  ``write_parquet`` consumes it streaming. Per-partition verdicts roll up
+  from the tiny partials on the driver (parquet predicate pushdown on
+  ``kind``), never from the full stream.
+- Checkpoint/resume: files are processed in waves; after each wave's sink
+  completes, a manifest row per input file (partition) is committed
+  atomically (tmp + rename). A restarted run skips manifested files. At
+  cluster scale the wave bounds lost work; within a wave execution is fully
+  streaming with backpressure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from medea_ray.schema.compile import compile_schemata
+from medea_ray.schema.parser import parse_specification
+from medea_ray.validate.kernel import (
+    MedeaValidationError,
+    loads_json,
+    validate_obj,
+)
+
+# Unified output schema for the one-pass tagged stream.
+RESULT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # "violation" | "verdict"
+        ("partition_id", pa.int64()),
+        ("url", pa.string()),
+        ("schema_path", pa.string()),
+        ("failed_specifier", pa.string()),
+        ("detail", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_valid", pa.int64()),
+    ]
+)
+
+
+class ValidatorKernel:
+    """Shared per-actor state: compiled DAG + row loop. No Ray import —
+    unit-testable standalone."""
+
+    def __init__(self, schema_text: str, payload_col: str, id_col: str):
+        self.graph = compile_schemata(parse_specification(schema_text))
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def validate_rows(self, payloads, ids):
+        """Returns (valid: list[bool], violations: list[tuple]) where each
+        violation is (id, schema_path, failed_specifier, detail)."""
+        graph = self.graph
+        validate, loads = validate_obj, loads_json
+        valid = []
+        violations = []
+        for rid, payload in zip(ids, payloads):
+            try:
+                if payload is None:
+                    raise MedeaValidationError("not_json", None, "$", "null payload")
+                validate(graph, loads(payload))
+                valid.append(True)
+            except MedeaValidationError as e:
+                valid.append(False)
+                violations.append((rid, e.path, e.code, e.detail))
+        return valid, violations
+
+
+class ValidatorActor:
+    """map_batches callable-class: per-row validation over Arrow batches.
+
+    mode="rows":   append per-row verdict columns (valid/specifier/path).
+    mode="tagged": emit violation rows + one partial-verdict row per
+                   (batch, partition) — the one-pass pipeline stream.
+    ``path_to_pid``: file-path → partition_id mapping (small dict, shipped
+    once per actor via constructor args).
+    """
+
+    def __init__(
+        self,
+        schema_text: str,
+        payload_col: str = "payload",
+        id_col: str = "url",
+        mode: str = "rows",
+        path_to_pid: dict | None = None,
+    ):
+        self.kernel = ValidatorKernel(schema_text, payload_col, id_col)
+        self.mode = mode
+        self.path_to_pid = path_to_pid or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.kernel.payload_col).to_pylist()
+        ids = batch.column(self.kernel.id_col).to_pylist()
+        valid, violations = self.kernel.validate_rows(payloads, ids)
+
+        if self.mode == "rows":
+            n = len(valid)
+            cols = {
+                self.kernel.id_col: batch.column(self.kernel.id_col),
+                "valid": pa.array(valid, pa.bool_()),
+            }
+            path = [None] * n
+            spec = [None] * n
+            detail = [None] * n
+            vi = 0
+            for k, ok in enumerate(valid):
+                if not ok:
+                    _, p, c, d = violations[vi]
+                    path[k], spec[k], detail[k] = p, c, d
+                    vi += 1
+            cols["schema_path"] = pa.array(path, pa.string())
+            cols["failed_specifier"] = pa.array(spec, pa.string())
+            cols["detail"] = pa.array(detail, pa.string())
+            return pa.table(cols)
+
+        # tagged mode: violations + per-(batch, partition) verdict partials.
+        if "path" in batch.column_names:
+            paths = batch.column("path").to_pylist()
+            pids = [self.path_to_pid.get(p, -1) for p in paths]
+        else:
+            pids = [0] * len(valid)
+
+        rows = {name: [] for name in RESULT_SCHEMA.names}
+        vi = 0
+        per_pid: dict[int, list[int]] = {}
+        for k, ok in enumerate(valid):
+            stats = per_pid.setdefault(pids[k], [0, 0])
+            stats[0] += 1
+            stats[1] += ok
+            if not ok:
+                rid, p, c, d = violations[vi]
+                vi += 1
+                rows["kind"].append("violation")
+                rows["partition_id"].append(pids[k])
+                rows["url"].append(rid)
+                rows["schema_path"].append(p)
+                rows["failed_specifier"].append(c)
+                rows["detail"].append(d)
+                rows["n_rows"].append(None)
+                rows["n_valid"].append(None)
+        for pid, (n_rows, n_valid) in per_pid.items():
+            rows["kind"].append("verdict")
+            rows["partition_id"].append(pid)
+            rows["url"].append(None)
+            rows["schema_path"].append(None)
+            rows["failed_specifier"].append(None)
+            rows["detail"].append(None)
+            rows["n_rows"].append(n_rows)
+            rows["n_valid"].append(n_valid)
+        return pa.Table.from_pydict(rows, schema=RESULT_SCHEMA)
+
+
+def validate_dataset(
+    ds,
+    schema_text: str,
+    payload_col: str = "payload",
+    id_col: str = "url",
+    batch_size: int = 2048,
+    concurrency=(1, 8),
+):
+    """Per-row validation as a composable Dataset→Dataset transform
+    (mode="rows"): returns columns (id, valid, schema_path,
+    failed_specifier, detail)."""
+    return ds.map_batches(
+        ValidatorActor,
+        fn_constructor_kwargs=dict(
+            schema_text=schema_text, payload_col=payload_col, id_col=id_col, mode="rows"
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed end-to-end pipeline
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def load_manifest(out_dir: str) -> dict:
+    """path → manifest record (dict). Empty if no manifest yet."""
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    out[rec["input_path"]] = rec
+    return out
+
+
+def _commit_manifest(out_dir: str, wave_id: int, records: list[dict]):
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"wave_{wave_id:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    os.replace(tmp, path)  # atomic commit: partitions never double-count
+
+
+def run_validation_pipeline(
+    input_files: list[str],
+    schema_text: str,
+    out_dir: str,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "url",
+    batch_size: int = 2048,
+    concurrency=(1, 8),
+    wave_size: int = 64,
+    resume: bool = True,
+    schema_version: str = "v1",
+) -> dict:
+    """Read → validate (actor pool) → one-pass tagged sink, in waves of
+    ``wave_size`` files with per-file manifest commits. Returns the report:
+    totals + per-partition verdicts. Ray must already be initialised."""
+    import ray.data as rd
+
+    t_start = time.time()
+    input_files = sorted(input_files)
+    pid_of = {p: i for i, p in enumerate(input_files)}
+    done = load_manifest(out_dir) if resume else {}
+    todo = [p for p in input_files if p not in done]
+
+    wave_id = max(
+        (rec["wave_id"] for rec in done.values()), default=-1
+    ) + 1
+    for w0 in range(0, len(todo), wave_size):
+        wave_files = todo[w0 : w0 + wave_size]
+        ds = rd.read_parquet(
+            wave_files,
+            columns=[id_col, payload_col],
+            include_paths=True,
+        )
+        tagged = ds.map_batches(
+            ValidatorActor,
+            fn_constructor_kwargs=dict(
+                schema_text=schema_text,
+                payload_col=payload_col,
+                id_col=id_col,
+                mode="tagged",
+                path_to_pid=pid_of,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        wave_dir = os.path.join(out_dir, "results", f"wave_{wave_id:06d}")
+        tagged.write_parquet(wave_dir)
+
+        # Roll up this wave's partial verdicts (tiny: ~1 row per batch) and
+        # commit one manifest record per input file. Predicate pushdown on
+        # `kind` keeps this read small.
+        partials = pq.read_table(
+            wave_dir, filters=[("kind", "=", "verdict")]
+        )
+        agg = (
+            partials.group_by("partition_id")
+            .aggregate([("n_rows", "sum"), ("n_valid", "sum")])
+            .to_pylist()
+        )
+        by_pid = {r["partition_id"]: r for r in agg}
+        now = time.time()
+        records = []
+        for p in wave_files:
+            pid = pid_of[p]
+            r = by_pid.get(pid, {"n_rows_sum": 0, "n_valid_sum": 0})
+            records.append(
+                {
+                    "input_path": p,
+                    "partition_id": pid,
+                    "wave_id": wave_id,
+                    "n_rows": int(r["n_rows_sum"]),
+                    "n_valid": int(r["n_valid_sum"]),
+                    "n_invalid": int(r["n_rows_sum"] - r["n_valid_sum"]),
+                    "schema_version": schema_version,
+                    "finished_at": now,
+                }
+            )
+        _commit_manifest(out_dir, wave_id, records)
+        wave_id += 1
+
+    manifest = load_manifest(out_dir)
+    n_rows = sum(r["n_rows"] for r in manifest.values())
+    n_valid = sum(r["n_valid"] for r in manifest.values())
+    return {
+        "n_files": len(input_files),
+        "n_files_skipped": len(done),
+        "n_rows": n_rows,
+        "n_valid": n_valid,
+        "n_invalid": n_rows - n_valid,
+        "wall_s": time.time() - t_start,
+        "partitions": sorted(manifest.values(), key=lambda r: r["partition_id"]),
+    }
+
+
+def read_violations(out_dir: str) -> pa.Table:
+    """All violation rows written so far: (partition_id, url, schema_path,
+    failed_specifier, detail)."""
+    res = os.path.join(out_dir, "results")
+    t = pq.read_table(res, filters=[("kind", "=", "violation")])
+    return t.select(["partition_id", "url", "schema_path", "failed_specifier", "detail"])
+
+
+def read_verdicts(out_dir: str) -> pa.Table:
+    """Per-partition verdicts from the manifest: (partition_id, n_rows,
+    n_valid, n_invalid, passed)."""
+    manifest = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition_id"])
+    return pa.table(
+        {
+            "partition_id": pa.array([r["partition_id"] for r in manifest], pa.int64()),
+            "n_rows": pa.array([r["n_rows"] for r in manifest], pa.int64()),
+            "n_valid": pa.array([r["n_valid"] for r in manifest], pa.int64()),
+            "n_invalid": pa.array([r["n_invalid"] for r in manifest], pa.int64()),
+            "passed": pa.array([r["n_invalid"] == 0 for r in manifest], pa.bool_()),
+        }
+    )

@@ -1,0 +1,132 @@
+"""End-to-end Ray pipeline tests on the synthetic web-page table:
+violation-row exactness vs the per-row oracle, per-partition verdicts,
+resume-from-checkpoint, and the byte-identical text invariant."""
+
+import hashlib
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from medea_ray.fixtures.gen import (
+    expected_violations_chunk,
+    flagship_schema_text,
+    gen_pages_chunk,
+    write_pages,
+)
+from medea_ray.engine.pipeline import (
+    load_manifest,
+    read_verdicts,
+    read_violations,
+    run_validation_pipeline,
+    validate_dataset,
+)
+
+N_ROWS = 4000
+ROWS_PER_FILE = 1000
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    write_pages(str(d), N_ROWS, rows_per_file=ROWS_PER_FILE)
+    return str(d)
+
+
+def _expected_violation_set():
+    return {
+        (url, path, spec)
+        for url, path, spec in expected_violations_chunk(0, N_ROWS)
+    }
+
+
+def test_pipeline_end_to_end(ray_session, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert report["n_rows"] == N_ROWS
+    exp = _expected_violation_set()
+    assert report["n_invalid"] == len(exp)
+
+    got = read_violations(out)
+    got_set = set(
+        zip(
+            got["url"].to_pylist(),
+            got["schema_path"].to_pylist(),
+            got["failed_specifier"].to_pylist(),
+        )
+    )
+    assert got_set == exp
+
+    verdicts = read_verdicts(out)
+    assert verdicts.num_rows == N_ROWS // ROWS_PER_FILE
+    assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
+    # every partition has seeded defects → none passes clean
+    assert not any(verdicts["passed"].to_pylist())
+
+    # resume: a second run must skip every manifested file and change nothing
+    before = load_manifest(out)
+    report2 = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert report2["n_files_skipped"] == len(files)
+    assert load_manifest(out) == before
+    assert report2["n_rows"] == N_ROWS
+
+
+def test_pipeline_resume_after_partial_run(ray_session, pages_dir, tmp_path):
+    out = str(tmp_path / "out_partial")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    # simulate a killed run: only the first two files were processed
+    run_validation_pipeline(
+        files[:2], flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert len(load_manifest(out)) == 2
+    # resumed full run processes only the remaining files...
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert report["n_files_skipped"] == 2
+    # ...and the combined outputs are complete and exact
+    assert report["n_rows"] == N_ROWS
+    got = read_violations(out)
+    assert got.num_rows == len(_expected_violation_set())
+
+
+def test_validate_dataset_transform(ray_session, pages_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "payload"])
+    out = validate_dataset(ds, flagship_schema_text(), concurrency=2)
+    t = pq  # noqa: F841
+    df = out.to_pandas()
+    assert len(df) == N_ROWS
+    assert (~df["valid"]).sum() == len(_expected_violation_set())
+    bad = df[~df["valid"]]
+    assert set(bad["failed_specifier"]) == {
+        "not_one_of_options",
+        "additional_prop_banned",
+        "required_prop_missing",
+        "out_of_bounds_array_length",
+    }
+
+
+def test_text_byte_identity(pages_dir):
+    # E12 (BASELINE.json input_hint): extracted text must round-trip
+    # byte-identically — generation is pure in (seed, i), and the parquet
+    # files pass through Arrow untouched.
+    t1 = pq.read_table(os.path.join(pages_dir, "pages_00001.parquet"), columns=["url", "text"])
+    t2 = gen_pages_chunk(ROWS_PER_FILE, ROWS_PER_FILE)
+    def digest(tbl):
+        return {
+            u: (hashlib.sha256(x.encode()).hexdigest() if x is not None else None)
+            for u, x in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist())
+        }
+    assert digest(t1) == digest(t2.select(["url", "text"]))
