@@ -1,0 +1,263 @@
+"""Per-column stats sketches via streaming groupby-free aggregation
+(SURVEY.md §2.5 E6-E8).
+
+All aggregates are Ray ``AggregateFn``s: partial state per block
+(vectorized over Arrow), mergeable, order-insensitive, deterministic —
+no shuffle, a tree-combine reduces partials to one state. That is the
+only shape that streams at 100 TB.
+
+- ``basic_column_stats``: count / null count / min / max / sum per column.
+- ``HyperLogLog``: distinct-count sketch, p=14 (~0.8% rel. error),
+  register-max merge; values hashed vectorized via
+  ``pandas.util.hash_array`` (deterministic, fixed key).
+- ``TDigest``: mergeable quantile sketch (~δ=200 compression), merge by
+  centroid re-clustering; deterministic for a given input multiset order —
+  we sort incoming blocks, and tolerance-test against exact quantiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+class HLL:
+    """HyperLogLog sketch with 2^p registers (numpy uint8)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray):
+        """h: uint64 hashes. Vectorized register update."""
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        bits = np.uint64(64)
+        # np.log2-free leading-zero count via bit_length emulation:
+        # use float log2 on nonzero values (rest always nonzero by the OR).
+        lz = (bits - np.uint64(1)) - np.floor(np.log2(rest.astype(np.float64))).astype(
+            np.uint64
+        )
+        rank = (lz + np.uint64(1)).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return float(est)
+
+
+def hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hashes of an Arrow column (nulls dropped).
+    pandas.util.hash_array is vectorized (siphash via cython) and stable
+    across processes for a fixed hash key."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        return pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
+    return pd.util.hash_array(np.asarray(arr.to_pylist(), dtype=object))
+
+
+# ---------------------------------------------------------------------------
+# TDigest
+
+
+class TDigest:
+    """Minimal mergeable t-digest (scale: k1-like via quantile bins).
+
+    State: (means, weights) sorted by mean. add() buffers exact values;
+    compress() re-clusters to ≤ delta centroids with q-dependent capacity.
+    ~100 LoC, deterministic: inputs are sorted before clustering.
+    """
+
+    __slots__ = ("delta", "means", "weights", "_buf")
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+
+    def add(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self._buf.append(v)
+            if sum(len(b) for b in self._buf) > 8 * self.delta:
+                self.compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._buf.extend(other._buf)
+        if len(other.means):
+            self._merge_centroids(other.means, other.weights)
+        self.compress()
+        return self
+
+    def _merge_centroids(self, means, weights):
+        m = np.concatenate([self.means, means])
+        w = np.concatenate([self.weights, weights])
+        order = np.argsort(m, kind="stable")
+        self.means, self.weights = m[order], w[order]
+
+    def compress(self):
+        if self._buf:
+            v = np.sort(np.concatenate(self._buf))
+            self._buf = []
+            self._merge_centroids(v, np.ones(len(v)))
+        n = self.weights.sum()
+        if n == 0 or len(self.means) <= self.delta:
+            return
+        # cluster greedily: centroid capacity 4*n*q*(1-q)/delta
+        new_m, new_w = [], []
+        cum = 0.0
+        cur_m, cur_w = self.means[0], self.weights[0]
+        for m, w in zip(self.means[1:], self.weights[1:]):
+            q = (cum + cur_w / 2) / n
+            cap = max(1.0, 4 * n * q * (1 - q) / self.delta)
+            if cur_w + w <= cap:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_m.append(cur_m)
+                new_w.append(cur_w)
+                cum += cur_w
+                cur_m, cur_w = m, w
+        new_m.append(cur_m)
+        new_w.append(cur_w)
+        self.means = np.asarray(new_m)
+        self.weights = np.asarray(new_w)
+
+    def quantile(self, q: float) -> float:
+        self.compress()
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        n = self.weights.sum()
+        target = q * n
+        cum = np.cumsum(self.weights) - self.weights / 2
+        i = np.searchsorted(cum, target)
+        if i == 0:
+            return float(self.means[0])
+        if i >= len(self.means):
+            return float(self.means[-1])
+        t = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
+        return float(self.means[i - 1] + t * (self.means[i] - self.means[i - 1]))
+
+
+# ---------------------------------------------------------------------------
+# Ray AggregateFn wrappers
+
+
+def _get_col(block, col):
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    return t.column(col)
+
+
+def make_basic_stats_agg(col: str):
+    """One AggregateFn computing (count, nulls, min, max, sum) for a column
+    in a single pass. State: [n, nulls, min, max, sum]."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(_k):
+        return (0, 0, None, None, 0.0)
+
+    def acc_block(s, block):
+        arr = _get_col(block, col)
+        n = len(arr)
+        nulls = arr.null_count
+        valid = arr.drop_null()
+        mn = mx = None
+        sm = 0.0
+        if len(valid):
+            mm = pc.min_max(valid).as_py()
+            mn, mx = mm["min"], mm["max"]
+            if pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type):
+                sm = pc.sum(valid).as_py() or 0.0
+        return merge(s, (n, nulls, mn, mx, sm))
+
+    def merge(a, b):
+        mn = min((x for x in (a[2], b[2]) if x is not None), default=None)
+        mx = max((x for x in (a[3], b[3]) if x is not None), default=None)
+        return (a[0] + b[0], a[1] + b[1], mn, mx, a[4] + b[4])
+
+    def finalize(s):
+        return {"n": s[0], "n_null": s[1], "min": s[2], "max": s[3], "sum": s[4]}
+
+    return AggregateFn(
+        init=init, merge=merge, accumulate_block=acc_block, finalize=finalize,
+        name=f"stats({col})",
+    )
+
+
+def make_hll_agg(col: str, p: int = 14):
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(s: HLL, block):
+        s.add_hashes(hash_column(_get_col(block, col)))
+        return s
+
+    return AggregateFn(
+        init=lambda _k: HLL(p),
+        merge=lambda a, b: a.merge(b),
+        accumulate_block=acc_block,
+        finalize=lambda s: s.estimate(),
+        name=f"approx_distinct({col})",
+    )
+
+
+def make_tdigest_agg(col: str, quantiles=(0.5, 0.95, 0.99), delta: int = 200):
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(s: TDigest, block):
+        arr = _get_col(block, col).drop_null()
+        if len(arr):
+            s.add(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+        return s
+
+    return AggregateFn(
+        init=lambda _k: TDigest(delta),
+        merge=lambda a, b: a.merge(b),
+        accumulate_block=acc_block,
+        finalize=lambda s: {f"p{int(q * 100)}": s.quantile(q) for q in quantiles},
+        name=f"tdigest({col})",
+    )
+
+
+def column_stats(ds, columns: list[str]) -> dict:
+    """Single-pass basic stats for several columns (one streaming aggregate,
+    no shuffle)."""
+    aggs = [make_basic_stats_agg(c) for c in columns]
+    res = ds.aggregate(*aggs)
+    return {c: res[f"stats({c})"] for c in columns}
+
+
+def approx_distinct(ds, col: str, p: int = 14) -> float:
+    return ds.aggregate(make_hll_agg(col, p))[f"approx_distinct({col})"]
+
+
+def quantiles(ds, col: str, qs=(0.5, 0.95, 0.99)) -> dict:
+    return ds.aggregate(make_tdigest_agg(col, qs))[f"tdigest({col})"]

@@ -1,0 +1,183 @@
+"""Stats sketches, uniqueness, and drift vs exact oracles (duckdb / numpy)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from medea_ray.engine.drift import drift_report, ks_binned, psi
+from medea_ray.engine.stats import (
+    HLL,
+    TDigest,
+    approx_distinct,
+    column_stats,
+    hash_column,
+    quantiles,
+)
+from medea_ray.engine.uniqueness import duplicates, group_count, salted_group_count
+from medea_ray.fixtures.gen import write_pages
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("agg_pages")
+    write_pages(str(d), N_ROWS, rows_per_file=1000)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def pages_ds(ray_session, pages_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(pages_dir)
+
+
+def _duck(pages_dir, sql):
+    return duckdb.sql(
+        sql.replace("PAGES", f"read_parquet('{pages_dir}/*.parquet')")
+    ).fetchall()
+
+
+# -- unit-level sketch checks ----------------------------------------------
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(0)
+    values = rng.integers(0, 50_000, size=200_000)
+    true = len(np.unique(values))
+    import pandas as pd
+
+    h_all = HLL()
+    h_all.add_hashes(pd.util.hash_array(values))
+    assert abs(h_all.estimate() - true) / true < 0.03
+
+    # merge of shards == single sketch (register-max is exact)
+    parts = np.array_split(values, 7)
+    merged = HLL()
+    for p in parts:
+        h = HLL()
+        h.add_hashes(pd.util.hash_array(p))
+        merged.merge(h)
+    assert merged.estimate() == h_all.estimate()
+
+
+def test_tdigest_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    values = np.concatenate([rng.lognormal(3, 1, 100_000), rng.normal(500, 5, 10_000)])
+    td = TDigest()
+    for chunk in np.array_split(values, 13):
+        td.add(chunk)
+    for q in (0.05, 0.5, 0.95, 0.99):
+        exact = np.quantile(values, q)
+        got = td.quantile(q)
+        assert abs(got - exact) / max(abs(exact), 1) < 0.03, (q, got, exact)
+
+    shards = [TDigest() for _ in range(4)]
+    for i, chunk in enumerate(np.array_split(values, 4)):
+        shards[i].add(chunk)
+    merged = shards[0]
+    for s in shards[1:]:
+        merged.merge(s)
+    assert abs(merged.quantile(0.5) - np.quantile(values, 0.5)) / np.quantile(values, 0.5) < 0.03
+
+
+def test_psi_ks_closed_form():
+    a = {"x": 500, "y": 500}
+    assert psi(a, a) == pytest.approx(0.0)
+    b = {"x": 900, "y": 100}
+    # closed form: (0.9-0.5)ln(0.9/0.5) + (0.1-0.5)ln(0.1/0.5)
+    assert psi(a, b) == pytest.approx(0.4 * np.log(1.8) - 0.4 * np.log(0.2), rel=1e-9)
+    r = {"0": 10, "1": 10, "2": 10}
+    c = {"0": 30, "1": 0, "2": 0}
+    assert ks_binned(r, c) == pytest.approx(2 / 3)
+
+
+# -- dataset-level aggregates vs duckdb ------------------------------------
+
+
+def test_column_stats_vs_duckdb(pages_ds, pages_dir):
+    stats = column_stats(pages_ds, ["lang", "text"])
+    (n, n_lang_null, n_text_null) = _duck(
+        pages_dir,
+        "SELECT count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM PAGES",
+    )[0]
+    assert stats["lang"]["n"] == n == N_ROWS
+    assert stats["lang"]["n_null"] == n_lang_null
+    assert stats["text"]["n_null"] == n_text_null
+    assert stats["lang"]["min"] == "de" and stats["lang"]["max"] == "zh"
+
+
+def test_hll_vs_exact(pages_ds, pages_dir):
+    est = approx_distinct(pages_ds, "url")
+    (true,) = _duck(pages_dir, "SELECT count(DISTINCT url) FROM PAGES")[0]
+    assert abs(est - true) / true < 0.05
+
+
+def test_tdigest_vs_duckdb(pages_ds, pages_dir):
+    import pyarrow.compute as pc
+
+    lens = pages_ds.map_batches(
+        lambda t: t.append_column("text_len", pc.utf8_length(pc.fill_null(t.column("text"), ""))),
+        batch_format="pyarrow",
+    )
+    qs = quantiles(lens, "text_len", (0.5, 0.95))
+    rows = _duck(
+        pages_dir,
+        "SELECT quantile_cont(length(coalesce(text,'')), 0.5),"
+        " quantile_cont(length(coalesce(text,'')), 0.95) FROM PAGES",
+    )[0]
+    assert abs(qs["p50"] - rows[0]) / rows[0] < 0.05
+    assert abs(qs["p95"] - rows[1]) / rows[1] < 0.05
+
+
+def test_duplicates_vs_duckdb(pages_ds, pages_dir):
+    got = {r["url"]: r["n"] for r in duplicates(pages_ds, "url").take_all()}
+    exp = dict(
+        _duck(pages_dir, "SELECT url, count(*) FROM PAGES GROUP BY url HAVING count(*)>1")
+    )
+    assert got == exp
+    assert len(got) > 0  # generator plants 1% duplicates
+
+    salted = {r["url"]: r["n"] for r in salted_group_count(pages_ds, "url").take_all()}
+    full = dict(_duck(pages_dir, "SELECT url, count(*) FROM PAGES GROUP BY url"))
+    assert salted == full
+
+
+def test_group_count_total(pages_ds):
+    total = sum(r["n"] for r in group_count(pages_ds, "lang").take_all())
+    # nulls are dropped by the in-batch group_by? No: Arrow group_by keeps
+    # null groups — total must cover every row.
+    assert total == N_ROWS
+
+
+def test_drift_detects_day7(pages_ds):
+    rep = drift_report(pages_ds, "lang")
+    assert len(rep) == 8
+    by_bucket = {r["bucket"]: r for r in rep}
+    drifted = by_bucket["2024-01-08"]  # day index 7
+    others = [r for b, r in by_bucket.items() if b not in ("2024-01-01", "2024-01-08")]
+    assert drifted["psi"] > 0.25
+    assert all(r["psi"] < 0.1 for r in others)
+
+
+def test_numeric_drift_text_len(pages_ds):
+    import pyarrow.compute as pc
+
+    lens = pages_ds.map_batches(
+        lambda t: t.select(["warc_ts"]).append_column(
+            "text_len", pc.utf8_length(pc.fill_null(t.column("text"), ""))
+        ),
+        batch_format="pyarrow",
+    )
+    bins = np.array([0, 50, 100, 150, 200, 300, 400, 600, 900, 1500, 2500])
+    rep = drift_report(lens, "text_len", numeric_bins=bins)
+    by_bucket = {r["bucket"]: r for r in rep}
+    assert by_bucket["2024-01-08"]["ks"] > 0.3
+    # non-drifted days differ only by sampling noise (~500 rows/day here)
+    assert all(
+        r["ks"] < 0.12
+        for b, r in by_bucket.items()
+        if b not in ("2024-01-01", "2024-01-08")
+    )
