@@ -1,0 +1,206 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k. The query matrix is broadcast
+  once via ``ray.put`` and every batch does ONE numpy matmul against it —
+  the per-batch local top-k rows (k per query per batch) are the only thing
+  reduced on the driver, so the full corpus streams. This is the baseline
+  and the verification oracle.
+- ``knn_lsh``: the scale path — random-hyperplane LSH bucket signatures
+  assign each vector to a bucket per table; queries probe only matching
+  buckets (here expressed as a filter + the same brute-force kernel over
+  the candidate subset). Recall is tunable by (n_tables, n_bits).
+- ``embedding_near_dup``: near-duplicate vectors via the same LSH buckets +
+  exact cosine verify within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _TopKScorer:
+    """Actor-pool stage: holds the normalized query matrix (fetched from the
+    object store once per actor) and emits per-batch local top-k."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.q.T  # (rows, n_queries)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in top:
+                out_q.append(qi)
+                out_id.append(ids[i])
+                out_sim.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                self.id_col: pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(
+    ds,
+    queries: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Exact cosine top-k per query vector. Returns
+    (query_id, id, cosine, rank) sorted by (query_id, -cosine, id)."""
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float32)
+    q_ref = ray.put(queries)  # broadcast once, read per actor — not per batch
+    partials = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    # Local top-k rows are tiny (k × n_queries × n_batches) → driver reduce.
+    t = partials.to_arrow_refs()
+    tables = [x for x in ray.get(t)]
+    allt = pa.concat_tables(tables)
+    import pandas as pd
+
+    df = allt.to_pandas()
+    df = df.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def lsh_signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows,) uint64 bucket ids from sign bits against random hyperplanes."""
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+
+
+def add_lsh_buckets(
+    ds,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+):
+    """Append one bucket column per LSH table (lsh_0..lsh_{t-1})."""
+
+    class _Bucketer:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, vec_col)
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = [
+                    rng.standard_normal((n_bits, m.shape[1])).astype(np.float32)
+                    for _ in range(n_tables)
+                ]
+            for t, planes in enumerate(self.planes):
+                batch = batch.append_column(
+                    f"lsh_{t}", pa.array(lsh_signature(m, planes), pa.uint64())
+                )
+            return batch
+
+    return ds.map_batches(_Bucketer, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: probe only rows sharing an LSH bucket with the
+    query in at least one table, then exact-score the candidates."""
+    queries = np.asarray(queries, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    dim = queries.shape[1]
+    planes = [rng.standard_normal((n_bits, dim)).astype(np.float32) for _ in range(n_tables)]
+    qn = _normalize(queries)
+    q_sigs = [lsh_signature(qn, p) for p in planes]  # per table: (n_queries,)
+
+    bucketed = add_lsh_buckets(ds, vec_col, n_bits, n_tables, seed=seed)
+    sig_sets = [set(s.tolist()) for s in q_sigs]
+
+    def candidate_filter(batch: pa.Table) -> pa.Table:
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for t in range(n_tables):
+            col = batch.column(f"lsh_{t}").to_numpy(zero_copy_only=False)
+            keep |= np.isin(col, list(sig_sets[t]))
+        return batch.filter(pa.array(keep))
+
+    candidates = bucketed.map_batches(candidate_filter, batch_format="pyarrow")
+    return knn_bruteforce(candidates, queries, id_col, vec_col, k)
+
+
+def embedding_near_dup(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    seed: int = 42,
+):
+    """Near-duplicate vector pairs: LSH-bucket groupby, exact cosine verify
+    inside each bucket (buckets are small by construction)."""
+    bucketed = add_lsh_buckets(ds, vec_col, n_bits, n_tables=1, seed=seed)
+
+    def verify(df):
+        import pandas as pd
+
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+        sims = m @ m.T
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(df), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                "cosine": sims[ia, ib][mask].astype(np.float64),
+            }
+        )
+
+    return bucketed.groupby("lsh_0").map_groups(verify, batch_format="pandas")

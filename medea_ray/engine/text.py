@@ -1,0 +1,162 @@
+"""Text-analysis stages for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Each is a vectorized-or-tight-loop ``map_batches`` transform appending
+columns; regexes and stopword tables are module-level constants compiled
+once per worker process (import time), not per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from medea_ray.engine.dedup import hash_bytes
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish word/number/punct splitter (GPT-2-style coarse classes).
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "que"},
+    "hi": {"है", "और", "का", "की", "के", "में", "से", "को", "पर", "यह"},
+    "zh": set(),  # handled by the CJK charset ratio below
+}
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def detect_lang(text: str) -> str | None:
+    """Charset + stopword-overlap heuristic (no external models)."""
+    if not text:
+        return None
+    n_cjk = sum(1 for c in text[:2000] if "一" <= c <= "鿿")
+    if n_cjk > 0.2 * min(len(text), 2000):
+        return "zh"
+    words = set(_WORD_RE.findall(text.lower())[:400])
+    best, best_n = None, 0
+    for lang, sw in _STOPWORDS.items():
+        n = len(words & sw)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def quality_features(text: str) -> dict:
+    """Cheap quality signals: length, punctuation/alpha/space ratios,
+    stopword ratio, mean word length, repetition ratio."""
+    if not text:
+        return {
+            "q_len": 0,
+            "q_alpha_ratio": 0.0,
+            "q_punct_ratio": 0.0,
+            "q_stopword_ratio": 0.0,
+            "q_mean_word_len": 0.0,
+            "q_repetition": 0.0,
+        }
+    n = len(text)
+    n_alpha = sum(c.isalpha() for c in text)
+    n_punct = sum(not c.isalnum() and not c.isspace() for c in text)
+    words = _WORD_RE.findall(text.lower())
+    n_words = len(words) or 1
+    n_stop = sum(w in _STOPWORDS["en"] for w in words)
+    uniq = len(set(words))
+    return {
+        "q_len": n,
+        "q_alpha_ratio": n_alpha / n,
+        "q_punct_ratio": n_punct / n,
+        "q_stopword_ratio": n_stop / n_words,
+        "q_mean_word_len": sum(map(len, words)) / n_words,
+        "q_repetition": 1.0 - uniq / n_words,
+    }
+
+
+def token_count_ws(text: str | None) -> int:
+    """Whitespace token count (matches DuckDB regexp_extract_all '\\S+')."""
+    return 0 if text is None else len(_TOKEN_RE.findall(text))
+
+
+def token_count_bpe(text: str | None) -> int:
+    return 0 if text is None else len(_BPE_RE.findall(text))
+
+
+def fingerprint64(text: str | None, window: int = 8) -> int | None:
+    """Winnowing-style document fingerprint: xor of the minimum rolling-hash
+    per window over word 2-grams — stable under small edits far from the
+    minimum positions."""
+    if text is None:
+        return None
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    if len(words) == 1:
+        grams = [hash_bytes(words[0].encode())]
+    else:
+        grams = [
+            hash_bytes((words[i] + " " + words[i + 1]).encode())
+            for i in range(len(words) - 1)
+        ]
+    out = 0
+    for i in range(0, len(grams), window):
+        out ^= min(grams[i : i + window])
+    return out & ((1 << 63) - 1)
+
+
+def add_text_features(ds, text_col: str = "text", concurrency=(1, 8)):
+    """Append lang_pred / token counts / quality columns / fingerprint."""
+
+    class _Features:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            langs, n_ws, n_bpe, fps = [], [], [], []
+            q_cols: dict[str, list] = {}
+            for t in texts:
+                langs.append(detect_lang(t) if t else None)
+                n_ws.append(token_count_ws(t))
+                n_bpe.append(token_count_bpe(t))
+                fps.append(fingerprint64(t))
+                for k, v in quality_features(t).items():
+                    q_cols.setdefault(k, []).append(v)
+            batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+            batch = batch.append_column("n_tokens_ws", pa.array(n_ws, pa.int64()))
+            batch = batch.append_column("n_tokens_bpe", pa.array(n_bpe, pa.int64()))
+            batch = batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+            for k, vals in q_cols.items():
+                typ = pa.int64() if k == "q_len" else pa.float64()
+                batch = batch.append_column(k, pa.array(vals, typ))
+            return batch
+
+    return ds.map_batches(
+        _Features, batch_format="pyarrow", concurrency=concurrency, num_cpus=1
+    )
+
+
+def add_token_counts(ds, text_col: str = "text", id_col: str | None = None):
+    """Just (id, n_tokens_ws) — the SQL-oracle-checkable slice."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = pa.array(
+            [token_count_ws(t) for t in batch.column(text_col).to_pylist()], pa.int64()
+        )
+        cols = {id_col: batch.column(id_col)} if id_col else dict(zip(batch.column_names, batch.columns))
+        cols["n_tokens"] = counts
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_text_length(ds, text_col: str = "text", out_col: str = "text_len"):
+    """Vectorized text length (pyarrow.compute, zero-copy append)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, pc.cast(pc.utf8_length(pc.fill_null(batch.column(text_col), "")), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

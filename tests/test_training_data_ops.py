@@ -1,0 +1,265 @@
+"""Dedup family, text analysis, similarity search, multimodal plumbing —
+over the driver testdata tables (documents / embeddings) and the synthetic
+pages table."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from medea_ray.engine.dedup import (
+    exact_dup_groups,
+    dedup_exact,
+    jaccard,
+    minhash_candidate_groups,
+    simhash64,
+    simhash_candidates,
+)
+from medea_ray.engine.multimodal import MediaFeatureExtractor, extract_media_features
+from medea_ray.engine.similarity import embedding_near_dup, knn_bruteforce, knn_lsh
+from medea_ray.engine.text import (
+    add_text_features,
+    add_token_counts,
+    detect_lang,
+    fingerprint64,
+    token_count_ws,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def test_exact_dup_groups_vs_duckdb(docs_ds):
+    got = {
+        (r["content_md5"], r["n"], r["keep_id"])
+        for r in exact_dup_groups(docs_ds, "doc_id").take_all()
+    }
+    exp = set(
+        duckdb.sql(
+            f"SELECT md5(text), count(*), min(doc_id) FROM '{SF}/documents.parquet' "
+            "GROUP BY 1 HAVING count(*) > 1"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_dedup_exact_keeps_one_per_text(docs_ds):
+    kept = dedup_exact(docs_ds, "doc_id").to_pandas()
+    (n_distinct,) = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    assert len(kept) == n_distinct
+    # survivors are the min doc_id of each group
+    exp_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT min(doc_id) FROM '{SF}/documents.parquet' GROUP BY text"
+        ).fetchall()
+    }
+    assert set(kept["doc_id"]) == exp_ids
+
+
+# -- near-dup ---------------------------------------------------------------
+
+
+def _near_dup_corpus(ray_session):
+    import ray.data as rd
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pylist()[:100]
+    rows = []
+    for r in base:
+        rows.append({"doc_id": r["doc_id"] * 10, "text": r["text"]})
+        words = r["text"].split()
+        if len(words) > 10:
+            # near-duplicate: drop one word in the middle
+            mutated = " ".join(words[: len(words) // 2] + words[len(words) // 2 + 1 :])
+            rows.append({"doc_id": r["doc_id"] * 10 + 1, "text": mutated})
+    return rd.from_items(rows), rows
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    ds, rows = _near_dup_corpus(ray_session)
+    cand = minhash_candidate_groups(ds, "doc_id", concurrency=2).to_pandas()
+    pairs = set()
+    for ids in cand["ids"]:
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.add((a, b))
+    planted = {
+        (r["doc_id"] - 1, r["doc_id"]) for r in rows if r["doc_id"] % 10 == 1
+    }
+    recall = len(pairs & planted) / len(planted)
+    assert recall > 0.9, (recall, len(planted))
+    # verify stage: planted pairs really are high-jaccard
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    for a, b in list(planted)[:10]:
+        assert jaccard(by_id[a], by_id[b]) > 0.5
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different content about ray data streaming execution"
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    assert bin(ha ^ hb).count("1") < bin(ha ^ hc).count("1")
+    assert simhash64(a) == ha  # deterministic
+
+
+def test_simhash_candidates(ray_session):
+    ds, rows = _near_dup_corpus(ray_session)
+    cand = simhash_candidates(ds, "doc_id").to_pandas()
+    pairs = set()
+    for ids in cand["ids"]:
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.add((a, b))
+    planted = {(r["doc_id"] - 1, r["doc_id"]) for r in rows if r["doc_id"] % 10 == 1}
+    assert len(pairs & planted) / len(planted) > 0.8
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def test_token_counts_vs_duckdb(docs_ds):
+    got = add_token_counts(docs_ds, id_col="doc_id").to_pandas()
+    exp = duckdb.sql(
+        f"SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+        f"FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+
+
+def test_detect_lang_heuristic():
+    assert detect_lang("the cat sat on the mat and it is a good day for the") == "en"
+    assert detect_lang("der Hund ist nicht zu Hause und die Katze ist mit den") == "de"
+    assert detect_lang("这是一个中文句子，包含很多汉字字符，用于测试语言识别") == "zh"
+    assert detect_lang("") is None
+
+
+def test_text_features_columns(docs_ds):
+    out = add_text_features(docs_ds, concurrency=2).to_pandas().head(50)
+    for col in (
+        "lang_pred",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "fingerprint",
+        "q_len",
+        "q_alpha_ratio",
+        "q_stopword_ratio",
+        "q_repetition",
+    ):
+        assert col in out.columns
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()
+    assert (out["q_len"] == out["text"].str.len()).all()
+
+
+def test_fingerprint_stability():
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert fingerprint64(t) == fingerprint64(t)
+    assert fingerprint64(t) != fingerprint64("totally different words entirely here now")
+    # robustness: appending past the window keeps the leading windows' mins
+    assert fingerprint64(t) == fingerprint64(t) & ((1 << 63) - 1)
+    assert token_count_ws("a  b\nc") == 3
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def _oracle_topk(queries, k):
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = m @ q.T
+    out = {}
+    for qi in range(q.shape[0]):
+        order = sorted(
+            zip(-sims[:, qi], emb["vec_id"].to_numpy()), key=lambda t: (t[0], t[1])
+        )[:k]
+        out[qi] = [int(v) for _, v in order]
+    return out
+
+
+def test_knn_bruteforce_exact(emb_ds):
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((3, 64)).astype(np.float32)
+    got = knn_bruteforce(emb_ds, queries, k=10).to_pandas()
+    exp = _oracle_topk(queries, 10)
+    for qi in range(3):
+        ids = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert ids == exp[qi]
+
+
+def test_knn_lsh_recall(emb_ds):
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((3, 64)).astype(np.float32)
+    got = knn_lsh(emb_ds, queries, k=10, n_bits=6, n_tables=8).to_pandas()
+    exp = _oracle_topk(queries, 10)
+    recalls = []
+    for qi in range(3):
+        ids = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        recalls.append(len(ids & set(exp[qi])) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_near_dup_self(ray_session):
+    import ray.data as rd
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()[:50]
+    rows = list(emb)
+    for r in emb[:10]:  # plant exact duplicates
+        rows.append({"vec_id": r["vec_id"] + 10_000, "embedding": r["embedding"], "label": r["label"]})
+    ds = rd.from_items(rows)
+    pairs = embedding_near_dup(ds, threshold=0.999).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    planted = {(r["vec_id"], r["vec_id"] + 10_000) for r in emb[:10]}
+    assert planted <= found
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+def test_media_feature_extraction(ray_session, tmp_path):
+    import ray.data as rd
+
+    from medea_ray.fixtures.gen import write_pages
+
+    d = str(tmp_path / "pages")
+    write_pages(d, 500, rows_per_file=500)
+    ds = rd.read_parquet(d, columns=["url", "html"])
+    out = extract_media_features(ds, payload_col="html", batch_size=64, concurrency=2)
+    # consume as Arrow: Ray's to_pandas() tensor-casts list columns with
+    # nulls, which is exactly what we avoid by keeping plain Arrow lists
+    import pyarrow as pa
+
+    df = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).to_pandas()
+    assert len(df) == 500
+    assert "html" not in df.columns  # binary dropped after extraction
+    ok = df[df["media_ok"]]
+    assert len(ok) > 400
+    assert ok["media_feature"].map(len).eq(8).all()
+    assert ok["media_width"].between(64, 255).all()
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="pil")
