@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in medea_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,208 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from medea_ray.engine import queries as q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Shared SQL fragments so the oracle stays in lockstep with
+# medea_ray.fixtures.gen.DEFECT_SPECIFIER / DEFECT_PATH.
+_DEFECT_SPECIFIER_SQL = (
+    "CASE doc_id % 100 "
+    "WHEN 95 THEN 'not_one_of_options' "
+    "WHEN 96 THEN 'additional_prop_banned' "
+    "WHEN 97 THEN 'required_prop_missing' "
+    "WHEN 98 THEN 'out_of_bounds_array_length' "
+    "WHEN 99 THEN 'not_one_of_options' END"
+)
+_DEFECT_PATH_SQL = (
+    "CASE doc_id % 100 "
+    "WHEN 95 THEN '$/meta/len' "
+    "WHEN 96 THEN '$' "
+    "WHEN 97 THEN '$' "
+    "WHEN 98 THEN '$/tags' "
+    "WHEN 99 THEN '$/tags[1]' END"
+)
+
+
+def _knn_query_literals() -> list[str]:
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    mat = rng.standard_normal((2, 64)).astype(np.float32)
+    return ["[" + ", ".join(repr(float(x)) for x in row) + "]" for row in mat]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: documents-derived JSON payloads through
+    the Medea validator actor pool, plus stats / dedup / drift / similarity
+    metrics. Returns a one-row-per-metric pandas DataFrame."""
+    import pandas as pd
+
+    sf = SF_SMOKE
+    rows: list[dict] = []
+
+    verdict = q.validation_verdict_counts(sf).iloc[0]
+    rows.append({"metric": "validation.n_rows", "value": float(verdict["n_rows"])})
+    rows.append({"metric": "validation.n_valid", "value": float(verdict["n_valid"])})
+    rows.append({"metric": "validation.n_invalid", "value": float(verdict["n_invalid"])})
+
+    violations = q.validate_documents_payload(sf).take_all()
+    by_spec: dict[str, int] = {}
+    for v in violations:
+        by_spec[v["failed_specifier"]] = by_spec.get(v["failed_specifier"], 0) + 1
+    for spec, n in sorted(by_spec.items()):
+        rows.append({"metric": f"violations.{spec}", "value": float(n)})
+
+    dups = q.exact_dup_texts(sf).take_all()
+    rows.append({"metric": "dedup.exact_groups", "value": float(len(dups))})
+
+    hll = q.hll_distinct_text(sf).iloc[0]["approx_distinct_text"]
+    rows.append({"metric": "stats.approx_distinct_text", "value": float(hll)})
+
+    td = q.tdigest_nchars(sf).iloc[0]
+    rows.append({"metric": "stats.nchars_p50", "value": float(td["p50"])})
+
+    dr = q.drift_events_value(sf)
+    rows.append({"metric": "drift.max_psi", "value": float(dr["psi"].max())})
+
+    knn = q.knn_topk_membership(sf)
+    rows.append({"metric": "similarity.topk_rows", "value": float(len(knn))})
+
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # column stats / sketches (E6-E8)
+        "stats_orders_totalprice": q.stats_orders_totalprice,
+        "stats_documents_nchars": q.stats_documents_nchars,
+        "distinct_lang_exact": q.distinct_lang_exact,
+        "hll_distinct_text": q.hll_distinct_text,
+        "tdigest_nchars": q.tdigest_nchars,
+        # groupby / aggregate / sort / filter engine ops
+        "lang_histogram": q.lang_histogram,
+        "source_counts_salted": q.source_counts_salted,
+        "orders_by_status": q.orders_by_status,
+        "events_daily": q.events_daily,
+        "top_users_by_events": q.top_users_by_events,
+        "lineitem_filter_project": q.lineitem_filter_project,
+        "text_len_histogram": q.text_len_histogram,
+        # uniqueness / dedup (E9 + training-data ops)
+        "exact_dup_texts": q.exact_dup_texts,
+        "minhash_near_dup": q.minhash_near_dup,
+        # text analysis
+        "doc_token_counts": q.doc_token_counts,
+        "doc_text_features": q.doc_text_features,
+        # Medea validation (E3, the per-row kernel end-to-end)
+        "validate_documents_payload": q.validate_documents_payload,
+        "validation_verdict_counts": q.validation_verdict_counts,
+        # drift (E10)
+        "drift_events_value": q.drift_events_value,
+        # similarity search
+        "knn_topk_membership": q.knn_topk_membership,
+        "knn_lsh_probe": q.knn_lsh_probe,
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        # multimodal plumbing (stubbed decode, real Ray-side layout)
+        "media_features_fake": q.media_features_fake,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qa, qb = _knn_query_literals()
+    return {
+        "stats_orders_totalprice": """
+            SELECT count(*) AS n,
+                   count(*) - count(o_totalprice) AS n_null,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders
+        """,
+        "stats_documents_nchars": """
+            SELECT count(*) AS n,
+                   count(*) - count(n_chars) AS n_null,
+                   min(n_chars) AS min_nchars,
+                   max(n_chars) AS max_nchars,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+            FROM documents
+        """,
+        "distinct_lang_exact": """
+            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang FROM documents
+        """,
+        "lang_histogram": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        """,
+        "source_counts_salted": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY 1
+        """,
+        "top_users_by_events": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_quantity >= 49
+        """,
+        "text_len_histogram": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        """,
+        "exact_dup_texts": """
+            SELECT md5(substr(text, 1, 40)) AS content_md5,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(text, '\\S+')) END AS n_tokens
+            FROM documents
+        """,
+        "validate_documents_payload": f"""
+            SELECT doc_id,
+                   {_DEFECT_PATH_SQL} AS schema_path,
+                   {_DEFECT_SPECIFIER_SQL} AS failed_specifier
+            FROM documents WHERE doc_id % 100 IN (95, 96, 97, 98, 99)
+        """,
+        "validation_verdict_counts": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id % 100 IN (95,96,97,98,99) THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN doc_id % 100 IN (95,96,97,98,99) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+            FROM documents
+        """,
+        "knn_topk_membership": f"""
+            WITH q AS (
+                SELECT 0 AS query_id, {qa}::DOUBLE[] AS qv
+                UNION ALL
+                SELECT 1 AS query_id, {qb}::DOUBLE[] AS qv
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN q
+            ) WHERE rnk <= 20
+        """,
+        # hll_distinct_text, tdigest_nchars, minhash_near_dup,
+        # doc_text_features, drift_events_value, knn_lsh_probe,
+        # embedding_near_dup_pairs, media_features_fake: approximate /
+        # non-SQL-expressible → rows-only check by design.
+    }

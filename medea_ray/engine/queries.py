@@ -1,0 +1,411 @@
+"""Driver-contract query implementations (__ray_entry__.queries()).
+
+Each function takes ``sf_dir`` (a directory of the TPC-H-ish testdata
+parquet tables) and returns a Dataset / pandas DataFrame / pyarrow Table.
+Column names and types are chosen to match the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (the driver hash-compares values after
+sorting columns by name).
+
+Floating-point discipline for oracle-checked queries: no float
+accumulations cross the compare boundary — sums are computed on integer
+cents/milli units on BOTH sides; min/max of floats are exact; approximate
+results (HLL, t-digest, PSI) are rows-only checked.
+
+None of these call ray.init(); the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from medea_ray.engine import dedup, drift, similarity, stats, text, uniqueness
+from medea_ray.engine.pipeline import validate_dataset
+from medea_ray.fixtures.gen import DEFECT_SPECIFIER, build_payload
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- column stats (E6) -------------------------------------------------------
+
+
+def stats_orders_totalprice(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return t.append_column("cents", cents)
+
+    from ray.data.aggregate import Sum
+
+    with_cents = ds.map_batches(add_cents, batch_format="pyarrow")
+    agg = with_cents.aggregate(
+        stats.make_basic_stats_agg("o_totalprice"), Sum("cents", alias_name="sum_cents")
+    )
+    s = agg["stats(o_totalprice)"]
+    return pd.DataFrame(
+        [
+            {
+                "n": np.int64(s["n"]),
+                "n_null": np.int64(s["n_null"]),
+                "min_price": float(s["min"]),
+                "max_price": float(s["max"]),
+                "sum_cents": np.int64(agg["sum_cents"]),
+            }
+        ]
+    )
+
+
+def stats_documents_nchars(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    s = ds.aggregate(stats.make_basic_stats_agg("n_chars"))["stats(n_chars)"]
+    return pd.DataFrame(
+        [
+            {
+                "n": np.int64(s["n"]),
+                "n_null": np.int64(s["n_null"]),
+                "min_nchars": np.int64(s["min"]),
+                "max_nchars": np.int64(s["max"]),
+                "sum_nchars": np.int64(s["sum"]),
+            }
+        ]
+    )
+
+
+def distinct_lang_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    groups = uniqueness.group_count(ds, "lang").take_all()  # tiny
+    n = sum(1 for g in groups if g["lang"] is not None)
+    return pd.DataFrame([{"n_distinct_lang": np.int64(n)}])
+
+
+def hll_distinct_text(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct documents.text (rows-only check; accuracy is
+    asserted against the exact count in tests)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    est = stats.approx_distinct(ds, "text")
+    return pd.DataFrame([{"approx_distinct_text": float(est)}])
+
+
+def tdigest_nchars(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantiles of documents.n_chars (rows-only; tolerance-tested)."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    q = stats.quantiles(ds, "n_chars", (0.5, 0.95, 0.99))
+    return pd.DataFrame([q])
+
+
+# -- groupby / aggregate -----------------------------------------------------
+
+
+def lang_histogram(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return uniqueness.group_count(ds, "lang")
+
+
+def source_counts_salted(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return uniqueness.salted_group_count(ds, "source", n_salts=8)
+
+
+def orders_by_status(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"o_orderstatus": t.column("o_orderstatus"), "cents": cents})
+
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def events_daily(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        milli = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return pa.table({"day": day, "milli": milli})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"), Sum("milli", alias_name="sum_value_milli"))
+    )
+
+
+def top_users_by_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = uniqueness.group_count(ds, "user_id")
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+def lineitem_filter_project(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return ds.filter(expr="l_quantity >= 49")
+
+
+def text_len_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t.column("n_chars"), 100.0)), pa.int64())
+        return pa.table({"bucket": b})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# -- uniqueness / dedup ------------------------------------------------------
+
+
+def exact_dup_texts(sf_dir: str):
+    """Duplicate groups on a 40-char boilerplate prefix key (the testdata
+    documents have no full-text duplicates; prefix keys both make the check
+    non-degenerate and model real web-text boilerplate dedup). Full-text
+    exact dedup is exercised by the pages fixtures, which plant duplicates."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = [
+            None if x is None else hashlib.md5(x[:40].encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"content_md5": pa.array(keys, pa.string()), "doc_id": t.column("doc_id")}
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("content_md5")
+        .aggregate(Count(alias_name="n"), Min("doc_id", alias_name="keep_id"))
+        .filter(expr="n > 1")
+    )
+
+
+def minhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup candidate buckets over documents (rows-only check)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.minhash_candidate_groups(ds, "doc_id", concurrency=(1, 4))
+    df = cand.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"band_key": [], "n": [], "ids": []})
+    df["ids"] = df["ids"].map(lambda x: ",".join(map(str, x)))
+    return df[["band_key", "n", "ids"]].sort_values("band_key").reset_index(drop=True)
+
+
+# -- token counts / text features -------------------------------------------
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.add_token_counts(ds, id_col="doc_id")
+
+
+def doc_text_features(sf_dir: str) -> pd.DataFrame:
+    """Language-ID + quality + fingerprint features (rows-only check)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text.add_text_features(ds, concurrency=(1, 4))
+    df = out.to_pandas()
+    keep = [
+        "doc_id",
+        "lang_pred",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "fingerprint",
+        "q_len",
+        "q_alpha_ratio",
+        "q_stopword_ratio",
+        "q_repetition",
+    ]
+    return df[keep].sort_values("doc_id").reset_index(drop=True)
+
+
+# -- Medea validation over a derived JSON payload ----------------------------
+
+
+def _docs_with_payload(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = []
+        for row in t.to_pylist():
+            did = row["doc_id"]
+            defect = did % 100 if did % 100 in DEFECT_SPECIFIER else None
+            payloads.append(
+                build_payload(
+                    f"doc://{did}",
+                    row["lang"],
+                    row["n_chars"],
+                    [row["source"]],
+                    defect,
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(payloads, pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow")
+
+
+def validate_documents_payload(sf_dir: str):
+    """Full Ray validation path over a JSON payload derived from the
+    documents table with seeded defects. Because the defects are a pure
+    function of doc_id, the exact violation set is SQL-predictable — this
+    is the strongest oracle-checked slice of the Medea kernel."""
+    from medea_ray.fixtures.gen import flagship_schema_text
+
+    payloads = _docs_with_payload(sf_dir)
+    verdicts = validate_dataset(
+        payloads, flagship_schema_text(), id_col="doc_id", concurrency=(1, 8)
+    )
+    bad = verdicts.filter(expr="valid == False")
+    return bad.map_batches(
+        lambda t: t.select(["doc_id", "schema_path", "failed_specifier"]),
+        batch_format="pyarrow",
+    )
+
+
+def validation_verdict_counts(sf_dir: str) -> pd.DataFrame:
+    """Aggregate pass/fail verdict over the same derived payload."""
+    from ray.data.aggregate import Count, Sum
+
+    from medea_ray.fixtures.gen import flagship_schema_text
+
+    payloads = _docs_with_payload(sf_dir)
+    verdicts = validate_dataset(
+        payloads, flagship_schema_text(), id_col="doc_id", concurrency=(1, 8)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_valid": pa.array(
+                    [pc.sum(pc.cast(t.column("valid"), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = verdicts.map_batches(partial, batch_format="pyarrow").take_all()
+    n_rows = int(sum(p["n_rows"] for p in parts))
+    n_valid = int(sum(p["n_valid"] for p in parts))
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": np.int64(n_rows),
+                "n_valid": np.int64(n_valid),
+                "n_invalid": np.int64(n_rows - n_valid),
+            }
+        ]
+    )
+
+
+# -- drift -------------------------------------------------------------------
+
+
+def drift_events_value(sf_dir: str) -> pd.DataFrame:
+    """KS/PSI of events.value across days (rows-only; the histogram inputs
+    are oracle-checked via events_daily)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    bins = np.array([-1e18, 0, 10, 25, 50, 75, 100, 250, 1000, 1e18])
+    rep = drift.drift_report(ds, "value", ts_col="ts", numeric_bins=bins)
+    return pd.DataFrame(rep)
+
+
+# -- similarity search -------------------------------------------------------
+
+
+def _knn_queries() -> np.ndarray:
+    rng = np.random.default_rng(123)
+    return rng.standard_normal((2, 64)).astype(np.float32)
+
+
+def knn_topk_membership(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-20 membership per query (query_id, vec_id). Rank and
+    score stay out of the compare: DuckDB computes cosine in float32 and
+    sub-ulp ordering differences would make value-hashing floats flaky;
+    membership is stable."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = similarity.knn_bruteforce(ds, _knn_queries(), k=20, concurrency=(1, 4))
+    df = got.to_pandas()[["query_id", "vec_id"]].copy()
+    df["query_id"] = df["query_id"].astype("int64")
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def knn_lsh_probe(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN variant (rows-only; recall is tolerance-tested)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = similarity.knn_lsh(ds, _knn_queries(), k=10, n_bits=6, n_tables=8)
+    df = got.to_pandas()[["query_id", "vec_id", "rank"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup(ds, threshold=0.95).to_pandas()
+    if len(pairs) == 0 or "id_a" not in pairs.columns:
+        # empty Ray datasets drop their schema in to_pandas
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    return (
+        pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def media_features_fake(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing over a binary column synthesized from documents
+    (rows-only; the decode is the documented deterministic stub)."""
+    from medea_ray.engine.multimodal import extract_media_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        blobs = [
+            None if x is None else b"<html>" + x.encode() + b"</html>"
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "blob": pa.array(blobs, pa.large_binary())}
+        )
+
+    binary = ds.map_batches(to_binary, batch_format="pyarrow")
+    out = extract_media_features(binary, payload_col="blob", batch_size=64, concurrency=(1, 4))
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = tbl.select(
+        ["doc_id", "media_ok", "media_format", "media_width", "media_height", "media_n_bytes"]
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,103 @@
+"""Mimics the driver's correctness harness: run every queries() entry and
+compare row-count + sorted-column value equality against oracle_sql() via
+DuckDB (at sf0.001 for speed; the driver runs sf0.01)."""
+
+import importlib.util
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__ray_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    return _load_entry()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+
+
+def pytest_generate_tests(metafunc):
+    if "qname" in metafunc.fixturenames:
+        mod = _load_entry()
+        metafunc.parametrize("qname", sorted(mod.oracle_sql().keys()))
+    if "rname" in metafunc.fixturenames:
+        mod = _load_entry()
+        rows_only = sorted(set(mod.queries()) - set(mod.oracle_sql()))
+        metafunc.parametrize("rname", rows_only)
+
+
+def test_oracle_names_subset(entry_mod):
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_query_vs_oracle(entry_mod, duck, qname):
+    got = _canon(_to_df(entry_mod.queries()[qname](SF)))
+    exp = _canon(duck.execute(entry_mod.oracle_sql()[qname]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{qname}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        g, e = got[c].to_numpy(), exp[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
+            assert np.allclose(
+                g.astype(float), e.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ), f"{qname}.{c}"
+        else:
+            assert (g == e).all(), f"{qname}.{c}"
+
+
+def test_rows_only_queries_run(entry_mod, rname):
+    df = _to_df(entry_mod.queries()[rname](SF))
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(entry_mod):
+    df = entry_mod.entry()
+    assert isinstance(df, pd.DataFrame)
+    assert len(df) > 0
+    assert set(df.columns) == {"metric", "value"}
+    metrics = dict(zip(df["metric"], df["value"]))
+    assert metrics["validation.n_rows"] == 500
+    assert metrics["validation.n_invalid"] == metrics["validation.n_rows"] - metrics["validation.n_valid"]
