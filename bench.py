@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: run the headline validation pipeline twice in fresh
+processes (num_cpus=8 then 32) on the same input and report both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node cluster rule), appending the result to BENCH/BASELINE.md.
+
+This script OWNS its Ray session (the only places allowed to: bench, CLI,
+test fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _n_lineitem(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+
+
+def ensure_pages(sf_dir: str, multiplier: int = 1) -> tuple[str, int]:
+    """Pages table sized to the sf's lineitem row count (~600k at sf0.1,
+    the BASELINE.md bench scale). ``multiplier`` scales it up for the
+    scaling runs, where the job must be long enough that actor-pool
+    startup does not dominate either measurement."""
+    from medea_ray.fixtures.gen import write_pages
+
+    n_rows = _n_lineitem(sf_dir) * multiplier
+    cache = f"/tmp/medea_ray_bench/pages_{n_rows}"
+    write_pages(cache, n_rows, rows_per_file=50_000, workers=min(os.cpu_count() or 8, 16))
+    return cache, n_rows
+
+
+def run_suite(num_cpus: int, scaling_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    try:
+        return _run_suite_inner(num_cpus, scaling_only)
+    finally:
+        ray.shutdown()
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from medea_ray.engine import drift, queries as q, similarity, stats, uniqueness
+    from medea_ray.engine.pipeline import run_validation_pipeline
+    from medea_ray.engine.text import add_text_length
+    from medea_ray.fixtures.gen import flagship_schema_text
+
+    pages_dir, n_pages = ensure_pages(SF_DIR, multiplier=16 if scaling_only else 1)
+    pages_files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    results: dict[str, float] = {}
+    # autoscaling actor pool: cpus//2 → cpus-headroom (same as default_pool)
+    headroom = 4 if num_cpus >= 16 else 2
+    pool = (max(2, num_cpus // 2), max(2, num_cpus - headroom))
+
+    # headline: full checkpointed validation pipeline over the pages table
+    out_dir = tempfile.mkdtemp(prefix="medea_bench_")
+    secs, report = _timed(
+        lambda: run_validation_pipeline(
+            pages_files,
+            flagship_schema_text(),
+            out_dir,
+            batch_size=2048,
+            concurrency=pool,
+            wave_size=len(pages_files),
+        )
+    )
+    assert report["n_rows"] == n_pages, report["n_rows"]
+    results["validate_pages"] = secs
+    docs_per_sec = n_pages / secs
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    if not scaling_only:
+        pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts", "text", "lang"])
+
+        def stats_suite():
+            with_len = add_text_length(pages, "text")
+            return stats.sketch_summary(
+                with_len,
+                stats_cols=["lang", "text_len"],
+                hll_cols=["url"],
+                tdigest_cols=["text_len"],
+            )
+
+        results["stats_pages"], _ = _timed(stats_suite)
+        results["dup_urls"], dup = _timed(
+            lambda: uniqueness.duplicates(
+                rd.read_parquet(pages_dir, columns=["url"]), "url"
+            ).count()
+        )
+        results["drift_lang"], _ = _timed(lambda: drift.drift_report(pages, "lang"))
+
+        results["validate_documents"], _ = _timed(
+            lambda: q.validate_documents_payload(SF_DIR).count()
+        )
+        results["exact_dup_texts"], _ = _timed(lambda: q.exact_dup_texts(SF_DIR).count())
+        results["doc_token_counts"], _ = _timed(lambda: q.doc_token_counts(SF_DIR).count())
+
+        emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        rng = np.random.default_rng(123)
+        queries_mat = rng.standard_normal((4, 64)).astype(np.float32)
+        results["knn_bruteforce"], _ = _timed(
+            lambda: similarity.knn_bruteforce(emb, queries_mat, k=20, concurrency=pool)
+        )
+
+        from medea_ray.engine.dedup import minhash_candidate_groups
+
+        docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")).limit(10_000)
+        results["minhash_10k_docs"], _ = _timed(
+            lambda: minhash_candidate_groups(docs, "doc_id", concurrency=pool).count()
+        )
+
+    return {
+        "metric": "medea_ray bench suite wall time",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "docs_per_sec": round(docs_per_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same validation job at num_cpus=8 and num_cpus=32 in fresh processes;
+    efficiency = (docs/sec@32 ÷ docs/sec@8) ÷ 4."""
+    ensure_pages(SF_DIR, multiplier=16)  # warm the cache outside the timed runs
+    runs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--single-run", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    eff = (runs[32]["docs_per_sec"] / runs[8]["docs_per_sec"]) / 4
+    result = {
+        "metric": "validation throughput scaling 8→32 cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "validate_pages_8cpu": runs[8]["queries"]["validate_pages"],
+            "validate_pages_32cpu": runs[32]["queries"]["validate_pages"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "docs_per_sec_8": runs[8]["docs_per_sec"],
+        "docs_per_sec_32": runs[32]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": runs[32]["n_pages"],
+    }
+    _append_scaling_md(result)
+    return result
+
+
+def _append_scaling_md(r: dict):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = not os.path.exists(path)
+    with open(path, "a") as f:
+        if header:
+            f.write(
+                "# BENCH results\n\n"
+                "| when | n_pages | docs/sec @8cpu | docs/sec @32cpu | scaling efficiency |\n"
+                "|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {time.strftime('%Y-%m-%d %H:%M:%S')} | {r['n_pages']} | "
+            f"{r['docs_per_sec_8']} | {r['docs_per_sec_32']} | "
+            f"{r['scaling_efficiency']} |\n"
+        )
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--scaling":
+        print(json.dumps(run_scaling()))
+    elif args and args[0] == "--single-run":
+        print(json.dumps(run_suite(int(args[1]), scaling_only=True)))
+    else:
+        print(json.dumps(run_suite(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

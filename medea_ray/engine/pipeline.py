@@ -64,22 +64,25 @@ class ValidatorKernel:
         self.payload_col = payload_col
         self.id_col = id_col
 
-    def validate_rows(self, payloads, ids):
+    def validate_payloads(self, payloads):
         """Returns (valid: list[bool], violations: list[tuple]) where each
-        violation is (id, schema_path, failed_specifier, detail)."""
+        violation is (row_index, schema_path, failed_specifier, detail).
+        Row ids are resolved by the caller via Arrow take on the violation
+        indices only — the common all-valid batch never materialises ids."""
         graph = self.graph
         validate, loads = validate_obj, loads_json
         valid = []
+        append = valid.append
         violations = []
-        for rid, payload in zip(ids, payloads):
+        for i, payload in enumerate(payloads):
             try:
                 if payload is None:
                     raise MedeaValidationError("not_json", None, "$", "null payload")
                 validate(graph, loads(payload))
-                valid.append(True)
+                append(True)
             except MedeaValidationError as e:
-                valid.append(False)
-                violations.append((rid, e.path, e.code, e.detail))
+                append(False)
+                violations.append((i, e.path, e.code, e.detail))
         return valid, violations
 
 
@@ -107,57 +110,72 @@ class ValidatorActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.kernel.payload_col).to_pylist()
-        ids = batch.column(self.kernel.id_col).to_pylist()
-        valid, violations = self.kernel.validate_rows(payloads, ids)
+        valid, violations = self.kernel.validate_payloads(payloads)
+        bad_idx = [v[0] for v in violations]
+        # ids only materialise for the (rare) violation rows — Arrow take,
+        # never a full-column to_pylist.
+        bad_ids = (
+            batch.column(self.kernel.id_col).take(pa.array(bad_idx, pa.int64())).to_pylist()
+            if bad_idx
+            else []
+        )
 
         if self.mode == "rows":
             n = len(valid)
-            cols = {
-                self.kernel.id_col: batch.column(self.kernel.id_col),
-                "valid": pa.array(valid, pa.bool_()),
-            }
             path = [None] * n
             spec = [None] * n
             detail = [None] * n
-            vi = 0
-            for k, ok in enumerate(valid):
-                if not ok:
-                    _, p, c, d = violations[vi]
-                    path[k], spec[k], detail[k] = p, c, d
-                    vi += 1
-            cols["schema_path"] = pa.array(path, pa.string())
-            cols["failed_specifier"] = pa.array(spec, pa.string())
-            cols["detail"] = pa.array(detail, pa.string())
-            return pa.table(cols)
+            for (k, p, c, d) in violations:
+                path[k], spec[k], detail[k] = p, c, d
+            return pa.table(
+                {
+                    self.kernel.id_col: batch.column(self.kernel.id_col),
+                    "valid": pa.array(valid, pa.bool_()),
+                    "schema_path": pa.array(path, pa.string()),
+                    "failed_specifier": pa.array(spec, pa.string()),
+                    "detail": pa.array(detail, pa.string()),
+                }
+            )
 
         # tagged mode: violations + per-(batch, partition) verdict partials.
+        # The path column is constant per parquet fragment, so a batch has
+        # 1-2 distinct values — resolve pids via unique(), not per row.
+        n = len(valid)
+        n_valid_total = sum(valid)
         if "path" in batch.column_names:
-            paths = batch.column("path").to_pylist()
-            pids = [self.path_to_pid.get(p, -1) for p in paths]
+            path_col = batch.column("path")
+            uniq = pc.unique(
+                path_col.combine_chunks() if isinstance(path_col, pa.ChunkedArray) else path_col
+            ).to_pylist()
+            if len(uniq) == 1:
+                pid = self.path_to_pid.get(uniq[0], -1)
+                row_pids = None
+                per_pid = {pid: [n, n_valid_total]}
+            else:
+                row_pids = [self.path_to_pid.get(p, -1) for p in path_col.to_pylist()]
+                per_pid = {}
+                for k, ok in enumerate(valid):
+                    s = per_pid.setdefault(row_pids[k], [0, 0])
+                    s[0] += 1
+                    s[1] += ok
         else:
-            pids = [0] * len(valid)
+            row_pids = None
+            per_pid = {0: [n, n_valid_total]}
+            pid = 0
 
         rows = {name: [] for name in RESULT_SCHEMA.names}
-        vi = 0
-        per_pid: dict[int, list[int]] = {}
-        for k, ok in enumerate(valid):
-            stats = per_pid.setdefault(pids[k], [0, 0])
-            stats[0] += 1
-            stats[1] += ok
-            if not ok:
-                rid, p, c, d = violations[vi]
-                vi += 1
-                rows["kind"].append("violation")
-                rows["partition_id"].append(pids[k])
-                rows["url"].append(rid)
-                rows["schema_path"].append(p)
-                rows["failed_specifier"].append(c)
-                rows["detail"].append(d)
-                rows["n_rows"].append(None)
-                rows["n_valid"].append(None)
-        for pid, (n_rows, n_valid) in per_pid.items():
+        for j, (k, p, c, d) in enumerate(violations):
+            rows["kind"].append("violation")
+            rows["partition_id"].append(row_pids[k] if row_pids is not None else pid)
+            rows["url"].append(bad_ids[j])
+            rows["schema_path"].append(p)
+            rows["failed_specifier"].append(c)
+            rows["detail"].append(d)
+            rows["n_rows"].append(None)
+            rows["n_valid"].append(None)
+        for ppid, (n_rows, n_valid) in per_pid.items():
             rows["kind"].append("verdict")
-            rows["partition_id"].append(pid)
+            rows["partition_id"].append(ppid)
             rows["url"].append(None)
             rows["schema_path"].append(None)
             rows["failed_specifier"].append(None)
@@ -167,17 +185,35 @@ class ValidatorActor:
         return pa.Table.from_pydict(rows, schema=RESULT_SCHEMA)
 
 
+def default_pool() -> tuple[int, int]:
+    """Actor-pool sizing for CPU-bound kernels: autoscale from half the
+    CPUs up to (CPUs - headroom). Never pin a fixed pool equal to the CPU
+    count — the source/sink tasks starve and the pipeline deadlocks
+    (observed with concurrency=32 on a 32-CPU cluster)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    headroom = 4 if cpus >= 16 else 2
+    lo = max(2, cpus // 2)
+    return (lo, max(lo, cpus - headroom))
+
+
 def validate_dataset(
     ds,
     schema_text: str,
     payload_col: str = "payload",
     id_col: str = "url",
     batch_size: int = 2048,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Per-row validation as a composable Dataset→Dataset transform
     (mode="rows"): returns columns (id, valid, schema_path,
     failed_specifier, detail)."""
+    if concurrency is None:
+        concurrency = default_pool()
     return ds.map_batches(
         ValidatorActor,
         fn_constructor_kwargs=dict(
@@ -232,7 +268,7 @@ def run_validation_pipeline(
     payload_col: str = "payload",
     id_col: str = "url",
     batch_size: int = 2048,
-    concurrency=(1, 8),
+    concurrency=None,
     wave_size: int = 64,
     resume: bool = True,
     schema_version: str = "v1",
@@ -242,6 +278,8 @@ def run_validation_pipeline(
     totals + per-partition verdicts. Ray must already be initialised."""
     import ray.data as rd
 
+    if concurrency is None:
+        concurrency = default_pool()
     t_start = time.time()
     input_files = sorted(input_files)
     pid_of = {p: i for i, p in enumerate(input_files)}

@@ -247,17 +247,113 @@ def make_tdigest_agg(col: str, quantiles=(0.5, 0.95, 0.99), delta: int = 200):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fast combined path: one map_batches pass emits ONE pickled partial state
+# per block; the driver merges the (tiny) states. Avoids Ray's sort-based
+# aggregate machinery entirely — the shuffle-free shape that streams at
+# 100 TB (at 256 nodes this is still one small state per block arriving at
+# the driver; a tree-combine via groupby(hash(block)%k) drops in if block
+# counts ever make the driver merge the bottleneck).
+
+
+class _SketchState:
+    """Mergeable combined state: per-column basic stats + optional HLL +
+    optional TDigest."""
+
+    def __init__(self, stats_cols, hll_cols, tdigest_cols, hll_p=14, delta=200):
+        self.basic = {c: (0, 0, None, None, 0.0) for c in stats_cols}
+        self.hll = {c: HLL(hll_p) for c in hll_cols}
+        self.td = {c: TDigest(delta) for c in tdigest_cols}
+
+    @staticmethod
+    def _merge_basic(a, b):
+        mn = min((x for x in (a[2], b[2]) if x is not None), default=None)
+        mx = max((x for x in (a[3], b[3]) if x is not None), default=None)
+        return (a[0] + b[0], a[1] + b[1], mn, mx, a[4] + b[4])
+
+    def accumulate(self, t: pa.Table):
+        for c, s in self.basic.items():
+            arr = t.column(c)
+            n, nulls = len(arr), arr.null_count
+            valid = arr.drop_null()
+            mn = mx = None
+            sm = 0.0
+            if len(valid):
+                mm = pc.min_max(valid).as_py()
+                mn, mx = mm["min"], mm["max"]
+                if pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type):
+                    sm = pc.sum(valid).as_py() or 0.0
+            self.basic[c] = self._merge_basic(s, (n, nulls, mn, mx, sm))
+        for c, h in self.hll.items():
+            h.add_hashes(hash_column(t.column(c)))
+        for c, td in self.td.items():
+            arr = t.column(c).drop_null()
+            if len(arr):
+                td.add(arr.to_numpy(zero_copy_only=False).astype(np.float64))
+        return self
+
+    def merge(self, other: "_SketchState"):
+        for c in self.basic:
+            self.basic[c] = self._merge_basic(self.basic[c], other.basic[c])
+        for c in self.hll:
+            self.hll[c].merge(other.hll[c])
+        for c in self.td:
+            self.td[c].merge(other.td[c])
+        return self
+
+
+def sketch_summary(
+    ds,
+    stats_cols=(),
+    hll_cols=(),
+    tdigest_cols=(),
+    quantile_qs=(0.5, 0.95, 0.99),
+    batch_size: int = 65536,
+) -> dict:
+    """One streaming pass over the Dataset computing basic stats, HLL
+    distinct estimates, and t-digest quantiles for the given columns."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = _SketchState(stats_cols, hll_cols, tdigest_cols)
+        st.accumulate(t)
+        for td in st.td.values():
+            td.compress()
+        return pa.table({"state": pa.array([pickle.dumps(st)], pa.large_binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    if not parts:
+        return {}
+    states = [pickle.loads(r["state"]) for r in parts]
+    acc = states[0]
+    for s in states[1:]:
+        acc.merge(s)
+    out: dict = {}
+    for c, (n, nulls, mn, mx, sm) in acc.basic.items():
+        out[c] = {"n": n, "n_null": nulls, "min": mn, "max": mx, "sum": sm}
+    for c, h in acc.hll.items():
+        out.setdefault(c, {})["approx_distinct"] = h.estimate()
+    for c, td in acc.td.items():
+        out.setdefault(c, {}).update(
+            {f"p{int(q * 100)}": td.quantile(q) for q in quantile_qs}
+        )
+    return out
+
+
 def column_stats(ds, columns: list[str]) -> dict:
-    """Single-pass basic stats for several columns (one streaming aggregate,
-    no shuffle)."""
-    aggs = [make_basic_stats_agg(c) for c in columns]
-    res = ds.aggregate(*aggs)
-    return {c: res[f"stats({c})"] for c in columns}
+    """Single-pass basic stats for several columns (no shuffle)."""
+    return {
+        c: {k: v for k, v in s.items() if k in ("n", "n_null", "min", "max", "sum")}
+        for c, s in sketch_summary(ds, stats_cols=columns).items()
+    }
 
 
 def approx_distinct(ds, col: str, p: int = 14) -> float:
-    return ds.aggregate(make_hll_agg(col, p))[f"approx_distinct({col})"]
+    return sketch_summary(ds, hll_cols=[col])[col]["approx_distinct"]
 
 
 def quantiles(ds, col: str, qs=(0.5, 0.95, 0.99)) -> dict:
-    return ds.aggregate(make_tdigest_agg(col, qs))[f"tdigest({col})"]
+    s = sketch_summary(ds, tdigest_cols=[col], quantile_qs=qs)[col]
+    return {k: v for k, v in s.items() if k.startswith("p")}

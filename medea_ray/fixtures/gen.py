@@ -221,24 +221,37 @@ def expected_violations_chunk(start: int, n: int, seed: int = 42):
     return out
 
 
+def _write_chunk(args) -> str:
+    out_dir, c, start, n, seed = args
+    path = os.path.join(out_dir, f"pages_{c:05d}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(gen_pages_chunk(start, n, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def write_pages(
-    out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 50_000
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    rows_per_file: int = 50_000,
+    workers: int = 1,
 ) -> list[str]:
     """Write the pages table as one parquet file per chunk (the file is the
     engine's checkpoint partition unit). Returns the file list. Idempotent:
-    existing complete files are kept (same bytes — generation is pure)."""
+    existing complete files are kept (same bytes — generation is pure in
+    (seed, index), which is also what lets ``workers > 1`` shard freely)."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    jobs = []
     for c, start in enumerate(range(0, n_rows, rows_per_file)):
-        n = min(rows_per_file, n_rows - start)
-        path = os.path.join(out_dir, f"pages_{c:05d}.parquet")
-        paths.append(path)
-        if os.path.exists(path):
-            continue
-        tmp = path + ".tmp"
-        pq.write_table(gen_pages_chunk(start, n, seed), tmp)
-        os.replace(tmp, path)
-    return paths
+        jobs.append((out_dir, c, start, min(rows_per_file, n_rows - start), seed))
+    if workers > 1 and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(_write_chunk, jobs))
+    return [_write_chunk(j) for j in jobs]
 
 
 FLAGSHIP_SCHEMA_PATH = os.path.join(os.path.dirname(__file__), "pages.medea")
