@@ -101,9 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
-        # uniqueness / dedup (E9 + training-data ops)
+        # uniqueness / referential / dedup (E9 + training-data ops)
         "exact_dup_texts": q.exact_dup_texts,
         "minhash_near_dup": q.minhash_near_dup,
+        "referential_orders_customers": q.referential_orders_customers,
+        "doc_text_digests": q.doc_text_digests,
         # text analysis
         "doc_token_counts": q.doc_token_counts,
         "doc_text_features": q.doc_text_features,
@@ -180,6 +182,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "referential_orders_customers": """
+            SELECT CAST(count(*) AS BIGINT) AS n_orphans
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        """,
+        "doc_text_digests": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE md5(text) END AS text_md5
+            FROM documents
         """,
         "doc_token_counts": """
             SELECT doc_id,

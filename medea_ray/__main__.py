@@ -1,0 +1,123 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    python -m medea_ray validate-file schema.medea doc.json
+    python -m medea_ray run --input 'data/*.parquet' --schema schema.medea \
+        --out /out [--payload-col payload --id-col url --wave-size 64]
+    python -m medea_ray gen-pages --out /tmp/pages --rows 100000
+
+``run`` is the distributed pipeline: on a cluster, submit with
+``ray job submit -- python -m medea_ray run ...`` (the job driver calls
+ray.init only if no session exists — guarded for the managed-driver case).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _cmd_validate_file(args) -> int:
+    from medea_ray import MedeaValidationError, compile_schema, validate
+
+    graph = compile_schema(args.schema)
+    with open(args.document, "rb") as f:
+        payload = f.read()
+    try:
+        vj = validate(graph, payload)
+    except MedeaValidationError as e:
+        print(
+            json.dumps(
+                {
+                    "valid": False,
+                    "failed_specifier": e.code,
+                    "schema_path": e.path,
+                    "schema": e.schema,
+                    "detail": e.detail,
+                }
+            )
+        )
+        return 1
+    print(json.dumps({"valid": True, "valid_against": list(vj.valid_against())}))
+    return 0
+
+
+def _cmd_run(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    from medea_ray.engine.pipeline import run_validation_pipeline
+
+    files = sorted(glob.glob(args.input)) if any(
+        c in args.input for c in "*?["
+    ) else sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        print(f"no parquet inputs under {args.input!r}", file=sys.stderr)
+        return 2
+    with open(args.schema) as f:
+        schema_text = f.read()
+    report = run_validation_pipeline(
+        files,
+        schema_text,
+        args.out,
+        payload_col=args.payload_col,
+        id_col=args.id_col,
+        batch_size=args.batch_size,
+        wave_size=args.wave_size,
+        resume=not args.no_resume,
+    )
+    report.pop("partitions", None)
+    print(json.dumps(report))
+    return 0
+
+
+def _cmd_gen_pages(args) -> int:
+    from medea_ray.fixtures.gen import write_pages
+
+    paths = write_pages(
+        args.out, args.rows, rows_per_file=args.rows_per_file, workers=args.workers
+    )
+    print(json.dumps({"files": len(paths), "rows": args.rows, "out": args.out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="medea_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate-file", help="validate one JSON document (local kernel)")
+    v.add_argument("schema")
+    v.add_argument("document")
+    v.set_defaults(fn=_cmd_validate_file)
+
+    r = sub.add_parser("run", help="distributed validation pipeline")
+    r.add_argument("--input", required=True, help="parquet dir or glob")
+    r.add_argument("--schema", required=True, help=".medea schema-graph file")
+    r.add_argument("--out", required=True)
+    r.add_argument("--payload-col", default="payload")
+    r.add_argument("--id-col", default="url")
+    r.add_argument("--batch-size", type=int, default=2048)
+    r.add_argument("--wave-size", type=int, default=64)
+    r.add_argument("--no-resume", action="store_true")
+    r.set_defaults(fn=_cmd_run)
+
+    g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--rows-per-file", type=int, default=50_000)
+    g.add_argument("--workers", type=int, default=1)
+    g.set_defaults(fn=_cmd_gen_pages)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

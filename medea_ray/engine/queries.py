@@ -217,6 +217,35 @@ def minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     return df[["band_key", "n", "ids"]].sort_values("band_key").reset_index(drop=True)
 
 
+def referential_orders_customers(sf_dir: str) -> pd.DataFrame:
+    """FK check orders.o_custkey ⊆ customer.c_custkey via broadcast
+    anti-join (no shuffle of the fact side)."""
+    from medea_ray.engine.referential import referential_check
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    r = referential_check(orders, "o_custkey", customer, "c_custkey")
+    return pd.DataFrame([{"n_orphans": np.int64(r["n_orphans"])}])
+
+
+def doc_text_digests(sf_dir: str):
+    """(doc_id, md5 of text) — proves the text column round-trips
+    byte-identically through the Ray read path (E12 invariant, checkable
+    against DuckDB's md5 over the same parquet)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        h = [
+            None if x is None else hashlib.md5(x.encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text_md5": pa.array(h, pa.string())})
+
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
 # -- token counts / text features -------------------------------------------
 
 

@@ -1,0 +1,35 @@
+"""Referential-integrity checks: broadcast anti-join, with planted orphans
+and the clean testdata FK."""
+
+import duckdb
+import pytest
+
+from medea_ray.engine.referential import orphan_rows, referential_check
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_clean_fk_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"])
+    customer = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    r = referential_check(orders, "o_custkey", customer, "c_custkey")
+    (exp,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/orders.parquet' "
+        f"WHERE o_custkey NOT IN (SELECT c_custkey FROM '{SF}/customer.parquet')"
+    ).fetchone()
+    assert r["n_orphans"] == exp
+
+
+def test_planted_orphans(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items(
+        [{"fk": 1}, {"fk": 2}, {"fk": 99}, {"fk": None}, {"fk": 98}, {"fk": 1}]
+    )
+    dim = rd.from_items([{"pk": 1}, {"pk": 2}, {"pk": 3}])
+    orphans = orphan_rows(fact, "fk", dim, "pk", concurrency=2).take_all()
+    assert sorted(o["fk"] for o in orphans) == [98, 99]  # nulls are not orphans
+    r = referential_check(fact, "fk", dim, "pk", concurrency=2)
+    assert r["n_orphans"] == 2
