@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk_membership": q.knn_topk_membership,
         "knn_lsh_probe": q.knn_lsh_probe,
+        "knn_ivf_probe": q.knn_ivf_probe,
+        "minhash_verified_pairs": q.minhash_verified_pairs,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
         # multimodal plumbing (stubbed decode, real Ray-side layout)
         "media_features_fake": q.media_features_fake,

@@ -209,6 +209,60 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def near_dup_pairs(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    concurrency=(1, 8),
+):
+    """MinHash-LSH candidates + exact n-gram-Jaccard verification.
+
+    Candidate ids from the banding shuffle are a small set; their texts are
+    fetched with ONE filtered streaming pass over the corpus (broadcast id
+    set, `pc.is_in` per batch — the corpus itself never materializes), and
+    the pairwise verify runs on the driver over candidates only. Returns a
+    pandas DataFrame (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cand = minhash_candidate_groups(
+        ds, id_col, text_col, num_hashes, num_bands, shingle_n, concurrency
+    ).to_pandas()
+    pairs: set[tuple] = set()
+    if len(cand):
+        for ids in cand["ids"]:
+            for a in ids:
+                for b in ids:
+                    if a < b:
+                        pairs.add((a, b))
+    if not pairs:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    needed = sorted({x for p in pairs for x in p})
+    id_set = pa.array(needed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=id_set))
+
+    texts_tbl = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    text_of = {r[id_col]: r[text_col] for r in texts_tbl}
+    out = []
+    for a, b in sorted(pairs):
+        ta, tb = text_of.get(a), text_of.get(b)
+        if ta is None or tb is None:
+            continue
+        j = jaccard(ta, tb, shingle_n)
+        if j >= threshold:
+            out.append((a, b, j))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

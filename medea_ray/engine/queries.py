@@ -398,6 +398,27 @@ def knn_lsh_probe(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def knn_ivf_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF coarse-quantizer ANN variant (rows-only; recall tolerance-tested)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = similarity.knn_ivf(ds, _knn_queries(), k=10, n_cells=16, n_probe=8)
+    df = got.to_pandas()[["query_id", "vec_id", "rank"]]
+    df["query_id"] = df["query_id"].astype("int64")
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.near_dup_pairs(ds, "doc_id", threshold=0.5, concurrency=(1, 4))
+    pairs = pairs[["id_a", "id_b"]].copy()
+    pairs["id_a"] = pairs["id_a"].astype("int64")
+    pairs["id_b"] = pairs["id_b"].astype("int64")
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = similarity.embedding_near_dup(ds, threshold=0.95).to_pandas()

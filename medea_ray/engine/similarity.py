@@ -173,6 +173,79 @@ def knn_lsh(
     return knn_bruteforce(candidates, queries, id_col, vec_col, k)
 
 
+def train_ivf_centroids(
+    ds,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    sample_size: int = 20_000,
+    n_iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a driver-side sample
+    (the sample is small; the corpus never materializes). Deterministic."""
+    sample = ds.limit(sample_size).take_all()
+    m = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> pa.Table:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (one matmul per batch against the broadcast centroid matrix),
+    keep only rows in the union of each query's ``n_probe`` closest cells,
+    exact-score the survivors. The scan is one streaming pass; recall is
+    tuned by (n_cells, n_probe)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col, n_cells, seed=seed)
+    qn = _normalize(queries)
+    sims = qn @ centroids.T  # (n_queries, n_cells)
+    probe = min(n_probe, centroids.shape[0])
+    probe_cells = set()
+    for qi in range(qn.shape[0]):
+        probe_cells.update(np.argsort(-sims[qi])[:probe].tolist())
+    probe_arr = np.array(sorted(probe_cells), dtype=np.int64)
+
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    class _CellFilter:
+        def __init__(self):
+            self.centroids = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            cells = np.argmax(m @ self.centroids.T, axis=1)
+            return batch.filter(pa.array(np.isin(cells, probe_arr)))
+
+    candidates = ds.map_batches(
+        _CellFilter, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+    return knn_bruteforce(candidates, queries, id_col, vec_col, k)
+
+
 def embedding_near_dup(
     ds,
     id_col: str = "vec_id",

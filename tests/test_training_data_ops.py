@@ -113,6 +113,36 @@ def test_minhash_lsh_finds_near_dups(ray_session):
         assert jaccard(by_id[a], by_id[b]) > 0.5
 
 
+def test_near_dup_pairs_verified(ray_session):
+    from medea_ray.engine.dedup import near_dup_pairs
+
+    ds, rows = _near_dup_corpus(ray_session)
+    pairs = near_dup_pairs(ds, "doc_id", threshold=0.5, concurrency=2)
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    planted = {(r["doc_id"] - 1, r["doc_id"]) for r in rows if r["doc_id"] % 10 == 1}
+    # verified pairs must include most planted near-dups and every reported
+    # jaccard must clear the threshold
+    assert len(found & planted) / len(planted) > 0.85
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.similarity import knn_ivf
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((3, 64)).astype(np.float32)
+    got = knn_ivf(emb, queries, k=10, n_cells=16, n_probe=8).to_pandas()
+    exp = _oracle_topk(queries, 10)
+    recalls = []
+    for qi in range(3):
+        ids = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        recalls.append(len(ids & set(exp[qi])) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
 def test_simhash_properties():
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = "the quick brown fox jumps over the lazy cat again and again today"
