@@ -1,0 +1,76 @@
+"""End-to-end CLI tests (python -m medea_ray)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from medea_ray.fixtures.gen import FLAGSHIP_SCHEMA_PATH, write_pages
+
+
+def _run(*args, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(
+        [sys.executable, "-m", "medea_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=e,
+    )
+
+
+def test_cli_validate_file(tmp_path):
+    doc = tmp_path / "doc.json"
+    doc.write_text('{"url": "https://a/b", "lang": "en", "meta": {"len": 3}, "tags": []}')
+    r = _run("validate-file", FLAGSHIP_SCHEMA_PATH, str(doc))
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["valid"] is True
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"url": "https://a/b", "tags": []}')  # missing required meta
+    r = _run("validate-file", FLAGSHIP_SCHEMA_PATH, str(bad))
+    assert r.returncode == 1
+    out = json.loads(r.stdout)
+    assert out["valid"] is False
+    assert out["failed_specifier"] == "required_prop_missing"
+
+
+def test_cli_gen_and_run(tmp_path):
+    pages = tmp_path / "pages"
+    r = _run("gen-pages", "--out", str(pages), "--rows", "2000", "--rows-per-file", "1000")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["files"] == 2
+
+    out = tmp_path / "out"
+    r = _run(
+        "run",
+        "--input",
+        str(pages),
+        "--schema",
+        FLAGSHIP_SCHEMA_PATH,
+        "--out",
+        str(out),
+        "--wave-size",
+        "2",
+        env={"RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["n_rows"] == 2000
+    assert report["n_invalid"] == 100  # 5% seeded defects
+    # resume: second invocation skips everything
+    r2 = _run(
+        "run",
+        "--input",
+        str(pages),
+        "--schema",
+        FLAGSHIP_SCHEMA_PATH,
+        "--out",
+        str(out),
+        env={"RAY_ADDRESS": "local"},
+    )
+    assert r2.returncode == 0, r2.stderr
+    report2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert report2["n_files_skipped"] == 2
