@@ -186,14 +186,14 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
         rng = np.random.default_rng(123)
         queries_mat = rng.standard_normal((4, 64)).astype(np.float32)
         results["knn_bruteforce"], _ = _timed(
-            lambda: similarity.knn_bruteforce(emb, queries_mat, k=20, concurrency=pool)
+            lambda: similarity.knn_bruteforce(emb, queries_mat, k=20, concurrency=(1, 8))
         )
 
         from medea_ray.engine.dedup import minhash_candidate_groups
 
         docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")).limit(10_000)
         results["minhash_10k_docs"], _ = _timed(
-            lambda: minhash_candidate_groups(docs, "doc_id", concurrency=pool).count()
+            lambda: minhash_candidate_groups(docs, "doc_id", concurrency=(1, 8)).count()
         )
 
     return {

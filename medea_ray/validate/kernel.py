@@ -127,11 +127,15 @@ class _Checker:
 
     def __init__(self, schema_map: Schema, annotate: bool):
         self.m = schema_map
-        self.path: list[str] = ["$"]
+        # raw segments (str = property name, int = array index); formatted
+        # lazily in _pathstr so the hot path never builds path strings
+        self.path: list = []
         self.annotate = annotate
 
     def _pathstr(self) -> str:
-        return "".join(self.path)
+        return "$" + "".join(
+            f"[{seg}]" if type(seg) is int else f"/{seg}" for seg in self.path
+        )
 
     def fail(self, code: str, schema: str | None, detail: str = ""):
         raise MedeaValidationError(code, schema, self._pathstr(), detail)
@@ -228,7 +232,7 @@ class _Checker:
             node = scm.element_node
             push, pop = self.path.append, self.path.pop
             for i, el in enumerate(arr):
-                push(f"[{i}]")
+                push(i)
                 try:
                     r = self._check_node(el, node)
                 finally:
@@ -238,7 +242,7 @@ class _Checker:
         else:  # tuple: element i vs nodes[i]; arity enforced by bounds above
             push, pop = self.path.append, self.path.pop
             for i, (el, node) in enumerate(zip(arr, scm.tuple_nodes)):
-                push(f"[{i}]")
+                push(i)
                 try:
                     r = self._check_node(el, node)
                 finally:
@@ -263,7 +267,7 @@ class _Checker:
                 node = additional_node
             else:
                 self.fail("additional_prop_banned", parent, key)
-            push(f"/{key}")
+            push(key)
             try:
                 r = self._check_node(val, node)
             finally:
