@@ -45,6 +45,17 @@ def _cmd_validate_file(args) -> int:
 
 
 def _cmd_run(args) -> int:
+    # validate the schema before paying for a Ray session
+    with open(args.schema) as f:
+        schema_text = f.read()
+    from medea_ray import MedeaError, compile_schema
+
+    try:
+        compile_schema(schema_text)
+    except MedeaError as e:
+        print(f"invalid schema {args.schema!r}: {e}", file=sys.stderr)
+        return 2
+
     import ray
 
     if not ray.is_initialized():
@@ -61,8 +72,6 @@ def _cmd_run(args) -> int:
     if not files:
         print(f"no parquet inputs under {args.input!r}", file=sys.stderr)
         return 2
-    with open(args.schema) as f:
-        schema_text = f.read()
     report = run_validation_pipeline(
         files,
         schema_text,

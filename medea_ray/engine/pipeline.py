@@ -292,6 +292,10 @@ def run_validation_pipeline(
     totals + per-partition verdicts. Ray must already be initialised."""
     import ray.data as rd
 
+    # Fail fast with a clean driver-side error on a bad schema; actors
+    # compile their own copy but never see an invalid one.
+    compile_schemata(parse_specification(schema_text))
+
     if concurrency is None:
         concurrency = default_pool()
     t_start = time.time()
