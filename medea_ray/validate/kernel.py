@@ -21,7 +21,9 @@ encoding (conformance only asserts pass/fail on both):
 Violation vocabulary (§2.4 of SURVEY.md; ValidationError at
 Data/Medea.hs:173-210): ``not_json, not_one_of_options,
 additional_prop_banned, required_prop_missing, out_of_bounds_array_length,
-implementation_error``.
+implementation_error`` plus ``max_depth_exceeded`` (adversarially deep
+documents become violations instead of RecursionErrors that would kill the
+worker task).
 """
 
 from __future__ import annotations
@@ -113,6 +115,8 @@ def loads_json(payload):
         return json.loads(payload, parse_constant=_reject_const)
     except (ValueError, TypeError) as e:
         raise MedeaValidationError("not_json", None, "$", str(e)) from None
+    except RecursionError:
+        raise MedeaValidationError("not_json", None, "$", "nesting too deep") from None
 
 
 _ANY_SET = frozenset([("any",)])
@@ -317,7 +321,14 @@ def validate_obj(schema_map: Schema, obj, annotate: bool = False):
     start = schema_map.get("$start")
     if start is None:
         chk.fail("implementation_error", "$start", "missing start schema")
-    r = chk.check_schema_of(obj, start, "$start")
+    try:
+        r = chk.check_schema_of(obj, start, "$start")
+    except RecursionError:
+        # adversarially deep documents must yield a violation, not kill the
+        # worker task (the reference is equally depth-bounded by its stack)
+        raise MedeaValidationError(
+            "max_depth_exceeded", None, "$", "document nesting exceeds validator depth limit"
+        ) from None
     return ("user", "$start", r) if annotate else None
 
 

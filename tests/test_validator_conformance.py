@@ -147,3 +147,22 @@ def test_annotations_roundtrip():
     vj = validate(graph, json.dumps(doc))
     assert vj.to_value() == doc
     assert vj.valid_against() == ("user_defined", "$start")
+
+
+def test_recursive_schema_via_element_type():
+    # cycles through $element-type/properties are LEGAL (only the $type
+    # relation must be acyclic, Analysis.hs:115-121); recursion is bounded
+    # by document depth
+    src = "$schema $start\n    $type\n        $array\n    $element-type\n        $start\n"
+    graph = compile_schema(src)
+    assert _validates(graph, [[], [[], [[]]]])
+    assert not _validates(graph, [[], [1]])
+
+
+def test_deep_nesting_is_violation_not_crash():
+    src = "$schema $start\n    $type\n        $array\n    $element-type\n        $start\n"
+    graph = compile_schema(src)
+    deep = "[" * 5000 + "]" * 5000
+    with pytest.raises(MedeaValidationError) as exc:
+        validate(graph, deep)
+    assert exc.value.code in ("max_depth_exceeded", "not_json")
