@@ -181,3 +181,27 @@ def test_numeric_drift_text_len(pages_ds):
         for b, r in by_bucket.items()
         if b not in ("2024-01-01", "2024-01-08")
     )
+
+
+def test_salted_count_on_skewed_hosts(pages_ds, pages_dir):
+    # the generator's Zipf(1.2) hosts make host0 a genuinely hot key
+    # (~15-20% of all rows) — the salted 3-stage plan must still produce
+    # exact counts (FP-Hadoop-style partial/final split, PAPERS.md)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t.column("url"), r"https://(?P<host>[^/]+)/")
+        return pa.table({"host": pc.struct_field(host, "host")})
+
+    hosts = pages_ds.map_batches(add_host, batch_format="pyarrow")
+    got = {r["host"]: r["n"] for r in salted_group_count(hosts, "host", n_salts=8).take_all()}
+    exp = dict(
+        _duck(
+            pages_dir,
+            "SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, count(*) FROM PAGES GROUP BY 1",
+        )
+    )
+    assert got == exp
+    # skew really is present: the hottest host dominates
+    assert max(exp.values()) > 10 * sorted(exp.values())[len(exp) // 2]

@@ -97,7 +97,19 @@ def test_pipeline_resume_after_partial_run(ray_session, pages_dir, tmp_path):
     # ...and the combined outputs are complete and exact
     assert report["n_rows"] == N_ROWS
     got = read_violations(out)
-    assert got.num_rows == len(_expected_violation_set())
+    got_set = set(
+        zip(
+            got["url"].to_pylist(),
+            got["schema_path"].to_pylist(),
+            got["failed_specifier"].to_pylist(),
+        )
+    )
+    # resume-after-kill produces outputs identical (as a set) to a
+    # single uninterrupted run — same violation rows, same verdicts
+    assert got_set == _expected_violation_set()
+    verdicts = read_verdicts(out)
+    assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
+    assert sum(verdicts["n_invalid"].to_pylist()) == len(got_set)
 
 
 def test_validate_dataset_transform(ray_session, pages_dir):
