@@ -257,20 +257,31 @@ class _Checker:
 
     def check_object(self, obj: dict, parent: str):
         # checkObject + pairPropertySchemaAndVal (Data/Medea.hs:362-391).
+        # Phase order mirrors the reference: pair every present property
+        # (raising additional_prop_banned), then the required-property
+        # check, and only THEN validate property values — so an object
+        # with both a banned/missing property and an invalid value reports
+        # the structural error. (Within a phase we use document order
+        # where the reference has nondeterministic HashMap order — V12.)
         scm = self.m[parent]
         props = scm.props
         additional_ok = scm.additional_allowed
         additional_node = scm.additional_node
-        out = {} if self.annotate else None
-        push, pop = self.path.append, self.path.pop
+        pairs = []
         for key, val in obj.items():
             spec = props.get(key)
             if spec is not None:
-                node = spec[0]
+                pairs.append((key, val, spec[0]))
             elif additional_ok:
-                node = additional_node
+                pairs.append((key, val, additional_node))
             else:
                 self.fail("additional_prop_banned", parent, key)
+        for key, (_node, optional) in props.items():
+            if not optional and key not in obj:
+                self.fail("required_prop_missing", parent, key)
+        out = {} if self.annotate else None
+        push, pop = self.path.append, self.path.pop
+        for key, val, node in pairs:
             push(key)
             try:
                 r = self._check_node(val, node)
@@ -278,9 +289,6 @@ class _Checker:
                 pop()
             if out is not None:
                 out[key] = r
-        for key, (_node, optional) in props.items():
-            if not optional and key not in obj:
-                self.fail("required_prop_missing", parent, key)
         return ("object", out if self.annotate else obj) if self.annotate else None
 
     def _ann(self, label: str, v):

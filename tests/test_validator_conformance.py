@@ -166,3 +166,22 @@ def test_deep_nesting_is_violation_not_crash():
     with pytest.raises(MedeaValidationError) as exc:
         validate(graph, deep)
     assert exc.value.code in ("max_depth_exceeded", "not_json")
+
+
+def test_structural_errors_reported_before_value_errors():
+    # mirror of pairPropertySchemaAndVal phase order (Data/Medea.hs:372-391):
+    # banned/missing property errors win over value errors in the same object
+    src = (
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        "        $property-name \"a\"\n        $property-schema $number\n"
+        "        $property-name \"b\"\n        $property-schema $number\n"
+    )
+    graph = compile_schema(src)
+    # invalid value for "a" AND missing required "b" → missing wins
+    with pytest.raises(MedeaValidationError) as exc:
+        validate(graph, json.dumps({"a": "not-a-number"}))
+    assert exc.value.code == "required_prop_missing"
+    # invalid value for "a" AND banned extra "z" → banned wins
+    with pytest.raises(MedeaValidationError) as exc:
+        validate(graph, json.dumps({"a": "not-a-number", "b": 1, "z": 0}))
+    assert exc.value.code == "additional_prop_banned"
