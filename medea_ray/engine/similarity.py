@@ -81,7 +81,11 @@ def knn_bruteforce(
     import ray
 
     queries = np.asarray(queries, dtype=np.float32)
-    q_ref = ray.put(queries)  # broadcast once, read per actor — not per batch
+    # broadcast once, read per actor — never per batch. Small matrices ride
+    # in the constructor args directly (object-store refs in constructor
+    # args would make actor restarts fragile, ray#53727); big ones go
+    # through the object store.
+    q_ref = queries if queries.nbytes < (1 << 20) else ray.put(queries)
     partials = ds.map_batches(
         _TopKScorer,
         fn_constructor_kwargs=dict(queries_ref=q_ref, id_col=id_col, vec_col=vec_col, k=k),
@@ -229,11 +233,13 @@ def knn_ivf(
 
     import ray
 
-    cent_ref = ray.put(centroids)
+    cent_ref = centroids if centroids.nbytes < (1 << 20) else ray.put(centroids)
 
     class _CellFilter:
         def __init__(self):
-            self.centroids = ray.get(cent_ref)
+            self.centroids = (
+                cent_ref if isinstance(cent_ref, np.ndarray) else ray.get(cent_ref)
+            )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_batch_matrix(batch, vec_col))
