@@ -205,3 +205,25 @@ def test_salted_count_on_skewed_hosts(pages_ds, pages_dir):
     assert got == exp
     # skew really is present: the hottest host dominates
     assert max(exp.values()) > 10 * sorted(exp.values())[len(exp) // 2]
+
+
+def test_empty_dataset_edges(ray_session):
+    # empty inputs must yield empty-but-well-formed results, not crashes
+    import ray.data as rd
+
+    from medea_ray.engine.stats import sketch_summary
+    from medea_ray.engine.drift import drift_report
+
+    empty = rd.from_items([{"warc_ts": None, "v": 1.0}]).filter(lambda r: False)
+    assert sketch_summary(empty, stats_cols=["v"]) in ({}, {"v": {"n": 0, "n_null": 0, "min": None, "max": None, "sum": 0.0}})
+    assert drift_report(empty, "v", ts_col="warc_ts") == []
+
+
+def test_sketch_summary_single_pass_combined(pages_ds):
+    from medea_ray.engine.stats import sketch_summary
+
+    s = sketch_summary(
+        pages_ds, stats_cols=["lang"], hll_cols=["url"], tdigest_cols=[]
+    )
+    assert s["lang"]["n"] == N_ROWS
+    assert s["url"]["approx_distinct"] > 0.9 * N_ROWS * 0.98
