@@ -135,9 +135,8 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
         os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
     )
     results: dict[str, float] = {}
-    # fixed actor pool at cpus-headroom (same as pipeline.default_pool)
-    headroom = 4 if num_cpus >= 16 else 2
-    pool = max(2, num_cpus - headroom)
+    # fixed actor pool: 3/4 of cores (same as pipeline.default_pool)
+    pool = max(2, (num_cpus * 3) // 4)
 
     # headline: full checkpointed validation pipeline over the pages table
     out_dir = tempfile.mkdtemp(prefix="medea_bench_")

@@ -200,8 +200,10 @@ def default_pool() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    headroom = 4 if cpus >= 16 else 2
-    return max(2, cpus - headroom)
+    # 3/4 of cores validate, 1/4 feed (reads/writes/raylet): sweeps on the
+    # 9.6M-doc bench put the 22-28-actor band within noise of each other at
+    # 32 cpus, while pools at/above (cpus-4) sometimes starve their own feed
+    return max(2, (cpus * 3) // 4)
 
 
 # Validator actors request 0.75 CPU: mild oversubscription overlaps the
