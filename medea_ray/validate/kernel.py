@@ -119,7 +119,6 @@ def loads_json(payload):
         raise MedeaValidationError("not_json", None, "$", "nesting too deep") from None
 
 
-_ANY_SET = frozenset([("any",)])
 
 
 class _Checker:
