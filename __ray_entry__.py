@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Medea validation (E3, the per-row kernel end-to-end)
         "validate_documents_payload": q.validate_documents_payload,
         "validation_verdict_counts": q.validation_verdict_counts,
+        "validate_events_props": q.validate_events_props,
         # drift (E10)
         "drift_events_value": q.drift_events_value,
         # similarity search
@@ -213,6 +214,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 100 IN (95,96,97,98,99) THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
                    CAST(sum(CASE WHEN doc_id % 100 IN (95,96,97,98,99) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
             FROM documents
+        """,
+        # independent SQL implementation of the same constraint the Medea
+        # kernel validates (object with required integer "k", nothing else);
+        # the testdata generator emits exactly that shape
+        "validate_events_props": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+            FROM events
         """,
         "knn_topk_membership": f"""
             WITH q AS (

@@ -357,6 +357,52 @@ def validation_verdict_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+EVENTS_PROPS_SCHEMA = """$schema $start
+    $type
+        $object
+    $properties
+        $property-name "k"
+        $property-schema $number
+"""
+
+
+def validate_events_props(sf_dir: str) -> pd.DataFrame:
+    """Medea validation of the REAL events.props JSON column (an object
+    with a required numeric "k" and no additional properties). The DuckDB
+    oracle checks the same structure with a regex — a fully independent
+    implementation of the constraint on the same rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    verdicts = validate_dataset(
+        ds, EVENTS_PROPS_SCHEMA, payload_col="props", id_col="event_id", concurrency=(1, 8)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_valid": pa.array(
+                    [pc.sum(pc.cast(t.column("valid"), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = verdicts.map_batches(partial, batch_format="pyarrow").take_all()
+    n_rows = int(sum(p["n_rows"] for p in parts))
+    n_valid = int(sum(p["n_valid"] for p in parts))
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": np.int64(n_rows),
+                "n_valid": np.int64(n_valid),
+                "n_invalid": np.int64(n_rows - n_valid),
+            }
+        ]
+    )
+
+
 # -- drift -------------------------------------------------------------------
 
 
