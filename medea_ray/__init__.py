@@ -45,8 +45,16 @@ __all__ = [
     "compile_schemata",
     "parse_specification",
     "validate",
+    "validate_from_file",
     "validate_obj",
 ]
+
+
+def validate_from_file(schema_map, path) -> "ValidatedJSON":
+    """Mirror of the reference's validateFromFile (Data/Medea.hs:239-244):
+    read the document bytes, then validate."""
+    with open(path, "rb") as f:
+        return validate(schema_map, f.read())
 
 
 def compile_schema(source) -> "Schema":
