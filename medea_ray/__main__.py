@@ -87,6 +87,26 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_stats(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    import ray.data as rd
+
+    from medea_ray.engine.stats import sketch_summary
+
+    ds = rd.read_parquet(args.input)
+    out = sketch_summary(
+        ds,
+        stats_cols=[c for c in args.columns.split(",") if c],
+        hll_cols=[c for c in args.hll.split(",") if c],
+        tdigest_cols=[c for c in args.quantiles.split(",") if c],
+    )
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from medea_ray.fixtures.gen import write_pages
 
@@ -116,6 +136,13 @@ def main(argv=None) -> int:
     r.add_argument("--wave-size", type=int, default=64)
     r.add_argument("--no-resume", action="store_true")
     r.set_defaults(fn=_cmd_run)
+
+    s = sub.add_parser("stats", help="column stats / sketches over parquet")
+    s.add_argument("--input", required=True, help="parquet dir or glob")
+    s.add_argument("--columns", required=True, help="comma-separated columns")
+    s.add_argument("--hll", default="", help="comma-separated columns for approx distinct")
+    s.add_argument("--quantiles", default="", help="comma-separated numeric columns")
+    s.set_defaults(fn=_cmd_stats)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
     g.add_argument("--out", required=True)

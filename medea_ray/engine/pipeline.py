@@ -338,6 +338,11 @@ def run_validation_pipeline(
         )
         wave_dir = os.path.join(out_dir, "results", f"wave_{wave_id:06d}")
         tagged.write_parquet(wave_dir)
+        try:  # observability artifact: Ray's per-operator stage stats
+            with open(os.path.join(wave_dir, "_ray_stats.txt"), "w") as f:
+                f.write(tagged.stats())
+        except Exception:
+            pass
 
         # Roll up this wave's partial verdicts (tiny: ~1 row per batch) and
         # commit one manifest record per input file. Predicate pushdown on
