@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniqueness / referential / dedup (E9 + training-data ops)
         "exact_dup_texts": q.exact_dup_texts,
         "minhash_near_dup": q.minhash_near_dup,
+        "simhash_near_dup": q.simhash_near_dup,
         "referential_orders_customers": q.referential_orders_customers,
         "doc_text_digests": q.doc_text_digests,
         # text analysis

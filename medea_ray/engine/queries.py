@@ -206,6 +206,21 @@ def exact_dup_texts(sf_dir: str):
     )
 
 
+def simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """SimHash block-rotation near-dup candidate buckets (rows-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.simhash_candidates(ds, "doc_id").to_pandas()
+    if len(cand) == 0 or "ids" not in cand.columns:
+        return pd.DataFrame({"block": [], "block_val": [], "n": [], "ids": []})
+    cand["ids"] = cand["ids"].map(lambda x: ",".join(map(str, x)))
+    cand["block_val"] = cand["block_val"].astype("uint64").astype(str)
+    return (
+        cand[["block", "block_val", "n", "ids"]]
+        .sort_values(["block", "block_val"])
+        .reset_index(drop=True)
+    )
+
+
 def minhash_near_dup(sf_dir: str) -> pd.DataFrame:
     """Near-dup candidate buckets over documents (rows-only check)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
