@@ -142,3 +142,44 @@ def test_text_byte_identity(pages_dir):
             for u, x in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist())
         }
     assert digest(t1) == digest(t2.select(["url", "text"]))
+
+
+def test_actor_death_mid_run_recovers(ray_session, pages_dir):
+    """A validator actor process dying mid-batch (simulated worker/node
+    loss) must not lose or duplicate rows — Ray restarts the actor and
+    retries the task (SURVEY §4.2)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from medea_ray.engine.pipeline import ValidatorActor
+
+    kill_flag = os.path.join(pages_dir, "killed.flag")
+    if os.path.exists(kill_flag):
+        os.unlink(kill_flag)
+
+    class CrashyValidator(ValidatorActor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not os.path.exists(kill_flag):
+                try:
+                    with open(kill_flag, "x") as f:
+                        f.write(str(os.getpid()))
+                    os._exit(1)  # hard process death, not an exception
+                except FileExistsError:
+                    pass
+            return super().__call__(batch)
+
+    ds = rd.read_parquet(pages_dir, columns=["url", "payload"])
+    out = ds.map_batches(
+        CrashyValidator,
+        fn_constructor_kwargs=dict(schema_text=flagship_schema_text(), mode="rows"),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+        num_cpus=1,
+        max_restarts=2,
+        max_task_retries=2,
+    )
+    rows = out.take_all()
+    assert os.path.exists(kill_flag)  # the kill really happened
+    assert len(rows) == N_ROWS
+    assert sum(not r["valid"] for r in rows) == len(_expected_violation_set())
