@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_counts_salted": q.source_counts_salted,
         "orders_by_status": q.orders_by_status,
         "events_daily": q.events_daily,
+        "events_by_type_daily": q.events_by_type_daily,
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
@@ -166,6 +167,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1
+        """,
+        "events_by_type_daily": """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY 1, 2
         """,
         "top_users_by_events": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n

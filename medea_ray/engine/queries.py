@@ -146,6 +146,26 @@ def events_daily(sf_dir: str):
     )
 
 
+def events_by_type_daily(sf_dir: str):
+    """Two-key groupby: (event_type, day) counts + integer-unit sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        milli = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return pa.table(
+            {"event_type": t.column("event_type"), "day": day, "milli": milli}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("milli", alias_name="sum_value_milli"))
+    )
+
+
 def top_users_by_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
     counts = uniqueness.group_count(ds, "user_id")

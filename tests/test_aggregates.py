@@ -227,3 +227,14 @@ def test_sketch_summary_single_pass_combined(pages_ds):
     )
     assert s["lang"]["n"] == N_ROWS
     assert s["url"]["approx_distinct"] > 0.9 * N_ROWS * 0.98
+
+
+def test_union_then_groupby(ray_session, pages_dir):
+    # union of two dataset slices flows through the same aggregate engine
+    import ray.data as rd
+
+    a = rd.read_parquet(pages_dir, columns=["lang"]).limit(1000)
+    b = rd.read_parquet(pages_dir, columns=["lang"]).limit(1000)
+    u = a.union(b)
+    total = sum(r["n"] for r in group_count(u, "lang").take_all())
+    assert total == 2000
