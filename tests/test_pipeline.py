@@ -117,7 +117,6 @@ def test_validate_dataset_transform(ray_session, pages_dir):
 
     ds = rd.read_parquet(pages_dir, columns=["url", "payload"])
     out = validate_dataset(ds, flagship_schema_text(), concurrency=2)
-    t = pq  # noqa: F841
     df = out.to_pandas()
     assert len(df) == N_ROWS
     assert (~df["valid"]).sum() == len(_expected_violation_set())
