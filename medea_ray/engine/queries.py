@@ -501,8 +501,17 @@ def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate embedding pairs via multi-table LSH + exact cosine
+    verify. The testdata embeddings are isotropic random vectors (max
+    pairwise cosine ~0.51 at sf0.01), so the threshold is 0.4 — low enough
+    that the query has a non-empty deterministic answer, exercising the
+    whole bucket/verify/dedup path. n_bits=4 matches the 500-row corpus
+    (2^4 buckets ≈ 31 rows each); at web scale n_bits scales as
+    log2(n/target_bucket)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = similarity.embedding_near_dup(ds, threshold=0.95).to_pandas()
+    pairs = similarity.embedding_near_dup(
+        ds, threshold=0.4, n_bits=4, n_tables=8
+    ).to_pandas()
     if len(pairs) == 0 or "id_a" not in pairs.columns:
         # empty Ray datasets drop their schema in to_pandas
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),

@@ -35,19 +35,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 class _TopKScorer:
     """Actor-pool stage: holds the normalized query matrix (fetched from the
-    object store once per actor) and emits per-batch local top-k."""
+    object store once per actor) and emits per-batch local top-k.
+
+    The output schema is pinned explicitly (id type taken from the input
+    column): an upstream candidate filter can empty a block, and an
+    inferred schema on an empty list degrades to ``null`` type, breaking
+    the driver-side ``concat_tables`` (the round-1 knn_lsh crash).
+    Similarities accumulate in float64 — float32 sums make top-k
+    membership flaky when neighbors are sub-ulp apart."""
 
     def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.q = _normalize(np.asarray(q, dtype=np.float32)).astype(np.float64)
         self.id_col = id_col
         self.vec_col = vec_col
         self.k = k
 
+    def _out_schema(self, id_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [("query_id", pa.int32()), (self.id_col, id_type), ("cosine", pa.float64())]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.vec_col))
+        id_type = batch.schema.field(self.id_col).type
+        schema = self._out_schema(id_type)
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        m = _normalize(_batch_matrix(batch, self.vec_col)).astype(np.float64)
         sims = m @ self.q.T  # (rows, n_queries)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         k = min(self.k, len(ids))
@@ -62,9 +78,10 @@ class _TopKScorer:
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int32()),
-                self.id_col: pa.array(out_id),
+                self.id_col: pa.array(out_id, id_type),
                 "cosine": pa.array(out_sim, pa.float64()),
-            }
+            },
+            schema=schema,
         )
 
 
@@ -94,9 +111,18 @@ def knn_bruteforce(
         num_cpus=1,
     )
     # Local top-k rows are tiny (k × n_queries × n_batches) → driver reduce.
+    # Zero-row blocks are dropped before concat: Ray can emit schema-less
+    # empty placeholder blocks that would fail concat_tables.
     t = partials.to_arrow_refs()
-    tables = [x for x in ray.get(t)]
-    allt = pa.concat_tables(tables)
+    tables = [x for x in ray.get(t) if x.num_rows > 0]
+    if not tables:
+        # all candidate blocks were empty — typed empty result
+        id_type = ds.schema().base_schema.field(id_col).type
+        allt = pa.schema(
+            [("query_id", pa.int32()), (id_col, id_type), ("cosine", pa.float64())]
+        ).empty_table()
+    else:
+        allt = pa.concat_tables(tables)
     import pandas as pd
 
     df = allt.to_pandas()
@@ -258,28 +284,92 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_bits: int = 10,
+    n_tables: int = 4,
+    max_bucket_size: int = 512,
     seed: int = 42,
 ):
-    """Near-duplicate vector pairs: LSH-bucket groupby, exact cosine verify
-    inside each bucket (buckets are small by construction)."""
-    bucketed = add_lsh_buckets(ds, vec_col, n_bits, n_tables=1, seed=seed)
+    """Near-duplicate vector pairs: per-LSH-table bucket groupby with an
+    exact float64 cosine verify inside each bucket, pairs unioned across
+    tables and deduped by one final (id_a, id_b) groupby.
+
+    Scale contract: size ``n_bits`` to the corpus so expected bucket
+    occupancy stays small — ``n_bits ≈ log2(n_rows / target_bucket)``
+    (2^n_bits buckets per table). The per-bucket pairwise verify is hard
+    bounded by ``max_bucket_size`` (smallest ids kept, overflow logged —
+    never a silent cap); multiple tables recover recall the per-table
+    bucketing loses. All tables ride ONE shuffle: rows are exploded to
+    ``(bucket_key = table << n_bits | bucket, id, vector)`` long format
+    (n_tables × corpus volume), one groupby co-partitions each bucket's
+    vectors, and a final tiny (id_a, id_b) groupby dedups pairs found by
+    several tables. (A union of n_tables separate groupby branches stalls
+    Ray 2.49's streaming executor — measured, hence the single-key form.)"""
+    import logging
+
+    import pandas as pd
+
+    log = logging.getLogger(__name__)
+
+    rng = np.random.default_rng(seed)
+    planes_by_table = None  # built lazily once dim is known
+
+    def explode(batch: pa.Table) -> pa.Table:
+        nonlocal planes_by_table
+        id_type = batch.schema.field(id_col).type
+        vec_type = batch.schema.field(vec_col).type
+        schema = pa.schema(
+            [("bucket_key", pa.uint64()), (id_col, id_type), (vec_col, vec_type)]
+        )
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        m = _batch_matrix(batch, vec_col)
+        if planes_by_table is None:
+            r = np.random.default_rng(seed)
+            planes_by_table = [
+                r.standard_normal((n_bits, m.shape[1])).astype(np.float32)
+                for _ in range(n_tables)
+            ]
+        keys = []
+        for t, planes in enumerate(planes_by_table):
+            sig = lsh_signature(m, planes)
+            keys.append(sig | np.uint64(t << n_bits))
+        key_col = pa.array(np.concatenate(keys), pa.uint64())
+        idx = pa.chunked_array([pa.array(np.arange(batch.num_rows, dtype=np.int64))] * n_tables)
+        rep_ids = batch.column(id_col).take(idx)
+        rep_vecs = batch.column(vec_col).take(idx)
+        return pa.table({"bucket_key": key_col, id_col: rep_ids, vec_col: rep_vecs}, schema=schema)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    empty = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "cosine": pd.Series(dtype="float64"),
+    }
 
     def verify(df):
-        import pandas as pd
-
         if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float32))
+            return pd.DataFrame(empty)
+        if len(df) > max_bucket_size:
+            log.warning(
+                "embedding_near_dup: bucket of %d capped to %d (dropped %d rows)",
+                len(df), max_bucket_size, len(df) - max_bucket_size,
+            )
+            df = df.sort_values(id_col).head(max_bucket_size)
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         sims = m @ m.T
         ids = df[id_col].to_numpy()
         ia, ib = np.triu_indices(len(df), k=1)
         mask = sims[ia, ib] >= threshold
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
+                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
                 "cosine": sims[ia, ib][mask].astype(np.float64),
             }
         )
 
-    return bucketed.groupby("lsh_0").map_groups(verify, batch_format="pandas")
+    pairs = exploded.groupby("bucket_key").map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    # a pair found in several tables collapses to one row
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
