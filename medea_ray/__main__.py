@@ -62,13 +62,19 @@ def _cmd_run(args) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     from medea_ray.engine.pipeline import run_validation_pipeline
 
-    files = sorted(glob.glob(args.input)) if any(
-        c in args.input for c in "*?["
-    ) else sorted(
-        os.path.join(args.input, f)
-        for f in os.listdir(args.input)
-        if f.endswith(".parquet")
-    )
+    if os.path.isfile(args.input):
+        files = [args.input]
+    elif any(c in args.input for c in "*?["):
+        files = sorted(glob.glob(args.input))
+    elif os.path.isdir(args.input):
+        files = sorted(
+            os.path.join(args.input, f)
+            for f in os.listdir(args.input)
+            if f.endswith(".parquet")
+        )
+    else:
+        print(f"input {args.input!r} is not a file, directory or glob", file=sys.stderr)
+        return 2
     if not files:
         print(f"no parquet inputs under {args.input!r}", file=sys.stderr)
         return 2

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import pyarrow as pa
@@ -302,8 +303,18 @@ def run_validation_pipeline(
         concurrency = default_pool()
     t_start = time.time()
     input_files = sorted(input_files)
-    pid_of = {p: i for i, p in enumerate(input_files)}
     done = load_manifest(out_dir) if resume else {}
+    # partition_id assignment persists across resumes: manifested paths keep
+    # their committed pid; only unseen paths get fresh ids. (Assigning pids
+    # from the sorted file list alone would renumber everything when a file
+    # is added/removed between runs, silently mixing two numberings in the
+    # violation/manifest outputs.)
+    pid_of = {p: rec["partition_id"] for p, rec in done.items()}
+    next_pid = max(pid_of.values(), default=-1) + 1
+    for p in input_files:
+        if p not in pid_of:
+            pid_of[p] = next_pid
+            next_pid += 1
     todo = [p for p in input_files if p not in done]
 
     wave_id = max(
@@ -337,6 +348,12 @@ def run_validation_pipeline(
             zero_copy_batch=True,
         )
         wave_dir = os.path.join(out_dir, "results", f"wave_{wave_id:06d}")
+        # A killed attempt may have left parquet here WITHOUT a manifest
+        # commit (the manifest write is the last step) — those files are by
+        # construction uncommitted, and reading them alongside this
+        # attempt's output would double-count the wave. Clear first.
+        if os.path.isdir(wave_dir):
+            shutil.rmtree(wave_dir)
         tagged.write_parquet(wave_dir)
         try:  # observability artifact: Ray's per-operator stage stats
             with open(os.path.join(wave_dir, "_ray_stats.txt"), "w") as f:

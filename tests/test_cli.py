@@ -74,3 +74,33 @@ def test_cli_gen_and_run(tmp_path):
     assert r2.returncode == 0, r2.stderr
     report2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert report2["n_files_skipped"] == 2
+
+    # --input pointing at a single parquet FILE (no glob chars) works too
+    one = sorted(pages.glob("*.parquet"))[0]
+    out2 = tmp_path / "out_one"
+    r3 = _run(
+        "run",
+        "--input",
+        str(one),
+        "--schema",
+        FLAGSHIP_SCHEMA_PATH,
+        "--out",
+        str(out2),
+        env={"RAY_ADDRESS": "local"},
+    )
+    assert r3.returncode == 0, r3.stderr
+    assert json.loads(r3.stdout.strip().splitlines()[-1])["n_rows"] == 1000
+
+    # nonexistent input: clean driver-side error, exit 2
+    r4 = _run(
+        "run",
+        "--input",
+        str(tmp_path / "nope"),
+        "--schema",
+        FLAGSHIP_SCHEMA_PATH,
+        "--out",
+        str(tmp_path / "out_nope"),
+        env={"RAY_ADDRESS": "local"},
+    )
+    assert r4.returncode == 2
+    assert "not a file, directory or glob" in r4.stderr

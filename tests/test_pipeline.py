@@ -112,6 +112,64 @@ def test_pipeline_resume_after_partial_run(ray_session, pages_dir, tmp_path):
     assert sum(verdicts["n_invalid"].to_pylist()) == len(got_set)
 
 
+def test_resume_mid_wave_kill_never_double_counts(ray_session, pages_dir, tmp_path):
+    """Regression (round-2 advisor, high): a driver killed mid-wave leaves
+    uncommitted parquet in the upcoming wave dir; the resumed run must clear
+    it, or the roll-up reads both attempts and inflates counts permanently."""
+    out = str(tmp_path / "out_killed")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    run_validation_pipeline(
+        files[:2], flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    # simulate the killed attempt: stale (uncommitted) result parquet sits in
+    # the wave dir the resume is about to reuse
+    stale = os.path.join(out, "results", "wave_000001")
+    shutil.copytree(os.path.join(out, "results", "wave_000000"), stale)
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert report["n_rows"] == N_ROWS  # not N_ROWS + the stale wave's rows
+    got = read_violations(out)
+    got_set = set(
+        zip(
+            got["url"].to_pylist(),
+            got["schema_path"].to_pylist(),
+            got["failed_specifier"].to_pylist(),
+        )
+    )
+    assert got_set == _expected_violation_set()
+    assert got.num_rows == len(got_set)  # no duplicated violation rows either
+    verdicts = read_verdicts(out)
+    assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
+
+
+def test_resume_pid_stable_when_input_set_changes(ray_session, pages_dir, tmp_path):
+    """Regression (round-2 advisor): partition ids are committed in the
+    manifest and survive a resume with an added input file — earlier
+    violation/manifest rows keep pointing at the right partitions."""
+    out = str(tmp_path / "out_pids")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    run_validation_pipeline(
+        files[1:], flagship_schema_text(), out, wave_size=4, concurrency=2
+    )
+    first = {p: r["partition_id"] for p, r in load_manifest(out).items()}
+    # resume with a file that sorts BEFORE the processed ones
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=4, concurrency=2
+    )
+    assert report["n_files_skipped"] == len(files) - 1
+    manifest = load_manifest(out)
+    for p, pid in first.items():
+        assert manifest[p]["partition_id"] == pid  # unchanged
+    new_pid = manifest[files[0]]["partition_id"]
+    assert new_pid == max(first.values()) + 1  # fresh id, no renumbering
+    assert report["n_rows"] == N_ROWS
+
+
 def test_validate_dataset_transform(ray_session, pages_dir):
     import ray.data as rd
 
