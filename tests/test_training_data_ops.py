@@ -152,6 +152,61 @@ def test_simhash_properties():
     assert simhash64(a) == ha  # deterministic
 
 
+def test_simhash64_matches_reference_loop():
+    """The vectorized kernel must be bit-identical to the definitional
+    per-word ±1 accumulation (the round-1 implementation)."""
+    import re
+
+    from medea_ray.engine.dedup import hash_bytes
+
+    word_re = re.compile(r"\w+", re.UNICODE)
+
+    def reference(text):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in word_re.findall(text.lower()):
+            h = hash_bytes(w.encode())
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    docs = pq.read_table(f"{SF}/documents.parquet").column("text").to_pylist()[:50]
+    docs += ["", "one", "a a a b", "Ünïcôde wörds ünïcôde", "x " * 500]
+    for t in docs:
+        assert simhash64(t) == reference(t), t[:40]
+
+
+def test_degenerate_bucket_is_capped(ray_session):
+    """10k identical docs land in ONE band bucket per band; collection and
+    verification must stay bounded (truncate + dropped count), not collect
+    the whole corpus into one reducer."""
+    import ray.data as rd
+
+    from medea_ray.engine.dedup import near_dup_pairs
+
+    text = "the same boilerplate paragraph repeated on every single page of this site"
+    ds = rd.from_items([{"doc_id": i, "text": text} for i in range(10_000)])
+    cand = minhash_candidate_groups(
+        ds, "doc_id", max_bucket_size=128, concurrency=2
+    ).to_pandas()
+    assert len(cand) == 16  # one bucket per band
+    assert (cand["n"] == 10_000).all()
+    assert cand["ids"].map(len).eq(128).all()
+    assert (cand["dropped"] == 10_000 - 128).all()
+    # ids kept are the smallest — deterministic across runs/cluster sizes
+    assert sorted(cand["ids"].iloc[0].tolist()) == list(range(128))
+
+    pairs = near_dup_pairs(
+        ds, "doc_id", threshold=0.9, max_bucket_size=64, concurrency=2
+    )
+    # verified pairs bounded by the cap: C(64,2) among the smallest ids
+    assert len(pairs) == 64 * 63 // 2
+    assert pairs["id_a"].max() < 64 and pairs["id_b"].max() < 64
+
+
 def test_simhash_candidates(ray_session):
     ds, rows = _near_dup_corpus(ray_session)
     cand = simhash_candidates(ds, "doc_id").to_pandas()
