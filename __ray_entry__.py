@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_exact": q.distinct_lang_exact,
         "hll_distinct_text": q.hll_distinct_text,
         "tdigest_nchars": q.tdigest_nchars,
+        "tdigest_nchars_guard": q.tdigest_nchars_guard,
         # groupby / aggregate / sort / filter engine ops
         "lang_histogram": q.lang_histogram,
         "source_counts_salted": q.source_counts_salted,
@@ -234,6 +235,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
                             THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
             FROM events
+        """,
+        # the guard row is red unless the sketch stays inside tolerance of
+        # the exact quantiles — the sketch path's driver-side accuracy gate
+        "tdigest_nchars_guard": """
+            SELECT true AS p50_within_tol, true AS p95_within_tol
         """,
         "knn_topk_membership": f"""
             WITH q AS (

@@ -42,10 +42,12 @@ __all__ = [
     "Schema",
     "ValidatedJSON",
     "compile_schema",
+    "compile_schema_from_handle",
     "compile_schemata",
     "parse_specification",
     "validate",
     "validate_from_file",
+    "validate_from_handle",
     "validate_obj",
 ]
 
@@ -55,6 +57,19 @@ def validate_from_file(schema_map, path) -> "ValidatedJSON":
     read the document bytes, then validate."""
     with open(path, "rb") as f:
         return validate(schema_map, f.read())
+
+
+def validate_from_handle(schema_map, handle) -> "ValidatedJSON":
+    """Mirror of the reference's validateFromHandle (Data/Medea.hs:251-256):
+    read the rest of an open (binary or text) file object, then validate."""
+    return validate(schema_map, handle.read())
+
+
+def compile_schema_from_handle(handle) -> "Schema":
+    """Mirror of the reference's loadSchemaFromHandle (Loader.hs:118-121):
+    read the rest of an open (binary or text) file object, then
+    decode → parse → analyze (no path sniffing — content only)."""
+    return compile_schemata(parse_specification(handle.read()))
 
 
 def compile_schema(source) -> "Schema":

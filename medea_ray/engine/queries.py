@@ -100,6 +100,35 @@ def tdigest_nchars(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([q])
 
 
+def tdigest_nchars_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side accuracy guard for the t-digest sketch: compares the
+    sketch quantiles against exact quantiles (computed engine-side on the
+    same rows) and returns the boolean verdicts. The DuckDB oracle asserts
+    the verdicts are TRUE — so a sketch regression turns this driver row
+    red, not just a pytest tolerance test. The exact side materializes one
+    int column (guard-scale only; the sketch itself streams)."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    est = stats.quantiles(ds, "n_chars", (0.5, 0.95))
+    vals = np.concatenate(
+        [
+            b.column("n_chars").to_numpy(zero_copy_only=False)
+            for b in ds.iter_batches(batch_format="pyarrow")
+        ]
+    )
+    vals = vals[~np.isnan(vals.astype(np.float64))]
+    exact = {
+        "p50": float(np.quantile(vals, 0.5)),
+        "p95": float(np.quantile(vals, 0.95)),
+    }
+
+    def ok(k):
+        return bool(abs(est[k] - exact[k]) <= max(2.0, 0.02 * abs(exact[k])))
+
+    return pd.DataFrame(
+        [{"p50_within_tol": ok("p50"), "p95_within_tol": ok("p95")}]
+    )
+
+
 # -- groupby / aggregate -----------------------------------------------------
 
 
@@ -312,22 +341,25 @@ def doc_text_features(sf_dir: str) -> pd.DataFrame:
 
 
 def _docs_with_payload(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    # pruned read + per-column pylists (a full to_pylist() row loop pulled
+    # every column, including text, into Python dicts per row)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "source"])
 
     def to_payload(t: pa.Table) -> pa.Table:
-        payloads = []
-        for row in t.to_pylist():
-            did = row["doc_id"]
-            defect = did % 100 if did % 100 in DEFECT_SPECIFIER else None
-            payloads.append(
-                build_payload(
-                    f"doc://{did}",
-                    row["lang"],
-                    row["n_chars"],
-                    [row["source"]],
-                    defect,
-                )
+        dids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        nchars = t.column("n_chars").to_pylist()
+        sources = t.column("source").to_pylist()
+        payloads = [
+            build_payload(
+                f"doc://{did}",
+                lang,
+                nc,
+                [src],
+                did % 100 if did % 100 in DEFECT_SPECIFIER else None,
             )
+            for did, lang, nc, src in zip(dids, langs, nchars, sources)
+        ]
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

@@ -80,3 +80,23 @@ def test_builder_pass(name):
         data = f.read()
     graph = compile_schema(data)
     assert "$start" in graph
+
+
+def test_handle_mirrors(tmp_path):
+    """loadSchemaFromHandle / validateFromHandle parity
+    (/root/reference/src/Data/Medea/Loader.hs:118-121,
+    /root/reference/src/Data/Medea.hs:251-256): open file objects, binary
+    and text, are first-class schema/document sources."""
+    import io
+
+    from medea_ray import compile_schema_from_handle, validate_from_handle
+
+    src = "$schema $start\n    $type\n        $string\n"
+    for handle in (io.BytesIO(src.encode()), io.StringIO(src)):
+        graph = compile_schema_from_handle(handle)
+        assert "$start" in graph
+    doc = tmp_path / "doc.json"
+    doc.write_text('"hello"')
+    with open(doc, "rb") as f:
+        vj = validate_from_handle(compile_schema(src), f)
+    assert vj.to_value() == "hello"
