@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": q.lang_histogram,
         "source_counts_salted": q.source_counts_salted,
         "orders_by_status": q.orders_by_status,
+        "orders_by_nation": q.orders_by_nation,
         "events_daily": q.events_daily,
         "events_by_type_daily": q.events_by_type_daily,
         "top_users_by_events": q.top_users_by_events,
@@ -162,6 +163,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders GROUP BY o_orderstatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "events_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -1,0 +1,110 @@
+"""Broadcast (map-side) lookup join: enrich a fact stream with dimension
+attributes without shuffling the fact table.
+
+Scale shape: the dimension side (customers, nations, hosts — orders of
+magnitude smaller than the fact side) is collected once, deduplicated by
+key, and broadcast via ``ray.put``; each fact batch resolves its FK with
+one vectorized ``pc.index_in`` and appends the dimension columns with
+Arrow ``take`` — zero-copy reads, no all-to-all exchange. This is the
+join counterpart of ``referential.orphan_rows`` (the anti-join form).
+For a dimension side too big to broadcast, compose with
+``referential.bucket_of`` hash passes the same way ``orphan_rows`` does —
+or pre-aggregate the fact side first so a shuffle join is affordable.
+
+The reference (juspay/medea) is a single-document validation library with
+no joins; this operator comes from the north rule's engine surface.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _collect_dim(dim_ds, pk_col: str, value_cols: list[str]) -> pa.Table:
+    """Collect (pk, values...) for the broadcast side, keeping the FIRST
+    row per key (deterministic: blocks are concatenated in dataset order)."""
+    import ray
+
+    cols = [pk_col] + [c for c in value_cols if c != pk_col]
+    parts = ray.get(dim_ds.select_columns(cols).to_arrow_refs())
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        raise ValueError("broadcast_join: dimension side is empty")
+    t = pa.concat_tables(parts).combine_chunks()
+    # first-wins dedup on the key
+    keys = t.column(pk_col)
+    first_idx = []
+    seen = set()
+    for i, k in enumerate(keys.to_pylist()):
+        if k not in seen:
+            seen.add(k)
+            first_idx.append(i)
+    if len(first_idx) != t.num_rows:
+        t = t.take(pa.array(first_idx, pa.int64()))
+    return t
+
+
+class _Joiner:
+    """Actor-pool stage holding the broadcast dimension table."""
+
+    def __init__(self, dim_ref, fk_col: str, pk_col: str, value_cols: list[str],
+                 how: str, suffix: str):
+        import ray
+
+        self.dim = ray.get(dim_ref) if not isinstance(dim_ref, pa.Table) else dim_ref
+        self.keys = self.dim.column(pk_col)
+        if isinstance(self.keys, pa.ChunkedArray):
+            self.keys = self.keys.combine_chunks()
+        self.fk_col = fk_col
+        self.pk_col = pk_col
+        self.value_cols = value_cols
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column(self.fk_col), value_set=self.keys)
+        if self.how == "inner":
+            keep = pc.is_valid(idx)
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        for c in self.value_cols:
+            out_name = c if c not in batch.column_names else c + self.suffix
+            col = self.dim.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            batch = batch.append_column(out_name, col.take(idx))
+        return batch
+
+
+def broadcast_join(
+    fact_ds,
+    fk_col: str,
+    dim_ds,
+    pk_col: str,
+    value_cols: list[str],
+    how: str = "left",
+    concurrency=(1, 8),
+    suffix: str = "_dim",
+):
+    """Left/inner lookup join: append ``value_cols`` from ``dim_ds`` to
+    every fact row whose ``fk_col`` matches ``pk_col``. ``how="left"``
+    keeps unmatched fact rows with nulls; ``how="inner"`` drops them.
+    Duplicate dimension keys resolve first-wins (deterministic)."""
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    dim = _collect_dim(dim_ds, pk_col, value_cols)
+    dim_ref = ray.put(dim)
+    return fact_ds.map_batches(
+        _Joiner,
+        fn_constructor_kwargs=dict(
+            dim_ref=dim_ref, fk_col=fk_col, pk_col=pk_col,
+            value_cols=[c for c in value_cols if c != pk_col],
+            how=how, suffix=suffix,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -158,6 +158,37 @@ def orders_by_status(sf_dir: str):
     )
 
 
+def orders_by_nation(sf_dir: str):
+    """Two chained broadcast lookup joins (orders→customer→nation) + the
+    usual partial-agg groupby: the fact stream is enriched map-side, never
+    shuffled; only the tiny (n_name, partials) exchange is wide."""
+    from ray.data.aggregate import Count, Sum
+
+    from medea_ray.engine.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j1 = broadcast_join(
+        orders, "o_custkey", customer, "c_custkey", ["c_nationkey"],
+        how="inner", concurrency=(1, 4),
+    )
+    j2 = broadcast_join(
+        j1, "c_nationkey", nation, "n_nationkey", ["n_name"],
+        how="inner", concurrency=(1, 4),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"n_name": t.column("n_name"), "cents": cents})
+
+    return (
+        j2.map_batches(prep, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
 def events_daily(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 

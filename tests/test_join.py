@@ -1,0 +1,80 @@
+"""Broadcast lookup-join operator: left/inner semantics, null FKs,
+duplicate-key resolution, chained joins vs the DuckDB oracle."""
+
+import duckdb
+import pytest
+
+from medea_ray.engine.join import broadcast_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_left_join_semantics(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items(
+        [{"fk": 1, "x": 10}, {"fk": 2, "x": 20}, {"fk": 9, "x": 90}, {"fk": None, "x": 0}]
+    )
+    dim = rd.from_items([{"pk": 1, "name": "a"}, {"pk": 2, "name": "b"}])
+    out = sorted(
+        broadcast_join(fact, "fk", dim, "pk", ["name"], concurrency=2).take_all(),
+        key=lambda r: r["x"],
+    )
+    assert [r["name"] for r in out] == [None, "a", "b", None]  # x=0,10,20,90
+    assert len(out) == 4  # left keeps unmatched + null FK rows
+
+
+def test_inner_join_drops_unmatched(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items([{"fk": 1}, {"fk": 9}, {"fk": None}])
+    dim = rd.from_items([{"pk": 1, "name": "a"}])
+    out = broadcast_join(fact, "fk", dim, "pk", ["name"], how="inner", concurrency=2).take_all()
+    assert [(r["fk"], r["name"]) for r in out] == [(1, "a")]
+
+
+def test_duplicate_dim_keys_first_wins(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items([{"fk": 1}])
+    dim = rd.from_items([{"pk": 1, "name": "first"}, {"pk": 1, "name": "second"}])
+    out = broadcast_join(fact, "fk", dim, "pk", ["name"], concurrency=2).take_all()
+    assert out[0]["name"] == "first"
+
+
+def test_name_collision_gets_suffix(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items([{"fk": 1, "name": "fact-name"}])
+    dim = rd.from_items([{"pk": 1, "name": "dim-name"}])
+    out = broadcast_join(fact, "fk", dim, "pk", ["name"], concurrency=2).take_all()
+    assert out[0]["name"] == "fact-name"
+    assert out[0]["name_dim"] == "dim-name"
+
+
+def test_empty_dim_raises(ray_session):
+    import ray.data as rd
+
+    fact = rd.from_items([{"fk": 1}])
+    dim = rd.from_items([{"pk": 1}]).filter(lambda r: False)
+    with pytest.raises(ValueError, match="dimension side is empty"):
+        broadcast_join(fact, "fk", dim, "pk", [], concurrency=2)
+
+
+def test_chained_joins_vs_duckdb(ray_session):
+    from medea_ray.engine.queries import orders_by_nation
+
+    got = {
+        (r["n_name"], r["n"], r["sum_cents"]) for r in orders_by_nation(SF).take_all()
+    }
+    exp = set(
+        duckdb.sql(
+            f"""SELECT n.n_name, count(*),
+                       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                FROM '{SF}/orders.parquet' o
+                JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+                JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+                GROUP BY n.n_name"""
+        ).fetchall()
+    )
+    assert got == exp
