@@ -207,19 +207,49 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
     }
 
 
+def _start_background_load(core_range: str, n_procs: int):
+    """Pin ``n_procs`` JSON-parse workers (the validator-like workload) to
+    ``core_range`` — used to keep the machine fully loaded during the
+    8-cpu arm so both arms see the same memory-bandwidth/LLC contention,
+    exactly like fully-loaded nodes on both arms of a real N vs 4N NODE
+    cluster."""
+    script = (
+        "import json\n"
+        f"p = {_DROOP_PAYLOAD!r}\n"
+        "while True:\n"
+        "    for _ in range(1000):\n"
+        "        json.loads(p)\n"
+    )
+    procs = []
+    for _ in range(n_procs):
+        cmd = [sys.executable, "-c", script]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", core_range] + cmd
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    return procs
+
+
 def run_scaling(repeats: int = 4) -> dict:
     """Same validation job at num_cpus=8 and num_cpus=32 in fresh
     processes, best of ``repeats`` per arm (symmetric — single-node runs
     at 32 cpus have ±20% wall-time noise); efficiency = (docs/sec@32 ÷
-    docs/sec@8) ÷ 4. Also reports the per-core turbo-frequency droop under
-    all-core load and the droop-normalized efficiency — on a real N vs 4N
-    NODE cluster both arms run fully-loaded nodes, so the raw sandbox
-    ratio understates cluster scaling by exactly that droop factor."""
+    docs/sec@8) ÷ 4.
+
+    Three figures are reported, because one shared 32-core VM cannot
+    reproduce a real N vs 4N NODE cluster directly:
+    - raw: idle-machine 8-cpu arm — flatters the small arm (8 busy cores
+      enjoy turbo + the whole memory subsystem).
+    - droop-normalized: raw ÷ the measured per-core slowdown of the same
+      workload under all-core load (post-hoc correction).
+    - equal-load: the 8-cpu arm runs while the OTHER 24 cores execute the
+      same JSON workload as background load, so both arms contend for
+      memory bandwidth the way fully-loaded cluster nodes do — the
+      directly-measured stand-in (no post-hoc factor)."""
     ensure_pages(SF_DIR, multiplier=16)  # warm the cache outside the timed runs
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    runs: dict[str, list[dict]] = {"8": [], "32": [], "8_loaded": []}
     have_taskset = os.path.exists("/usr/bin/taskset")
     for _ in range(repeats):
-        for cpus in (8, 32):
+        for arm, cpus in (("8", 8), ("32", 32), ("8_loaded", 8)):
             cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--single-run", str(cpus)]
             if have_taskset:
                 # Pin each arm to exactly `cpus` physical cores: an N-core
@@ -228,12 +258,20 @@ def run_scaling(repeats: int = 4) -> dict:
                 # (measured: the 32-arm went 700-940k → 940k-1.24M docs/s
                 # pinned).
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, check=True, cwd=REPO
+            load = (
+                _start_background_load("8-31", 24) if arm == "8_loaded" else []
             )
-            runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
-    best = {cpus: max(rs, key=lambda r: r["docs_per_sec"]) for cpus, rs in runs.items()}
-    eff = (best[32]["docs_per_sec"] / best[8]["docs_per_sec"]) / 4
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, check=True, cwd=REPO
+                )
+            finally:
+                for p in load:
+                    p.kill()
+            runs[arm].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    best = {arm: max(rs, key=lambda r: r["docs_per_sec"]) for arm, rs in runs.items()}
+    eff = (best["32"]["docs_per_sec"] / best["8"]["docs_per_sec"]) / 4
+    eff_loaded = (best["32"]["docs_per_sec"] / best["8_loaded"]["docs_per_sec"]) / 4
     droop = sorted(measure_turbo_droop() for _ in range(3))[1]  # median of 3
     eff_norm = min(1.0, eff / droop)
     result = {
@@ -241,21 +279,23 @@ def run_scaling(repeats: int = 4) -> dict:
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            "validate_pages_8cpu": best[8]["queries"]["validate_pages"],
-            "validate_pages_32cpu": best[32]["queries"]["validate_pages"],
+            "validate_pages_8cpu": best["8"]["queries"]["validate_pages"],
+            "validate_pages_8cpu_loaded": best["8_loaded"]["queries"]["validate_pages"],
+            "validate_pages_32cpu": best["32"]["queries"]["validate_pages"],
         },
         "sf": SF_DIR,
         "num_cpus": 32,
-        "docs_per_sec_8": best[8]["docs_per_sec"],
-        "docs_per_sec_32": best[32]["docs_per_sec"],
+        "docs_per_sec_8": best["8"]["docs_per_sec"],
+        "docs_per_sec_8_loaded": best["8_loaded"]["docs_per_sec"],
+        "docs_per_sec_32": best["32"]["docs_per_sec"],
         "all_runs_docs_per_sec": {
-            "8": [r["docs_per_sec"] for r in runs[8]],
-            "32": [r["docs_per_sec"] for r in runs[32]],
+            arm: [r["docs_per_sec"] for r in rs] for arm, rs in runs.items()
         },
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_equal_load": round(eff_loaded, 3),
         "turbo_droop_factor": round(droop, 3),
         "scaling_efficiency_freq_normalized": round(eff_norm, 3),
-        "n_pages": best[32]["n_pages"],
+        "n_pages": best["32"]["n_pages"],
     }
     _append_scaling_md(result)
     return result
@@ -285,6 +325,13 @@ def _append_scaling_md(r: dict):
             f"{r['scaling_efficiency']} | {r.get('turbo_droop_factor', '')} | "
             f"{r.get('scaling_efficiency_freq_normalized', '')} |\n"
         )
+        if "scaling_efficiency_equal_load" in r:
+            f.write(
+                f"  - equal-load arm (8 cpus + 24 background JSON workers): "
+                f"{r['docs_per_sec_8_loaded']} docs/s → equal-load efficiency "
+                f"**{r['scaling_efficiency_equal_load']}** "
+                f"(all runs: {r['all_runs_docs_per_sec']})\n"
+            )
 
 
 def main():
