@@ -167,6 +167,7 @@ class MinHashSigner:
         shingle_n: int = 3,
         seed: int = 42,
         carry_text: bool = False,
+        carry_signature: bool = False,
     ):
         assert num_hashes % num_bands == 0
         self.id_col = id_col
@@ -178,7 +179,11 @@ class MinHashSigner:
         # carry_text=True co-partitions each bucket's TEXTS through the band
         # shuffle so verification can run inside map_groups (distributed)
         # instead of on the driver — at the cost of num_bands × text volume.
+        # carry_signature=True instead ships the fixed-size minhash
+        # signature (num_hashes × 8 B) for estimate-mode verification —
+        # constant shuffle volume per row regardless of document length.
         self.carry_text = carry_text
+        self.carry_signature = carry_signature
         rng = np.random.default_rng(seed)
         # hash family h_i(x) = splitmix64(x ^ seed_i): vectorized over the
         # (num_hashes × n_shingles) grid in uint64 — no Python-int loop.
@@ -207,8 +212,10 @@ class MinHashSigner:
         ]
         if self.carry_text:
             fields.append((self.text_col, batch.schema.field(self.text_col).type))
+        if self.carry_signature:
+            fields.append(("sig", pa.binary()))
         schema = pa.schema(fields)
-        ids, bands, keys, texts = [], [], [], []
+        ids, bands, keys, texts, sigs = [], [], [], [], []
         rpb = self.rows_per_band
         for rid, text in zip(
             batch.column(self.id_col).to_pylist(), batch.column(self.text_col).to_pylist()
@@ -218,6 +225,7 @@ class MinHashSigner:
             sig = self.signature(text)
             if sig is None:
                 continue
+            sig_bytes = sig.tobytes() if self.carry_signature else None
             for b in range(self.num_bands):
                 band_bytes = sig[b * rpb : (b + 1) * rpb].tobytes()
                 ids.append(rid)
@@ -225,6 +233,8 @@ class MinHashSigner:
                 keys.append(hash_bytes(band_bytes + bytes([b])))
                 if self.carry_text:
                     texts.append(text)
+                if self.carry_signature:
+                    sigs.append(sig_bytes)
         cols = {
             self.id_col: pa.array(ids, id_type),
             "band": pa.array(bands, pa.int32()),
@@ -232,6 +242,8 @@ class MinHashSigner:
         }
         if self.carry_text:
             cols[self.text_col] = pa.array(texts, schema.field(self.text_col).type)
+        if self.carry_signature:
+            cols["sig"] = pa.array(sigs, pa.binary())
         return pa.table(cols, schema=schema)
 
 
@@ -282,18 +294,28 @@ def near_dup_pairs(
     shingle_n: int = 3,
     concurrency=(1, 8),
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    verify: str = "exact",
 ):
-    """MinHash-LSH candidates + exact n-gram-Jaccard verification, fully
-    distributed: the signer carries each row's text through the band
-    shuffle (num_bands × text volume), every bucket verifies its own
-    members inside ``map_groups`` (pairwise Jaccard over ≤
-    ``max_bucket_size`` texts, shingle sets computed once per member), and
-    a final tiny (id_a, id_b) groupby dedups pairs found in several bands.
-    The driver only ever sees the verified pairs — never candidate texts
-    (round 1 pulled them with take_all() and verified in a driver loop).
+    """MinHash-LSH candidates + distributed pair verification: every band
+    bucket verifies its own members inside ``map_groups`` (pairwise over ≤
+    ``max_bucket_size`` members), and a final tiny (id_a, id_b) groupby
+    dedups pairs found in several bands. The driver only ever sees the
+    verified pairs — never candidate texts (round 1 pulled them with
+    take_all() and verified in a driver loop).
+
+    ``verify="exact"`` co-partitions TEXTS through the band shuffle
+    (num_bands × text volume) and computes exact n-gram Jaccard (shingle
+    sets built once per member). ``verify="estimate"`` ships only the
+    fixed num_hashes × 8 B minhash signature — constant shuffle volume
+    per row regardless of document length, the right trade for long web
+    pages — and estimates Jaccard as the fraction of agreeing signature
+    components (unbiased; std ≈ sqrt(j(1-j)/num_hashes) ≈ 0.06 at k=64).
     Returns a pandas DataFrame (id_a, id_b, jaccard ≥ threshold)."""
     import pandas as pd
 
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    exact = verify == "exact"
     signed = ds.map_batches(
         MinHashSigner,
         fn_constructor_kwargs=dict(
@@ -302,7 +324,8 @@ def near_dup_pairs(
             num_hashes=num_hashes,
             num_bands=num_bands,
             shingle_n=shingle_n,
-            carry_text=True,
+            carry_text=exact,
+            carry_signature=not exact,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -317,7 +340,6 @@ def near_dup_pairs(
         if t.num_rows < 2:
             return schema.empty_table()
         ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
         order = sorted(range(len(ids)), key=lambda i: ids[i])
         if len(order) > max_bucket_size:
             _log.warning(
@@ -325,25 +347,39 @@ def near_dup_pairs(
                 len(order), max_bucket_size, len(order) - max_bucket_size,
             )
             order = order[:max_bucket_size]
-        members = [(ids[i], texts[i]) for i in order]
-        sets = [shingles(tx, shingle_n) for _, tx in members]
         out_a, out_b, out_j = [], [], []
-        for i in range(len(members)):
-            si = sets[i]
-            if not si:
-                continue
-            for j in range(i + 1, len(members)):
-                sj = sets[j]
-                if not sj:
+        if exact:
+            texts = t.column(text_col).to_pylist()
+            members = [(ids[i], texts[i]) for i in order]
+            sets = [shingles(tx, shingle_n) for _, tx in members]
+            for i in range(len(members)):
+                si = sets[i]
+                if not si:
                     continue
-                inter = len(si & sj)
-                if not inter:
-                    continue
-                jac = inter / (len(si) + len(sj) - inter)
-                if jac >= threshold:
-                    out_a.append(members[i][0])
-                    out_b.append(members[j][0])
-                    out_j.append(jac)
+                for j in range(i + 1, len(members)):
+                    sj = sets[j]
+                    if not sj:
+                        continue
+                    inter = len(si & sj)
+                    if not inter:
+                        continue
+                    jac = inter / (len(si) + len(sj) - inter)
+                    if jac >= threshold:
+                        out_a.append(members[i][0])
+                        out_b.append(members[j][0])
+                        out_j.append(jac)
+        else:
+            raw = t.column("sig").to_pylist()
+            sigs = np.stack(
+                [np.frombuffer(raw[i], dtype=np.uint64) for i in order]
+            )  # (m, num_hashes)
+            kept_ids = [ids[i] for i in order]
+            for i in range(len(kept_ids) - 1):
+                est = (sigs[i] == sigs[i + 1 :]).mean(axis=1)  # vs all later rows
+                for dj in np.nonzero(est >= threshold)[0]:
+                    out_a.append(kept_ids[i])
+                    out_b.append(kept_ids[i + 1 + dj])
+                    out_j.append(float(est[dj]))
         return pa.table(
             {
                 "id_a": pa.array(out_a, id_type),

@@ -126,6 +126,23 @@ def test_near_dup_pairs_verified(ray_session):
     assert (pairs["jaccard"] >= 0.5).all()
 
 
+def test_near_dup_pairs_estimate_mode(ray_session):
+    """Signature-only verification (constant shuffle volume per row):
+    recall on planted near-dups stays high and the minhash-agreement
+    estimate tracks exact Jaccard within the k=64 sampling error."""
+    from medea_ray.engine.dedup import near_dup_pairs
+
+    ds, rows = _near_dup_corpus(ray_session)
+    est = near_dup_pairs(ds, "doc_id", threshold=0.5, concurrency=2, verify="estimate")
+    found = {(int(a), int(b)): j for a, b, j in zip(est["id_a"], est["id_b"], est["jaccard"])}
+    planted = {(r["doc_id"] - 1, r["doc_id"]) for r in rows if r["doc_id"] % 10 == 1}
+    assert len(set(found) & planted) / len(planted) > 0.85
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    for (a, b), j_est in list(found.items())[:20]:
+        j_exact = jaccard(by_id[a], by_id[b])
+        assert abs(j_est - j_exact) < 0.25, (a, b, j_est, j_exact)
+
+
 def test_knn_ivf_recall(ray_session):
     import ray.data as rd
 
