@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_documents_nchars": q.stats_documents_nchars,
         "distinct_lang_exact": q.distinct_lang_exact,
         "hll_distinct_text": q.hll_distinct_text,
+        "hll_distinct_guard": q.hll_distinct_guard,
         "tdigest_nchars": q.tdigest_nchars,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
         # groupby / aggregate / sort / filter engine ops
@@ -246,8 +247,11 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
             FROM events
         """,
-        # the guard row is red unless the sketch stays inside tolerance of
-        # the exact quantiles — the sketch path's driver-side accuracy gate
+        # the guard rows are red unless the sketches stay inside tolerance
+        # of exact answers — the sketch paths' driver-side accuracy gates
+        "hll_distinct_guard": """
+            SELECT true AS hll_within_5pct
+        """,
         "tdigest_nchars_guard": """
             SELECT true AS p50_within_tol, true AS p95_within_tol
         """,

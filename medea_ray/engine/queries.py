@@ -100,6 +100,20 @@ def tdigest_nchars(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([q])
 
 
+def hll_distinct_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side accuracy guard for the HyperLogLog sketch: the estimate
+    on documents.text must land within 5% of the exact distinct count
+    (p=14 HLL has ~0.8% typical error). The oracle asserts the boolean, so
+    a sketch regression turns this driver row red."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    est = stats.approx_distinct(ds, "text")
+    groups = uniqueness.group_count(ds, "text").take_all()  # distinct texts
+    exact = sum(1 for g in groups if g["text"] is not None)
+    return pd.DataFrame(
+        [{"hll_within_5pct": bool(abs(est - exact) <= max(1.0, 0.05 * exact))}]
+    )
+
+
 def tdigest_nchars_guard(sf_dir: str) -> pd.DataFrame:
     """Driver-side accuracy guard for the t-digest sketch: compares the
     sketch quantiles against exact quantiles (computed engine-side on the
