@@ -268,6 +268,8 @@ def run_scaling(repeats: int = 4) -> dict:
             finally:
                 for p in load:
                     p.kill()
+                for p in load:
+                    p.wait()  # reap — zombies accumulate across repeats otherwise
             runs[arm].append(json.loads(out.stdout.strip().splitlines()[-1]))
     best = {arm: max(rs, key=lambda r: r["docs_per_sec"]) for arm, rs in runs.items()}
     eff = (best["32"]["docs_per_sec"] / best["8"]["docs_per_sec"]) / 4

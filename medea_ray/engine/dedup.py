@@ -357,6 +357,8 @@ def near_dup_pairs(
                 if not si:
                     continue
                 for j in range(i + 1, len(members)):
+                    if members[j][0] == members[i][0]:
+                        continue  # duplicate id rows are not near-dups of themselves
                     sj = sets[j]
                     if not sj:
                         continue
@@ -377,6 +379,8 @@ def near_dup_pairs(
             for i in range(len(kept_ids) - 1):
                 est = (sigs[i] == sigs[i + 1 :]).mean(axis=1)  # vs all later rows
                 for dj in np.nonzero(est >= threshold)[0]:
+                    if kept_ids[i + 1 + dj] == kept_ids[i]:
+                        continue  # duplicate id rows are not near-dups of themselves
                     out_a.append(kept_ids[i])
                     out_b.append(kept_ids[i + 1 + dj])
                     out_j.append(float(est[dj]))

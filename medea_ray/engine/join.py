@@ -31,7 +31,12 @@ def _collect_dim(dim_ds, pk_col: str, value_cols: list[str]) -> pa.Table:
     parts = [p for p in parts if p.num_rows]
     if not parts:
         raise ValueError("broadcast_join: dimension side is empty")
-    t = pa.concat_tables(parts).combine_chunks()
+    # permissive promotion: a block whose keys are all null carries a
+    # null-typed column that plain concat rejects
+    t = pa.concat_tables(parts, promote_options="permissive").combine_chunks()
+    # null keys can never match (SQL join semantics): drop them, otherwise
+    # pc.index_in would pair a null FK with the null key's row
+    t = t.filter(pc.is_valid(t.column(pk_col)))
     # first-wins dedup on the key
     keys = t.column(pk_col)
     first_idx = []

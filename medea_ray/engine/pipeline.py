@@ -317,6 +317,18 @@ def run_validation_pipeline(
             next_pid += 1
     todo = [p for p in input_files if p not in done]
 
+    # Sweep ALL uncommitted wave dirs (no manifest record → a killed or
+    # abandoned attempt), not just the one this run is about to reuse:
+    # read_violations/read_verdicts scan everything under results/, so a
+    # stale dir whose wave_id is never reached again would otherwise leak
+    # phantom rows forever.
+    committed_waves = {rec["wave_id"] for rec in done.values()}
+    results_root = os.path.join(out_dir, "results")
+    if os.path.isdir(results_root):
+        for d in os.listdir(results_root):
+            if d.startswith("wave_") and d[5:].isdigit() and int(d[5:]) not in committed_waves:
+                shutil.rmtree(os.path.join(results_root, d))
+
     wave_id = max(
         (rec["wave_id"] for rec in done.values()), default=-1
     ) + 1

@@ -107,8 +107,10 @@ def hll_distinct_guard(sf_dir: str) -> pd.DataFrame:
     a sketch regression turns this driver row red."""
     ds = _read(sf_dir, "documents", columns=["text"])
     est = stats.approx_distinct(ds, "text")
-    groups = uniqueness.group_count(ds, "text").take_all()  # distinct texts
-    exact = sum(1 for g in groups if g["text"] is not None)
+    # exact side stays engine-side: drop nulls, group, COUNT the groups —
+    # no text ever ships to the driver
+    non_null = ds.map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    exact = uniqueness.group_count(non_null, "text").count()
     return pd.DataFrame(
         [{"hll_within_5pct": bool(abs(est - exact) <= max(1.0, 0.05 * exact))}]
     )

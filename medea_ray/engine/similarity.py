@@ -309,7 +309,6 @@ def embedding_near_dup(
 
     log = logging.getLogger(__name__)
 
-    rng = np.random.default_rng(seed)
     planes_by_table = None  # built lazily once dim is known
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -52,6 +52,24 @@ def test_name_collision_gets_suffix(ray_session):
     assert out[0]["name_dim"] == "dim-name"
 
 
+def test_null_dim_key_never_matches(ray_session):
+    """SQL join semantics: a null FK matches nothing, even when the
+    dimension side contains a null key row."""
+    import ray.data as rd
+
+    fact = rd.from_items([{"fk": None, "x": 1}, {"fk": 1, "x": 2}])
+    dim = rd.from_items([{"pk": None, "name": "junk"}, {"pk": 1, "name": "a"}])
+    left = sorted(
+        broadcast_join(fact, "fk", dim, "pk", ["name"], concurrency=2).take_all(),
+        key=lambda r: r["x"],
+    )
+    assert [r["name"] for r in left] == [None, "a"]
+    inner = broadcast_join(
+        fact, "fk", dim, "pk", ["name"], how="inner", concurrency=2
+    ).take_all()
+    assert [(r["fk"], r["name"]) for r in inner] == [(1, "a")]
+
+
 def test_empty_dim_raises(ray_session):
     import ray.data as rd
 

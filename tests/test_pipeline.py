@@ -145,6 +145,32 @@ def test_resume_mid_wave_kill_never_double_counts(ray_session, pages_dir, tmp_pa
     assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
 
 
+def test_orphaned_uncommitted_wave_dirs_swept(ray_session, pages_dir, tmp_path):
+    """A stale wave dir whose wave_id is never reused (input files removed
+    between runs) must still be swept on resume — read_violations scans
+    everything under results/, so it would leak phantom rows forever."""
+    out = str(tmp_path / "out_orphan")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    run_validation_pipeline(
+        files[:2], flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    # an uncommitted attempt at a wave id the next (smaller) run never reaches
+    stale = os.path.join(out, "results", "wave_000009")
+    shutil.copytree(os.path.join(out, "results", "wave_000000"), stale)
+    run_validation_pipeline(
+        files[:2], flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert not os.path.isdir(stale)
+    got = read_violations(out)
+    exp = {
+        (url, path, spec)
+        for url, path, spec in expected_violations_chunk(0, 2 * ROWS_PER_FILE)
+    }
+    assert got.num_rows == len(exp)
+
+
 def test_resume_pid_stable_when_input_set_changes(ray_session, pages_dir, tmp_path):
     """Regression (round-2 advisor): partition ids are committed in the
     manifest and survive a resume with an added input file — earlier

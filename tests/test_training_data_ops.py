@@ -143,6 +143,23 @@ def test_near_dup_pairs_estimate_mode(ray_session):
         assert abs(j_est - j_exact) < 0.25, (a, b, j_est, j_exact)
 
 
+def test_near_dup_pairs_no_self_pairs_on_duplicate_ids(ray_session):
+    """Duplicate id rows (e.g. a re-ingested file) must not report a row
+    as a near-duplicate of itself in either verify mode."""
+    import ray.data as rd
+
+    from medea_ray.engine.dedup import near_dup_pairs
+
+    text = "a page that appears twice under the same id after a partial re-ingest run"
+    rows = [{"doc_id": 1, "text": text}, {"doc_id": 1, "text": text},
+            {"doc_id": 2, "text": text}]
+    ds = rd.from_items(rows)
+    for mode in ("exact", "estimate"):
+        pairs = near_dup_pairs(ds, "doc_id", threshold=0.5, concurrency=2, verify=mode)
+        assert (pairs["id_a"] != pairs["id_b"]).all(), mode
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}, mode
+
+
 def test_knn_ivf_recall(ray_session):
     import ray.data as rd
 
