@@ -295,9 +295,14 @@ def run_validation_pipeline(
     totals + per-partition verdicts. Ray must already be initialised."""
     import ray.data as rd
 
+    import hashlib
+
     # Fail fast with a clean driver-side error on a bad schema; actors
     # compile their own copy but never see an invalid one.
     compile_schemata(parse_specification(schema_text))
+    schema_digest = hashlib.md5(
+        schema_text.encode() if isinstance(schema_text, str) else schema_text
+    ).hexdigest()
 
     if concurrency is None:
         concurrency = default_pool()
@@ -334,6 +339,7 @@ def run_validation_pipeline(
     ) + 1
     for w0 in range(0, len(todo), wave_size):
         wave_files = todo[w0 : w0 + wave_size]
+        wave_started = time.time()
         ds = rd.read_parquet(
             wave_files,
             columns=[id_col, payload_col],
@@ -399,7 +405,10 @@ def run_validation_pipeline(
                     "n_valid": int(r["n_valid_sum"]),
                     "n_invalid": int(r["n_rows_sum"] - r["n_valid_sum"]),
                     "schema_version": schema_version,
+                    "schema_digest": schema_digest,
+                    "started_at": wave_started,
                     "finished_at": now,
+                    "wall_s": round(now - wave_started, 3),
                 }
             )
         _commit_manifest(out_dir, wave_id, records)

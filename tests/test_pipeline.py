@@ -63,6 +63,17 @@ def test_pipeline_end_to_end(ray_session, pages_dir, tmp_path):
     )
     assert got_set == exp
 
+    # lineage completeness (SURVEY §4.3): every manifest record carries
+    # partition identity, counts, schema identity and timing
+    for rec in load_manifest(out).values():
+        for field in (
+            "input_path", "partition_id", "wave_id", "n_rows", "n_valid",
+            "n_invalid", "schema_version", "schema_digest", "started_at",
+            "finished_at", "wall_s",
+        ):
+            assert field in rec, field
+        assert rec["finished_at"] >= rec["started_at"]
+
     verdicts = read_verdicts(out)
     assert verdicts.num_rows == N_ROWS // ROWS_PER_FILE
     assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
