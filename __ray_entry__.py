@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_counts": q.doc_token_counts,
         "doc_text_features": q.doc_text_features,
+        "top_tokens": q.top_tokens,
         # Medea validation (E3, the per-row kernel end-to-end)
         "validate_documents_payload": q.validate_documents_payload,
         "validation_verdict_counts": q.validation_verdict_counts,
@@ -223,6 +224,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN 0
                         ELSE len(regexp_extract_all(text, '\\S+')) END AS n_tokens
             FROM documents
+        """,
+        # ties broken by token asc on both sides; ASCII token class keeps
+        # Python re and DuckDB RE2 in lockstep
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
         """,
         "validate_documents_payload": f"""
             SELECT doc_id,

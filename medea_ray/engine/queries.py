@@ -365,6 +365,43 @@ def doc_token_counts(sf_dir: str):
     return text.add_token_counts(ds, id_col="doc_id")
 
 
+def top_tokens(sf_dir: str):
+    """Corpus-wide top-50 tokens: the explode/unnest shape — one row per
+    token occurrence is never materialized; each batch explodes and
+    pre-counts its own tokens (Arrow group_by per batch), so the shuffle
+    moves (token, partial_count) rows only, then groupby-sum + sort+limit.
+    Tokenization is ASCII [a-z0-9_]+ on lower() to stay in exact lockstep
+    with the DuckDB oracle's RE2 semantics."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t.column("text").to_pylist():
+            if text is None:
+                continue
+            for tok in token_re.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
 def doc_text_features(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality + fingerprint features (rows-only check)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
