@@ -38,6 +38,11 @@ _DEFECT_PATH_SQL = (
 )
 
 
+def _ranges_sql() -> str:
+    """queries.VALUE_RANGES as a SQL VALUES list (single source of truth)."""
+    return ", ".join(f"('{lab}', {lo!r}, {hi!r})" for lab, lo, hi in q.VALUE_RANGES)
+
+
 def _knn_query_literals() -> list[str]:
     import numpy as np
 
@@ -105,6 +110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
+        # ordered / windowed operators (engine/window.py)
+        "user_sessions": q.user_sessions,
+        "clicks_last_purchase": q.clicks_last_purchase,
+        "events_value_ranges": q.events_value_ranges,
+        "top_events_per_user": q.top_events_per_user,
+        "events_tumbling_6h": q.events_tumbling_6h,
         # uniqueness / referential / dedup (E9 + training-data ops)
         "exact_dup_texts": q.exact_dup_texts,
         "minhash_near_dup": q.minhash_near_dup,
@@ -196,6 +207,54 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity >= 49
+        """,
+        # gap + window-width constants come from the same Python constants
+        # the engine queries use (queries.SESSION_GAP_US etc.)
+        "user_sessions": f"""
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+              FROM events),
+            m AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN prev_us IS NULL OR ts_us - prev_us > {q.SESSION_GAP_US}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM o),
+            s AS (
+              SELECT user_id, ts_us,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_n
+              FROM m)
+            SELECT user_id, session_n,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_n
+        """,
+        "clicks_last_purchase": """
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS last_purchase_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_value_ranges": f"""
+            SELECT e.event_id, r.bucket
+            FROM events e
+            JOIN (VALUES {_ranges_sql()}) r(bucket, lo, hi)
+              ON e.value >= r.lo AND e.value < r.hi
+        """,
+        "top_events_per_user": """
+            SELECT user_id, "rank", event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS "rank"
+              FROM events) WHERE "rank" <= 3
+        """,
+        "events_tumbling_6h": f"""
+            SELECT epoch_us(ts) - epoch_us(ts) % {q.TUMBLE_6H_US} AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY 1
         """,
         "text_len_histogram": """
             SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from medea_ray.engine import dedup, drift, similarity, stats, text, uniqueness
+from medea_ray.engine import dedup, drift, similarity, stats, text, uniqueness, window
 from medea_ray.engine.pipeline import validate_dataset
 from medea_ray.fixtures.gen import DEFECT_SPECIFIER, build_payload
 
@@ -238,6 +238,84 @@ def events_by_type_daily(sf_dir: str):
     return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("milli", alias_name="sum_value_milli"))
+    )
+
+
+# -- ordered / windowed operators (engine/window.py) -------------------------
+
+
+SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8h: ~2.1 events/session on testdata
+
+# static value-range buckets for the interval join; "burst" overlaps "mid"
+# and "high" on purpose (multi-match rows prove the range-join semantics)
+VALUE_RANGES = [
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 200.0),
+    ("high", 200.0, 1000.0),
+    ("burst", 100.0, 300.0),
+]
+
+TUMBLE_6H_US = 6 * 3600 * 1_000_000
+
+
+def user_sessions(sf_dir: str):
+    """Gap-based sessions per user over the events stream."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return window.sessionize(ds, "user_id", "ts", gap_us=SESSION_GAP_US)
+
+
+def clicks_last_purchase(sf_dir: str):
+    """Backward as-of join: each click event paired with the timestamp of
+    the same user's latest purchase at or before it (inner: clicks with no
+    prior purchase drop, keeping the oracle output null-free)."""
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'click'"
+    )
+    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    out = window.asof_join(
+        clicks, purchases, on="user_id", ts_col="ts",
+        left_cols=["event_id"], match_name="last_purchase_us", how="inner",
+    )
+    return out.select_columns(["event_id", "user_id", "ts_us", "last_purchase_us"])
+
+
+def events_value_ranges(sf_dir: str):
+    """Interval (range) join of events.value against static, overlapping
+    value buckets."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = window.interval_join(ds, "value", VALUE_RANGES, label_name="bucket")
+    return out.select_columns(["event_id", "bucket"])
+
+
+def top_events_per_user(sf_dir: str):
+    """Window-function shape: top-3 events by value per user, ties broken
+    by event_id asc (row_number() semantics)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = window.top_k_per_group(
+        ds, "user_id", order_col="value", k=3, tiebreak_col="event_id"
+    )
+    return out.select_columns(["user_id", "rank", "event_id"])
+
+
+def events_tumbling_6h(sf_dir: str):
+    """Tumbling 6-hour windowed aggregate: count + integer-milli value sum
+    per window."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("milli", m)
+
+    win = window.tumbling_window(
+        ds.map_batches(milli, batch_format="pyarrow"), "ts", TUMBLE_6H_US, ["milli"]
+    )
+    return (
+        win.groupby("window_start_us")
         .aggregate(Count(alias_name="n"), Sum("milli", alias_name="sum_value_milli"))
     )
 

@@ -1,0 +1,322 @@
+"""Ordered / windowed operators over time-keyed streams: sessionization,
+as-of join, interval (range) join, per-group top-k, tumbling windows.
+
+The reference (juspay/medea) is a single-document validation library with
+no temporal operators; these come from the north rule's engine surface
+(drift across warc_ts partitions implies time-keyed streams) and the
+standard large-scale training-data pipeline toolkit (windowed aggregates,
+as-of/range joins over event logs).
+
+Scale shapes:
+
+- ``sessionize`` / ``asof_join`` / ``top_k_per_group`` co-partition by a
+  group key with ONE Ray groupby shuffle, then do vectorized (numpy over
+  int64 timestamp views) per-group work inside ``map_groups``.
+  Partitioning assumption: ONE group's rows fit in a worker heap — true
+  for per-user event streams whose size is bounded by human activity, not
+  corpus size. A degenerate hot group is truncated at ``max_group_size``
+  (earliest rows kept — deterministic) with a logged drop count, same
+  policy as dedup's bucket cap (no silent caps).
+- ``interval_join`` broadcasts the (small) interval table once inside the
+  task closure and scans each batch with one boolean mask per interval —
+  no shuffle, O(n_intervals × batch) vectorized. Intervals may overlap
+  (a row joins every interval containing it).
+- ``tumbling_window`` is a pure ``map_batches`` bucketization (epoch
+  floor-div) feeding the same partial-aggregating groupby shape as
+  ``queries.events_daily``; the shuffle moves (window, partial) rows only.
+
+Timestamps cross every API boundary as int64 epoch-microseconds (Arrow
+``timestamp[us]`` casts to them zero-copy) so no float ever reaches an
+oracle compare.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_log = logging.getLogger(__name__)
+
+DEFAULT_MAX_GROUP = 2_000_000
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] / int64 column → int64 numpy view."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _cap_sorted(order: np.ndarray, max_group_size: int, what: str, key) -> tuple[np.ndarray, int]:
+    """Truncate a sort-order index array to the cap, logging the overflow."""
+    dropped = 0
+    if len(order) > max_group_size:
+        dropped = len(order) - max_group_size
+        _log.warning("%s group %r: %d rows capped to %d (dropped %d)",
+                     what, key, len(order), max_group_size, dropped)
+        order = order[:max_group_size]
+    return order, dropped
+
+
+def sessionize(
+    ds,
+    group_col: str,
+    ts_col: str,
+    gap_us: int,
+    max_group_size: int = DEFAULT_MAX_GROUP,
+):
+    """Gap-based sessionization: per ``group_col``, sort by time and cut a
+    new session whenever the gap to the previous event exceeds ``gap_us``.
+    Returns one row per session: (group, session_n [1-based, in time
+    order], start_us, end_us, n_events).
+
+    Equal-timestamp ties need no tiebreak — a zero gap can never open a
+    session, and start/end/count are order-invariant within a tie."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t.column(group_col),
+            "ts_us": pa.array(_ts_us(t.column(ts_col)), pa.int64()),
+        })
+
+    def per_group(t: pa.Table) -> pa.Table:
+        key_type = t.schema.field(group_col).type
+        schema = pa.schema([
+            (group_col, key_type), ("session_n", pa.int64()),
+            ("start_us", pa.int64()), ("end_us", pa.int64()),
+            ("n_events", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        key = t.column(group_col)[0].as_py()
+        ts = np.sort(_ts_us(t.column("ts_us")))
+        order, _ = _cap_sorted(np.arange(len(ts)), max_group_size, "sessionize", key)
+        ts = ts[order]
+        new_sess = np.empty(len(ts), dtype=bool)
+        new_sess[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_sess[1:])
+        starts = np.flatnonzero(new_sess)
+        bounds = np.append(starts, len(ts))
+        return pa.table({
+            group_col: pa.array([key] * len(starts), key_type),
+            "session_n": pa.array(np.arange(1, len(starts) + 1), pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[bounds[1:] - 1], pa.int64()),
+            "n_events": pa.array(np.diff(bounds), pa.int64()),
+        }, schema=schema)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    ts_col: str,
+    left_cols: list[str],
+    match_name: str = "asof_ts_us",
+    how: str = "inner",
+    max_group_size: int = DEFAULT_MAX_GROUP,
+):
+    """Backward as-of join: for each left row, the latest right row of the
+    same ``on`` key with right ts <= left ts. Appends that right timestamp
+    as ``match_name`` (int64 epoch-us). ``how="inner"`` drops left rows
+    with no match; ``"left"`` keeps them with null.
+
+    Only the matched TIMESTAMP is emitted (not a right-row id): when
+    several right rows tie at the winning timestamp the timestamp is still
+    unique, so the result is deterministic — SQL ASOF JOIN picks an
+    arbitrary row among ties.
+
+    Shape: both sides are projected to a shared (on, ts_us, side,
+    left payload) schema, unioned (two plain map_batches branches — safe;
+    unions of WIDE branches are the executor trap), and co-partitioned by
+    ``on`` in one groupby; each group splits by side, sorts the right
+    timestamps once, and resolves every left row with one searchsorted."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    left_schema = left_ds.schema()
+    payload_fields = [(c, left_schema.base_schema.field(c).type) for c in left_cols]
+    union_schema = pa.schema(
+        [(on, left_schema.base_schema.field(on).type), ("ts_us", pa.int64()),
+         ("side", pa.int8())] + payload_fields
+    )
+    out_schema = pa.schema(
+        [(on, left_schema.base_schema.field(on).type), ("ts_us", pa.int64())]
+        + payload_fields + [(match_name, pa.int64())]
+    )
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cols = {
+            on: t.column(on),
+            "ts_us": pa.array(_ts_us(t.column(ts_col)), pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        }
+        for c, typ in payload_fields:
+            cols[c] = t.column(c).cast(typ)
+        return pa.table(cols, schema=union_schema)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {
+            on: t.column(on),
+            "ts_us": pa.array(_ts_us(t.column(ts_col)), pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+        }
+        for c, typ in payload_fields:
+            cols[c] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols, schema=union_schema)
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t.column(on)[0].as_py()
+        side = _ts_us(t.column("side"))
+        ts = _ts_us(t.column("ts_us"))
+        left_idx = np.flatnonzero(side == 0)
+        if len(left_idx) == 0:
+            return out_schema.empty_table()
+        # cap in time order so a truncated hot group keeps the earliest rows
+        left_idx = left_idx[np.argsort(ts[left_idx], kind="stable")]
+        left_idx, _ = _cap_sorted(left_idx, max_group_size, "asof_join(left)", key)
+        right_ts = np.sort(ts[side == 1])
+        right_ts, _ = _cap_sorted(right_ts, max_group_size, "asof_join(right)", key)
+        pos = np.searchsorted(right_ts, ts[left_idx], side="right") - 1
+        matched = pos >= 0
+        if how == "inner":
+            left_idx = left_idx[matched]
+            pos = pos[matched]
+            match = pa.array(right_ts[pos] if len(pos) else
+                             np.empty(0, np.int64), pa.int64())
+        else:
+            vals = np.where(matched, right_ts[np.maximum(pos, 0)] if len(right_ts)
+                            else 0, 0)
+            match = pa.array(vals, pa.int64(), mask=~matched)
+        take = pa.array(left_idx, pa.int64())
+        cols = {on: t.column(on).take(take), "ts_us": t.column("ts_us").take(take)}
+        for c, _typ in payload_fields:
+            cols[c] = t.column(c).take(take)
+        cols[match_name] = match
+        return pa.table(cols, schema=out_schema)
+
+    left = left_ds.map_batches(prep_left, batch_format="pyarrow")
+    right = right_ds.map_batches(prep_right, batch_format="pyarrow")
+    return left.union(right).groupby(on).map_groups(per_group, batch_format="pyarrow")
+
+
+def interval_join(
+    ds,
+    col: str,
+    intervals: list[tuple[str, float, float]],
+    label_name: str = "label",
+    how: str = "inner",
+):
+    """Range join against a static interval table: emit one output row per
+    (input row, interval) pair with ``lo <= value < hi``. Intervals
+    ``(label, lo, hi)`` may overlap — a row matches all of them.
+    ``how="left"`` additionally emits unmatched rows with a null label.
+
+    The interval table is broadcast inside the task closure (it is tiny by
+    the operator's contract — for a large interval side, sort it and use
+    ``asof_join`` on the lower bound instead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    labels = [lab for lab, _, _ in intervals]
+    los = np.array([lo for _, lo, _ in intervals], np.float64)
+    his = np.array([hi for _, _, hi in intervals], np.float64)
+
+    def match(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(f.name, f.type) for f in t.schema] + [(label_name, pa.string())]
+        )
+        vals = t.column(col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        parts = []
+        matched_any = np.zeros(len(v), dtype=bool)
+        for i, lab in enumerate(labels):
+            m = (v >= los[i]) & (v < his[i])
+            matched_any |= m
+            idx = np.flatnonzero(m)
+            if len(idx):
+                sub = t.take(pa.array(idx, pa.int64()))
+                sub = sub.append_column(label_name, pa.array([lab] * len(idx), pa.string()))
+                parts.append(sub)
+        if how == "left":
+            idx = np.flatnonzero(~matched_any)
+            if len(idx):
+                sub = t.take(pa.array(idx, pa.int64()))
+                sub = sub.append_column(label_name, pa.nulls(len(idx), pa.string()))
+                parts.append(sub)
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts).cast(out_schema)
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def top_k_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+):
+    """Per-group top-k with a deterministic total order: sort each group by
+    (``order_col`` desc|asc, ``tiebreak_col`` asc), keep the first k rows,
+    and append ``rank`` (1-based). The SQL mirror is
+    ``row_number() OVER (PARTITION BY g ORDER BY o DESC, t ASC) <= k``.
+
+    One groupby shuffle; per-group cost is one lexsort — the group must
+    fit in a worker heap (bounded-group assumption, see module doc)."""
+
+    def per_group(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(f.name, f.type) for f in t.schema] + [("rank", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = t.column(order_col)
+        if isinstance(order, pa.ChunkedArray):
+            order = order.combine_chunks()
+        o = order.to_numpy(zero_copy_only=False)
+        tie = t.column(tiebreak_col)
+        if isinstance(tie, pa.ChunkedArray):
+            tie = tie.combine_chunks()
+        tb = tie.to_numpy(zero_copy_only=False)
+        # np.lexsort: last key is primary; stable, so ties fall to tb asc
+        idx = np.lexsort((tb, -o if descending else o))[:k]
+        out = t.take(pa.array(idx, pa.int64()))
+        out = out.append_column("rank", pa.array(np.arange(1, len(idx) + 1), pa.int64()))
+        return out.cast(out_schema)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def tumbling_window(ds, ts_col: str, width_us: int, keep_cols: list[str]):
+    """Bucketize a time-keyed stream into fixed tumbling windows: appends
+    ``window_start_us = ts_us - ts_us % width_us`` (int64) and projects to
+    (window_start_us, *keep_cols) ready for a groupby-aggregate. The
+    windowing itself is embarrassingly parallel; only the caller's
+    aggregate shuffles (partial per block, tiny exchange)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t.column(ts_col))
+        win = ts - ts % np.int64(width_us)
+        cols = {"window_start_us": pa.array(win, pa.int64())}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
