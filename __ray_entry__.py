@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
+        # large×large shuffle join (engine/join.py)
+        "orders_lineitem_join": q.orders_lineitem_join,
+        "orders_no_lineitems": q.orders_no_lineitems,
         # ordered / windowed operators (engine/window.py)
         "user_sessions": q.user_sessions,
         "clicks_last_purchase": q.clicks_last_purchase,
@@ -207,6 +210,15 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity >= 49
+        """,
+        "orders_lineitem_join": """
+            SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        "orders_no_lineitems": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         """,
         # gap + window-width constants come from the same Python constants
         # the engine queries use (queries.SESSION_GAP_US etc.)

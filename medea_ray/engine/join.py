@@ -1,5 +1,8 @@
-"""Broadcast (map-side) lookup join: enrich a fact stream with dimension
-attributes without shuffling the fact table.
+"""Join operators: broadcast (map-side) lookup join for fact×dim, and a
+hash-shuffle join (``shuffle_join``) for two large sides.
+
+Broadcast join: enrich a fact stream with dimension attributes without
+shuffling the fact table.
 
 Scale shape: the dimension side (customers, nations, hosts — orders of
 magnitude smaller than the fact side) is collected once, deduplicated by
@@ -112,4 +115,48 @@ def broadcast_join(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+_SHUFFLE_JOIN_TYPES = (
+    "inner", "left_outer", "right_outer", "full_outer",
+    "left_semi", "right_semi", "left_anti", "right_anti",
+)
+
+
+def shuffle_join(
+    left_ds,
+    right_ds,
+    on: str | tuple[str, ...],
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+    right_on: str | tuple[str, ...] | None = None,
+):
+    """Hash-partitioned join for two LARGE sides — delegates to Ray Data's
+    native hash-shuffle ``Dataset.join`` (both sides exchanged once by key
+    hash; each partition joined independently by aggregator actors).
+
+    Use ``broadcast_join`` when one side fits in a worker heap (no
+    shuffle at all); use this when both sides are fact-scale. Null join
+    keys never match (SQL semantics); ``left_anti`` keeps null-key left
+    rows — i.e. NOT EXISTS, not NOT IN, semantics.
+
+    ``num_partitions`` bounds per-aggregator memory: output blocks ≈
+    total_size / num_partitions, so size it to rows × row_width / target
+    block size (defaults to 2 × cluster CPUs). Skewed hot keys
+    concentrate in one partition — pre-aggregate or salt upstream if one
+    key's matches exceed a worker heap; the cartesian blowup of a hot key
+    (L×R rows) is inherent to join semantics, not to this implementation.
+    """
+    import ray
+
+    if join_type not in _SHUFFLE_JOIN_TYPES:
+        raise ValueError(f"join_type must be one of {_SHUFFLE_JOIN_TYPES}, got {join_type!r}")
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left_ds.join(
+        right_ds, join_type, num_partitions, on=on, right_on=right_on,
     )

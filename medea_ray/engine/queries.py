@@ -242,6 +242,37 @@ def events_by_type_daily(sf_dir: str):
     )
 
 
+# -- large×large shuffle join (engine/join.py shuffle_join) -------------------
+
+
+def orders_lineitem_join(sf_dir: str):
+    """Inner hash-shuffle join of two fact-scale tables (orders⋈lineitem);
+    floats cross the boundary only as pass-through VALUES (exact), never
+    accumulations."""
+    from medea_ray.engine.join import shuffle_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = shuffle_join(
+        orders, lineitem, on="o_orderkey", right_on="l_orderkey",
+        join_type="inner", num_partitions=16,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "l_linenumber", "l_quantity"])
+
+
+def orders_no_lineitems(sf_dir: str):
+    """Anti join (NOT EXISTS): orders with no lineitem rows."""
+    from medea_ray.engine.join import shuffle_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    out = shuffle_join(
+        orders, lineitem, on="o_orderkey", right_on="l_orderkey",
+        join_type="left_anti", num_partitions=16,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
 # -- ordered / windowed operators (engine/window.py) -------------------------
 
 

@@ -96,3 +96,73 @@ def test_chained_joins_vs_duckdb(ray_session):
         ).fetchall()
     )
     assert got == exp
+
+
+# -- shuffle_join (large×large, Ray native hash join) ------------------------
+
+
+def _sj(l_items, r_items, join_type, **kw):
+    import ray.data as rd
+
+    from medea_ray.engine.join import shuffle_join
+
+    return shuffle_join(
+        rd.from_items(l_items), rd.from_items(r_items),
+        on="k", join_type=join_type, num_partitions=4, **kw
+    ).take_all()
+
+
+def test_shuffle_join_inner_null_keys_never_match(ray_session):
+    out = _sj(
+        [{"k": 1, "a": 10}, {"k": None, "a": 30}],
+        [{"k": 1, "b": 100}, {"k": 1, "b": 101}, {"k": None, "b": 400}],
+        "inner",
+    )
+    assert sorted((r["k"], r["a"], r["b"]) for r in out) == [(1, 10, 100), (1, 10, 101)]
+
+
+def test_shuffle_join_anti_is_not_exists(ray_session):
+    # NOT EXISTS semantics: a null-key left row has no match, so it STAYS
+    out = _sj(
+        [{"k": 1, "a": 1}, {"k": 2, "a": 2}, {"k": None, "a": 3}],
+        [{"k": 1, "b": 9}],
+        "left_anti",
+    )
+    assert sorted((r["k"] or 0, r["a"]) for r in out) == [(0, 3), (2, 2)]
+
+
+def test_shuffle_join_semi_no_duplication(ray_session):
+    out = _sj(
+        [{"k": 1, "a": 1}],
+        [{"k": 1, "b": 9}, {"k": 1, "b": 10}],
+        "left_semi",
+    )
+    assert [(r["k"], r["a"]) for r in out] == [(1, 1)]
+
+
+def test_shuffle_join_invalid_type_raises(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.join import shuffle_join
+
+    with pytest.raises(ValueError, match="join_type"):
+        shuffle_join(rd.from_items([{"k": 1}]), rd.from_items([{"k": 1}]),
+                     on="k", join_type="cross")
+
+
+def test_shuffle_join_vs_duckdb(ray_session):
+    from medea_ray.engine.queries import orders_lineitem_join
+
+    got = orders_lineitem_join(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey"""
+    ).df()
+    # (o_orderkey, l_linenumber) is NOT unique in the synthetic testdata:
+    # sort by every column, like the driver's canonicalization
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert got.shape == exp.shape
+    assert (got.to_numpy() == exp.to_numpy()).all()
