@@ -62,6 +62,7 @@ def _cmd_run(args) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     from medea_ray.engine.pipeline import run_validation_pipeline
 
+    exts = (".parquet", ".jsonl", ".json")
     if os.path.isfile(args.input):
         files = [args.input]
     elif any(c in args.input for c in "*?["):
@@ -70,13 +71,17 @@ def _cmd_run(args) -> int:
         files = sorted(
             os.path.join(args.input, f)
             for f in os.listdir(args.input)
-            if f.endswith(".parquet")
+            if f.endswith(exts)
         )
     else:
         print(f"input {args.input!r} is not a file, directory or glob", file=sys.stderr)
         return 2
     if not files:
-        print(f"no parquet inputs under {args.input!r}", file=sys.stderr)
+        print(f"no parquet/jsonl inputs under {args.input!r}", file=sys.stderr)
+        return 2
+    found = {"jsonl" if f.endswith((".jsonl", ".json")) else "parquet" for f in files}
+    if len(found) > 1:
+        print(f"mixed parquet and jsonl inputs under {args.input!r}", file=sys.stderr)
         return 2
     report = run_validation_pipeline(
         files,
@@ -87,6 +92,7 @@ def _cmd_run(args) -> int:
         batch_size=args.batch_size,
         wave_size=args.wave_size,
         resume=not args.no_resume,
+        input_format=found.pop(),
     )
     report.pop("partitions", None)
     print(json.dumps(report))
@@ -117,7 +123,8 @@ def _cmd_gen_pages(args) -> int:
     from medea_ray.fixtures.gen import write_pages
 
     paths = write_pages(
-        args.out, args.rows, rows_per_file=args.rows_per_file, workers=args.workers
+        args.out, args.rows, rows_per_file=args.rows_per_file, workers=args.workers,
+        fmt=args.format,
     )
     print(json.dumps({"files": len(paths), "rows": args.rows, "out": args.out}))
     return 0
@@ -155,6 +162,7 @@ def main(argv=None) -> int:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--rows-per-file", type=int, default=50_000)
     g.add_argument("--workers", type=int, default=1)
+    g.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     g.set_defaults(fn=_cmd_gen_pages)
 
     args = p.parse_args(argv)

@@ -289,10 +289,19 @@ def run_validation_pipeline(
     resume: bool = True,
     schema_version: str = "v1",
     actor_num_cpus: float = ACTOR_NUM_CPUS,
+    input_format: str = "parquet",
 ) -> dict:
     """Read → validate (actor pool) → one-pass tagged sink, in waves of
     ``wave_size`` files with per-file manifest commits. Returns the report:
-    totals + per-partition verdicts. Ray must already be initialised."""
+    totals + per-partition verdicts. Ray must already be initialised.
+
+    ``input_format="jsonl"`` reads newline-delimited JSON instead of
+    parquet (same wave/manifest semantics; the needed columns are
+    projected right after parse — JSONL, being a row format, has no
+    storage-level column pruning, which is the cost of the format, not of
+    the pipeline)."""
+    if input_format not in ("parquet", "jsonl"):
+        raise ValueError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
     import ray.data as rd
 
     import hashlib
@@ -340,14 +349,22 @@ def run_validation_pipeline(
     for w0 in range(0, len(todo), wave_size):
         wave_files = todo[w0 : w0 + wave_size]
         wave_started = time.time()
-        ds = rd.read_parquet(
-            wave_files,
-            columns=[id_col, payload_col],
-            include_paths=True,
-            # read tasks at half a slot: more feed parallelism in the slots
-            # the actor pool leaves free (measured +25% pipeline throughput)
-            ray_remote_args={"num_cpus": 0.5},
-        )
+        if input_format == "jsonl":
+            ds = rd.read_json(
+                wave_files,
+                include_paths=True,
+                file_extensions=["jsonl", "json"],
+                ray_remote_args={"num_cpus": 0.5},
+            ).select_columns([id_col, payload_col, "path"])
+        else:
+            ds = rd.read_parquet(
+                wave_files,
+                columns=[id_col, payload_col],
+                include_paths=True,
+                # read tasks at half a slot: more feed parallelism in the slots
+                # the actor pool leaves free (measured +25% pipeline throughput)
+                ray_remote_args={"num_cpus": 0.5},
+            )
         tagged = ds.map_batches(
             ValidatorActor,
             fn_constructor_kwargs=dict(

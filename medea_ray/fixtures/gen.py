@@ -221,12 +221,27 @@ def expected_violations_chunk(start: int, n: int, seed: int = 42):
     return out
 
 
+# JSONL page exports carry the JSON-safe columns only (the raw ``html``
+# binary stays parquet-only — JSON has no binary type, and Common-Crawl
+# style JSONL exports are text-derived anyway).
+JSONL_COLUMNS = ["url", "warc_ts", "text", "lang", "payload"]
+
+
 def _write_chunk(args) -> str:
-    out_dir, c, start, n, seed = args
-    path = os.path.join(out_dir, f"pages_{c:05d}.parquet")
+    out_dir, c, start, n, seed, fmt = args
+    ext = "parquet" if fmt == "parquet" else "jsonl"
+    path = os.path.join(out_dir, f"pages_{c:05d}.{ext}")
     if not os.path.exists(path):
         tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(gen_pages_chunk(start, n, seed), tmp)
+        t = gen_pages_chunk(start, n, seed)
+        if fmt == "parquet":
+            pq.write_table(t, tmp)
+        else:
+            import orjson
+
+            with open(tmp, "wb") as f:
+                for row in t.select(JSONL_COLUMNS).to_pylist():
+                    f.write(orjson.dumps(row) + b"\n")
         os.replace(tmp, path)
     return path
 
@@ -237,15 +252,19 @@ def write_pages(
     seed: int = 42,
     rows_per_file: int = 50_000,
     workers: int = 1,
+    fmt: str = "parquet",
 ) -> list[str]:
-    """Write the pages table as one parquet file per chunk (the file is the
-    engine's checkpoint partition unit). Returns the file list. Idempotent:
-    existing complete files are kept (same bytes — generation is pure in
-    (seed, index), which is also what lets ``workers > 1`` shard freely)."""
+    """Write the pages table as one parquet (or JSONL, ``fmt="jsonl"``)
+    file per chunk (the file is the engine's checkpoint partition unit).
+    Returns the file list. Idempotent: existing complete files are kept
+    (same bytes — generation is pure in (seed, index), which is also what
+    lets ``workers > 1`` shard freely)."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     jobs = []
     for c, start in enumerate(range(0, n_rows, rows_per_file)):
-        jobs.append((out_dir, c, start, min(rows_per_file, n_rows - start), seed))
+        jobs.append((out_dir, c, start, min(rows_per_file, n_rows - start), seed, fmt))
     if workers > 1 and len(jobs) > 1:
         from concurrent.futures import ProcessPoolExecutor
 

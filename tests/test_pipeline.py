@@ -277,3 +277,40 @@ def test_actor_death_mid_run_recovers(ray_session, pages_dir):
     assert os.path.exists(kill_flag)  # the kill really happened
     assert len(rows) == N_ROWS
     assert sum(not r["valid"] for r in rows) == len(_expected_violation_set())
+
+
+def test_jsonl_input_format_matches_parquet(ray_session, tmp_path):
+    """The JSONL source path produces byte-identical verdicts and violation
+    rows to the parquet path over the same generated rows."""
+    jl_dir = str(tmp_path / "pages_jl")
+    files = write_pages(jl_dir, 2000, rows_per_file=1000, fmt="jsonl")
+    assert all(f.endswith(".jsonl") for f in files)
+    out = str(tmp_path / "out_jl")
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=1, concurrency=2,
+        input_format="jsonl",
+    )
+    assert report["n_rows"] == 2000
+    exp = {(u, p, s) for u, p, s in expected_violations_chunk(0, 2000)}
+    assert report["n_invalid"] == len(exp)
+    got = read_violations(out)
+    got_set = set(zip(
+        got["url"].to_pylist(),
+        got["schema_path"].to_pylist(),
+        got["failed_specifier"].to_pylist(),
+    ))
+    assert got_set == exp
+    # resume: a second run skips every committed file
+    report2 = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=1, concurrency=2,
+        input_format="jsonl",
+    )
+    assert report2["n_files_skipped"] == len(files)
+
+
+def test_bad_input_format_raises(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="input_format"):
+        run_validation_pipeline(
+            ["x.csv"], flagship_schema_text(), str(tmp_path / "o"),
+            input_format="csv",
+        )
