@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large×large shuffle join (engine/join.py)
         "orders_lineitem_join": q.orders_lineitem_join,
         "orders_no_lineitems": q.orders_no_lineitems,
+        # deterministic sampling / splits (engine/sampling.py)
+        "doc_hash_sample": q.doc_hash_sample,
+        "doc_split_counts": q.doc_split_counts,
         # ordered / windowed operators (engine/window.py)
         "user_sessions": q.user_sessions,
         "clicks_last_purchase": q.clicks_last_purchase,
@@ -214,6 +217,18 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id IS NOT NULL
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        """,
+        "doc_split_counts": """
+            SELECT lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
         """,
         "orders_no_lineitems": """
             SELECT o.o_orderkey, o.o_custkey

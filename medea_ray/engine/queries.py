@@ -242,6 +242,33 @@ def events_by_type_daily(sf_dir: str):
     )
 
 
+# -- deterministic sampling / splits (engine/sampling.py) ---------------------
+
+
+def doc_hash_sample(sf_dir: str):
+    """~25% deterministic sample of documents by md5(doc_id) prefix."""
+    from medea_ray.engine.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return hash_sample(ds, "doc_id", threshold_hex="40")
+
+
+def doc_split_counts(sf_dir: str):
+    """Train/test split (~12.5% test) tagged by md5(doc_id) prefix, then
+    (lang, split) counts — proves the split is deterministic and exhaustive."""
+    from ray.data.aggregate import Count
+
+    from medea_ray.engine.sampling import train_test_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    tagged = train_test_split(ds, "doc_id", test_threshold_hex="2")
+    return (
+        tagged.select_columns(["lang", "split"])
+        .groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 # -- large×large shuffle join (engine/join.py shuffle_join) -------------------
 
 

@@ -422,3 +422,74 @@ def test_media_feature_extraction(ray_session, tmp_path):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="pil")
+
+
+# -- deterministic sampling / train-test split (engine/sampling.py) ----------
+
+
+def test_hash_sample_deterministic_and_rate(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import hash_sample
+
+    ds = rd.range(4000)
+    a = sorted(r["id"] for r in hash_sample(ds, "id", "40").take_all())
+    b = sorted(r["id"] for r in hash_sample(ds, "id", "40").take_all())
+    assert a == b                    # same rows every run
+    assert 0.20 < len(a) / 4000 < 0.30  # ~25% (md5 is uniform)
+
+
+def test_hash_sample_null_ids_never_sampled(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import hash_sample
+
+    ds = rd.from_items([{"id": None}, {"id": 1}, {"id": 2}])
+    out = hash_sample(ds, "id", "ff")  # ~100% of non-null ids
+    assert sorted(r["id"] for r in out.take_all()) == [1, 2]
+
+
+def test_hash_sample_bad_threshold_raises(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import hash_sample
+
+    with pytest.raises(ValueError):
+        hash_sample(rd.range(1), "id", "xyz")
+
+
+def test_train_test_split_disjoint_exhaustive_stable(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import train_test_split
+
+    ds = rd.range(2000)
+    out = train_test_split(ds, "id", "2").take_all()
+    assert len(out) == 2000
+    splits = {r["id"]: r["split"] for r in out}
+    assert set(splits.values()) == {"train", "test"}
+    n_test = sum(1 for s in splits.values() if s == "test")
+    assert 0.08 < n_test / 2000 < 0.18  # ~12.5%
+    # a row's split never depends on which rows ride along
+    sub = train_test_split(rd.range(100), "id", "2").take_all()
+    for r in sub:
+        assert splits[r["id"]] == r["split"]
+
+
+def test_train_test_split_matches_duckdb(ray_session):
+    import duckdb
+
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import train_test_split
+
+    got = sorted(
+        (r["id"], r["split"])
+        for r in train_test_split(rd.range(500), "id", "2").take_all()
+    )
+    exp = duckdb.sql("""
+        SELECT i, CASE WHEN substr(md5(CAST(i AS VARCHAR)), 1, 1) < '2'
+                       THEN 'test' ELSE 'train' END
+        FROM range(500) t(i) ORDER BY i
+    """).fetchall()
+    assert got == [(a, b) for a, b in exp]
