@@ -195,6 +195,14 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             lambda: minhash_candidate_groups(docs, "doc_id", concurrency=(1, 8)).count()
         )
 
+        # wide-shuffle operators added in round 2: large×large hash join
+        # (orders⋈lineitem, ~600k fact rows at sf0.1) and per-user
+        # sessionization (one groupby + vectorized map_groups)
+        results["orders_lineitem_join"], _ = _timed(
+            lambda: q.orders_lineitem_join(SF_DIR).count()
+        )
+        results["user_sessions"], _ = _timed(lambda: q.user_sessions(SF_DIR).count())
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),
