@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ranges": q.events_value_ranges,
         "top_events_per_user": q.top_events_per_user,
         "events_tumbling_6h": q.events_tumbling_6h,
+        "user_running_value": q.user_running_value,
+        # long→wide pivot (engine/reshape.py)
+        "user_event_pivot": q.user_event_pivot,
         # uniqueness / referential / dedup (E9 + training-data ops)
         "exact_dup_texts": q.exact_dup_texts,
         "minhash_near_dup": q.minhash_near_dup,
@@ -282,6 +285,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_milli
+            FROM events
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "text_len_histogram": """
             SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,

@@ -378,6 +378,35 @@ def events_tumbling_6h(sf_dir: str):
     )
 
 
+EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
+
+
+def user_event_pivot(sf_dir: str):
+    """Long→wide pivot: per-user count column per event type."""
+    from medea_ray.engine.reshape import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
+
+
+def user_running_value(sf_dir: str):
+    """Running per-user value sum in (ts, event_id) order — the SUM OVER
+    (PARTITION BY ... ROWS UNBOUNDED PRECEDING) window shape, on integer
+    milli units."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("milli", m)
+
+    out = window.cumulative_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="user_id", order_col="ts", value_col="milli",
+        tiebreak_col="event_id", out_name="running_milli",
+    )
+    return out.select_columns(["user_id", "event_id", "running_milli"])
+
+
 def top_users_by_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
     counts = uniqueness.group_count(ds, "user_id")

@@ -304,6 +304,44 @@ def top_k_per_group(
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def cumulative_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    out_name: str = "running",
+):
+    """Running (cumulative) sum of ``value_col`` per group in
+    (``order_col``, ``tiebreak_col``) order — the
+    ``SUM(v) OVER (PARTITION BY g ORDER BY o, t ROWS UNBOUNDED PRECEDING)``
+    window-function shape. ``value_col`` should be integer units (the
+    running sum crosses result boundaries; float accumulation would not
+    reproduce exactly) and non-null; ``order_col`` must be a timestamp or
+    integer column. One groupby shuffle; per-group cost is one lexsort
+    + one cumsum."""
+
+    def per_group(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(f.name, f.type) for f in t.schema] + [(out_name, pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        o = _ts_us(t.column(order_col))
+        tb = t.column(tiebreak_col)
+        if isinstance(tb, pa.ChunkedArray):
+            tb = tb.combine_chunks()
+        idx = np.lexsort((tb.to_numpy(zero_copy_only=False), o))
+        out = t.take(pa.array(idx, pa.int64()))
+        v = out.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        running = np.cumsum(v.to_numpy(zero_copy_only=False).astype(np.int64))
+        return out.append_column(out_name, pa.array(running, pa.int64())).cast(out_schema)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def tumbling_window(ds, ts_col: str, width_us: int, keep_cols: list[str]):
     """Bucketize a time-keyed stream into fixed tumbling windows: appends
     ``window_start_us = ts_us - ts_us % width_us`` (int64) and projects to

@@ -176,3 +176,52 @@ def test_tumbling_window_floor(ray_session):
     win = window.tumbling_window(ds, "ts", HOUR, ["user_id"])
     out = sorted(r["window_start_us"] for r in win.take_all())
     assert out == [0, 0, HOUR, 5 * HOUR]
+
+
+# -- cumulative_per_group ----------------------------------------------------
+
+
+def test_cumulative_order_and_ties(ray_session):
+    ds = _events([
+        (1, 20, 0.0, 5), (1, 10, 0.0, 9), (1, 10, 0.0, 2),
+    ])
+
+    def add_v(t):
+        import pyarrow as pa
+        return t.append_column("v", pa.array([100] * t.num_rows, pa.int64()))
+
+    src = ds.map_batches(add_v, batch_format="pyarrow")
+    out = window.cumulative_per_group(
+        src, "user_id", order_col="ts", value_col="v",
+        tiebreak_col="event_id", out_name="run",
+    ).take_all()
+    # order: ts=10/id=2, ts=10/id=9, ts=20/id=5 → running 100,200,300
+    by = {r["event_id"]: r["run"] for r in out}
+    assert by == {2: 100, 9: 200, 5: 300}
+
+
+# -- pivot_counts (engine/reshape.py) ---------------------------------------
+
+
+def test_pivot_counts_zero_fill_and_other(ray_session):
+    from medea_ray.engine.reshape import pivot_counts
+
+    ds = _events([
+        (1, 0, 0.0, 1), (1, 0, 0.0, 2), (2, 0, 0.0, 3),
+    ])
+
+    def add_cat(t):
+        import pyarrow as pa
+        cats = {1: "a", 2: "b", 3: "weird"}
+        return t.append_column(
+            "cat", pa.array([cats[i] for i in t.column("event_id").to_pylist()])
+        )
+
+    src = ds.map_batches(add_cat, batch_format="pyarrow")
+    out = pivot_counts(src, "user_id", "cat", ["a", "b"], other_name="other").take_all()
+    by = {r["user_id"]: (r["n_a"], r["n_b"], r["n_other"]) for r in out}
+    assert by == {1: (1, 1, 0), 2: (0, 0, 1)}
+    # without other_name, unknown categories drop (documented)
+    out2 = pivot_counts(src, "user_id", "cat", ["a", "b"]).take_all()
+    by2 = {r["user_id"]: (r["n_a"], r["n_b"]) for r in out2}
+    assert by2 == {1: (1, 1), 2: (0, 0)}
