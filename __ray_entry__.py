@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic sampling / splits (engine/sampling.py)
         "doc_hash_sample": q.doc_hash_sample,
         "doc_split_counts": q.doc_split_counts,
+        # benchmark decontamination (engine/decontam.py)
+        "docs_decontaminated": q.docs_decontaminated,
         # ordered / windowed operators (engine/window.py)
         "user_sessions": q.user_sessions,
         "clicks_last_purchase": q.clicks_last_purchase,
@@ -220,6 +222,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        "docs_decontaminated": """
+            SELECT doc_id FROM documents
+            WHERE text IS NOT NULL
+              AND md5(substr(text, 1, 40)) NOT IN (
+                SELECT md5(substr(text, 1, 40)) FROM documents
+                WHERE doc_id % 20 = 0 AND text IS NOT NULL)
         """,
         "doc_hash_sample": """
             SELECT doc_id, source FROM documents

@@ -242,6 +242,32 @@ def events_by_type_daily(sf_dir: str):
     )
 
 
+# -- benchmark decontamination (engine/decontam.py) ---------------------------
+
+
+def docs_decontaminated(sf_dir: str):
+    """Corpus minus rows whose 40-char text prefix digest matches the
+    pseudo-benchmark set (every 20th doc) — exact-hash decontamination as
+    a broadcast anti-join. Prefix-40 matching (the exact-dedup key) makes
+    the check non-trivial: boilerplate-sharing docs drop with the banned
+    doc itself."""
+    from medea_ray.engine.decontam import decontaminate
+
+    def drop_null_text(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("text")))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        drop_null_text, batch_format="pyarrow"
+    )
+    def benchmark_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    banned = docs.map_batches(benchmark_rows, batch_format="pyarrow")
+    out = decontaminate(docs, "text", banned, prefix_len=40)
+    return out.select_columns(["doc_id"])
+
+
 # -- deterministic sampling / splits (engine/sampling.py) ---------------------
 
 

@@ -493,3 +493,60 @@ def test_train_test_split_matches_duckdb(ray_session):
         FROM range(500) t(i) ORDER BY i
     """).fetchall()
     assert got == [(a, b) for a, b in exp]
+
+
+# -- benchmark decontamination (engine/decontam.py) --------------------------
+
+
+def _corpus():
+    import ray.data as rd
+
+    return rd.from_items([
+        {"id": 1, "text": "the quick brown fox"},
+        {"id": 2, "text": "benchmark question one"},
+        {"id": 3, "text": None},
+        {"id": 4, "text": "unrelated document"},
+    ])
+
+
+def _banned():
+    import ray.data as rd
+
+    return rd.from_items([{"text": "benchmark question one"}, {"text": None}])
+
+
+def test_decontaminate_drop_keeps_nulls(ray_session):
+    from medea_ray.engine.decontam import decontaminate
+
+    out = decontaminate(_corpus(), "text", _banned(), concurrency=2).take_all()
+    assert sorted(r["id"] for r in out) == [1, 3, 4]  # null text kept
+
+
+def test_decontaminate_tag_mode(ray_session):
+    from medea_ray.engine.decontam import decontaminate
+
+    out = decontaminate(_corpus(), "text", _banned(), mode="tag",
+                        concurrency=2).take_all()
+    by = {r["id"]: r["contaminated"] for r in out}
+    assert by == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_decontaminate_prefix_matching(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.decontam import decontaminate
+
+    corpus = rd.from_items([
+        {"id": 1, "text": "benchmark question one -- site boilerplate"},
+        {"id": 2, "text": "something else entirely"},
+    ])
+    out = decontaminate(corpus, "text", _banned(), prefix_len=10,
+                        concurrency=2).take_all()
+    assert [r["id"] for r in out] == [2]  # prefix collision drops id=1
+
+
+def test_decontaminate_bad_mode_raises(ray_session):
+    from medea_ray.engine.decontam import decontaminate
+
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(_corpus(), "text", _banned(), mode="quarantine")
