@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_lineitems": q.orders_no_lineitems,
         # deterministic sampling / splits (engine/sampling.py)
         "doc_hash_sample": q.doc_hash_sample,
+        "doc_stratified_sample": q.doc_stratified_sample,
         "doc_split_counts": q.doc_split_counts,
         # benchmark decontamination (engine/decontam.py)
         "docs_decontaminated": q.docs_decontaminated,
@@ -234,6 +235,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE doc_id IS NOT NULL
               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        """,
+        # thresholds mirror queries.STRATA_THRESHOLDS / default "2"
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IS NOT NULL
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+                  CASE lang WHEN 'en' THEN '4' WHEN 'de' THEN '8' ELSE '2' END
         """,
         "doc_split_counts": """
             SELECT lang,

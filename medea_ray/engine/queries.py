@@ -279,6 +279,21 @@ def doc_hash_sample(sf_dir: str):
     return hash_sample(ds, "doc_id", threshold_hex="40")
 
 
+STRATA_THRESHOLDS = {"en": "4", "de": "8"}  # ~25% en, ~50% de, default ~12.5%
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Per-language sampling rates (down-sample the dominant language,
+    keep more of the rest) — deterministic md5-prefix thresholds per
+    stratum."""
+    from medea_ray.engine.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_hash_sample(
+        ds, "doc_id", "lang", STRATA_THRESHOLDS, default_threshold_hex="2"
+    )
+
+
 def doc_split_counts(sf_dir: str):
     """Train/test split (~12.5% test) tagged by md5(doc_id) prefix, then
     (lang, split) counts — proves the split is deterministic and exhaustive."""

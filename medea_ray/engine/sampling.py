@@ -40,11 +40,44 @@ def hash_sample(ds, id_col: str, threshold_hex: str):
     ``threshold_hex``. Sampling rate ≈ int(threshold_hex, 16) / 16**len.
     Null ids are never sampled (no stable identity to hash)."""
     int(threshold_hex, 16)  # fail fast on a non-hex threshold
+    threshold_hex = threshold_hex.lower()  # hexdigest() is lowercase
     k = len(threshold_hex)
 
     def sample(t: pa.Table) -> pa.Table:
         pref = _hex_prefixes(t.column(id_col).to_pylist(), k)
         mask = pa.array([p is not None and p < threshold_hex for p in pref], pa.bool_())
+        return t.filter(mask)
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def stratified_hash_sample(ds, id_col: str, strata_col: str,
+                           thresholds: dict[str, str],
+                           default_threshold_hex: str = "0"):
+    """Per-stratum deterministic sampling: each row keeps/drops by its
+    id's md5-hex prefix against the threshold of ITS stratum (e.g.
+    down-sample English heavily, keep all low-resource languages). A
+    stratum not in ``thresholds`` uses ``default_threshold_hex``
+    ("0" = drop). All thresholds must share one prefix length so a row's
+    fate never depends on which stratum names appear elsewhere. Null
+    strata use the default; null ids are never sampled."""
+    thresholds = {k: v.lower() for k, v in thresholds.items()}
+    default_threshold_hex = default_threshold_hex.lower()
+    lens = {len(v) for v in thresholds.values()} | {len(default_threshold_hex)}
+    if len(lens) != 1:
+        raise ValueError(f"all thresholds must share one prefix length, got {lens}")
+    for v in list(thresholds.values()) + [default_threshold_hex]:
+        int(v, 16)  # fail fast on a non-hex threshold
+    k = lens.pop()
+
+    def sample(t: pa.Table) -> pa.Table:
+        pref = _hex_prefixes(t.column(id_col).to_pylist(), k)
+        strata = t.column(strata_col).to_pylist()
+        mask = pa.array(
+            [p is not None and p < thresholds.get(s, default_threshold_hex)
+             for p, s in zip(pref, strata)],
+            pa.bool_(),
+        )
         return t.filter(mask)
 
     return ds.map_batches(sample, batch_format="pyarrow")
@@ -58,6 +91,7 @@ def train_test_split(ds, id_col: str, test_threshold_hex: str,
     and exhaustive by construction; stable across runs and cluster
     shapes."""
     int(test_threshold_hex, 16)
+    test_threshold_hex = test_threshold_hex.lower()  # hexdigest() is lowercase
     k = len(test_threshold_hex)
 
     def tag(t: pa.Table) -> pa.Table:

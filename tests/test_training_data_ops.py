@@ -550,3 +550,31 @@ def test_decontaminate_bad_mode_raises(ray_session):
 
     with pytest.raises(ValueError, match="mode"):
         decontaminate(_corpus(), "text", _banned(), mode="quarantine")
+
+
+def test_stratified_sample_rates_and_default(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import stratified_hash_sample
+
+    items = [{"id": i, "s": ["a", "b", "c"][i % 3]} for i in range(3000)]
+    out = stratified_hash_sample(
+        rd.from_items(items), "id", "s", {"a": "8", "b": "2"},
+        default_threshold_hex="0",
+    ).take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["s"], 0)
+        by[r["s"]] += 1
+    assert 0.40 < by["a"] / 1000 < 0.60      # ~50%
+    assert 0.07 < by["b"] / 1000 < 0.19      # ~12.5%
+    assert "c" not in by                      # default "0" drops all
+
+
+def test_stratified_sample_mismatched_lengths_raise(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import stratified_hash_sample
+
+    with pytest.raises(ValueError, match="prefix length"):
+        stratified_hash_sample(rd.range(1), "id", "id", {"a": "80", "b": "2"})
