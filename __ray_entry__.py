@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": q.doc_split_counts,
         # benchmark decontamination (engine/decontam.py)
         "docs_decontaminated": q.docs_decontaminated,
+        # composed corpus-prep flagship (filter→dedup→decontaminate→sample)
+        "corpus_prep": q.corpus_prep,
         # ordered / windowed operators (engine/window.py)
         "user_sessions": q.user_sessions,
         "clicks_last_purchase": q.clicks_last_purchase,
@@ -223,6 +225,20 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        "corpus_prep": """
+            WITH filtered AS (
+              SELECT doc_id, md5(substr(text, 1, 40)) AS key
+              FROM documents
+              WHERE text IS NOT NULL AND n_chars BETWEEN 100 AND 400),
+            deduped AS (
+              SELECT key, min(doc_id) AS doc_id FROM filtered GROUP BY key),
+            banned AS (
+              SELECT DISTINCT md5(substr(text, 1, 40)) AS key FROM documents
+              WHERE doc_id % 20 = 0 AND text IS NOT NULL)
+            SELECT doc_id FROM deduped
+            WHERE key NOT IN (SELECT key FROM banned)
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
         """,
         "docs_decontaminated": """
             SELECT doc_id FROM documents

@@ -242,6 +242,76 @@ def events_by_type_daily(sf_dir: str):
     )
 
 
+# -- composed corpus-prep pipeline (the training-data flagship) ---------------
+
+
+def corpus_prep(sf_dir: str):
+    """End-to-end training-corpus preparation, each stage a streaming
+    Ray transform: quality filter (length bounds, non-null text) → exact
+    dedup on the prefix-40 content key (one shuffle, min-id survivor) →
+    benchmark decontamination (broadcast digest anti-join) → 50%
+    deterministic hash sample. Output: surviving doc_ids.
+
+    The only shuffle in the whole pipeline is the dedup groupby on the
+    16-byte key; everything else is map-side. This is the composition a
+    real 100-TB corpus run would use, just with testdata thresholds."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Min
+
+    from medea_ray.engine.sampling import hash_sample
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars")
+        keep = pc.and_(
+            pc.is_valid(t.column("text")),
+            pc.and_(pc.greater_equal(n, 100), pc.less_equal(n, 400)),
+        )
+        t = t.filter(keep)
+        keys = [
+            hashlib.md5(x[:40].encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "doc_id": t.column("doc_id"),
+        })
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    deduped = (
+        docs.map_batches(prep, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+    # benchmark set: every 20th doc of the ORIGINAL corpus (independent of
+    # the quality filter, as real decontamination must be)
+    def benchmark_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 20 == 0))
+        keys = [
+            hashlib.md5(x[:40].encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table({"key": pa.array(keys, pa.string())})
+
+    banned = {
+        r["key"]
+        for r in docs.map_batches(benchmark_keys, batch_format="pyarrow").take_all()
+    }
+    banned_ref = ray.put(banned)
+
+    def drop_banned(t: pa.Table) -> pa.Table:
+        b = ray.get(banned_ref)
+        mask = pa.array([k not in b for k in t.column("key").to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    clean = deduped.map_batches(drop_banned, batch_format="pyarrow")
+    return hash_sample(clean, "doc_id", threshold_hex="8").select_columns(["doc_id"])
+
+
 # -- benchmark decontamination (engine/decontam.py) ---------------------------
 
 
