@@ -264,7 +264,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
                         THEN 'test' ELSE 'train' END AS split,
                    CAST(count(*) AS BIGINT) AS n
-            FROM documents GROUP BY 1, 2
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2
         """,
         "orders_no_lineitems": """
             SELECT o.o_orderkey, o.o_custkey
@@ -313,8 +313,12 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id) AS "rank"
               FROM events) WHERE "rank" <= 3
         """,
+        # floor-mod ((x % w) + w) % w so pre-epoch timestamps window the
+        # same as the engine's numpy floor semantics (SQL % truncates)
         "events_tumbling_6h": f"""
-            SELECT epoch_us(ts) - epoch_us(ts) % {q.TUMBLE_6H_US} AS window_start_us,
+            SELECT epoch_us(ts)
+                     - ((epoch_us(ts) % {q.TUMBLE_6H_US}) + {q.TUMBLE_6H_US}) % {q.TUMBLE_6H_US}
+                     AS window_start_us,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1

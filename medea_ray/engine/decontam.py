@@ -46,6 +46,40 @@ def banned_digests(banned_ds, text_col: str, prefix_len: int | None = None) -> s
     return {r["d"] for r in parts}
 
 
+class _NotInFilter:
+    """Actor-pool stage holding a broadcast value set once per actor
+    (a plain-function stage would ``ray.get`` + deserialize the set on
+    every batch)."""
+
+    def __init__(self, values_ref, col: str):
+        import ray
+
+        self.values = values_ref if isinstance(values_ref, set) else ray.get(values_ref)
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [v not in self.values for v in t.column(self.col).to_pylist()],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+
+def filter_not_in(ds, col: str, values: set, concurrency=(1, 8)):
+    """Drop rows whose ``col`` value is in ``values`` — the generic
+    broadcast anti-join filter (``decontaminate`` is this plus hashing)."""
+    import ray
+
+    ref = ray.put(set(values))
+    return ds.map_batches(
+        _NotInFilter,
+        fn_constructor_kwargs=dict(values_ref=ref, col=col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class _Decontaminator:
     """Actor-pool stage holding the broadcast digest set."""
 

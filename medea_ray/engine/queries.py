@@ -32,6 +32,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _round_away(arr):
+    """DuckDB's round() is half-away-from-zero; pyarrow's default is
+    half-to-even, so a value landing exactly on .5 would silently diverge
+    from the oracle. Every cents/milli conversion goes through this."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
 # -- column stats (E6) -------------------------------------------------------
 
 
@@ -39,7 +46,7 @@ def stats_orders_totalprice(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
 
     def add_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
         return t.append_column("cents", cents)
 
     from ray.data.aggregate import Sum
@@ -164,7 +171,7 @@ def orders_by_status(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
 
     def add_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
         return pa.table({"o_orderstatus": t.column("o_orderstatus"), "cents": cents})
 
     return (
@@ -195,7 +202,7 @@ def orders_by_nation(sf_dir: str):
     )
 
     def prep(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
         return pa.table({"n_name": t.column("n_name"), "cents": cents})
 
     return (
@@ -212,7 +219,7 @@ def events_daily(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
-        milli = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        milli = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
         return pa.table({"day": day, "milli": milli})
 
     return (
@@ -230,7 +237,7 @@ def events_by_type_daily(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
-        milli = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        milli = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
         return pa.table(
             {"event_type": t.column("event_type"), "day": day, "milli": milli}
         )
@@ -257,9 +264,9 @@ def corpus_prep(sf_dir: str):
     real 100-TB corpus run would use, just with testdata thresholds."""
     import hashlib
 
-    import ray
     from ray.data.aggregate import Min
 
+    from medea_ray.engine.decontam import filter_not_in
     from medea_ray.engine.sampling import hash_sample
 
     def prep(t: pa.Table) -> pa.Table:
@@ -301,14 +308,7 @@ def corpus_prep(sf_dir: str):
         r["key"]
         for r in docs.map_batches(benchmark_keys, batch_format="pyarrow").take_all()
     }
-    banned_ref = ray.put(banned)
-
-    def drop_banned(t: pa.Table) -> pa.Table:
-        b = ray.get(banned_ref)
-        mask = pa.array([k not in b for k in t.column("key").to_pylist()], pa.bool_())
-        return t.filter(mask)
-
-    clean = deduped.map_batches(drop_banned, batch_format="pyarrow")
+    clean = filter_not_in(deduped, "key", banned)
     return hash_sample(clean, "doc_id", threshold_hex="8").select_columns(["doc_id"])
 
 
@@ -371,7 +371,14 @@ def doc_split_counts(sf_dir: str):
 
     from medea_ray.engine.sampling import train_test_split
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    def drop_null_ids(t: pa.Table) -> pa.Table:
+        # null ids have no stable split (engine: null split, SQL CASE:
+        # 'train') — exclude them on both sides rather than diverge
+        return t.filter(pc.is_valid(t.column("doc_id")))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        drop_null_ids, batch_format="pyarrow"
+    )
     tagged = train_test_split(ds, "doc_id", test_threshold_hex="2")
     return (
         tagged.select_columns(["lang", "split"])
@@ -477,7 +484,7 @@ def events_tumbling_6h(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def milli(t: pa.Table) -> pa.Table:
-        m = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        m = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
         return t.drop_columns(["value"]).append_column("milli", m)
 
     win = window.tumbling_window(
@@ -507,7 +514,7 @@ def user_running_value(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        m = pc.cast(pc.round(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        m = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
         return t.drop_columns(["value"]).append_column("milli", m)
 
     out = window.cumulative_per_group(

@@ -44,10 +44,14 @@ DEFAULT_MAX_GROUP = 2_000_000
 
 
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """timestamp[us] / int64 column → int64 numpy view."""
+    """timestamp / int64 column → int64 epoch-microseconds numpy view.
+    Non-us timestamp units are normalized first (a bare int64 cast would
+    read ms/ns ticks as µs — off by 10^3/10^-3)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_timestamp(col.type):
+        if col.type.unit != "us":
+            col = col.cast(pa.timestamp("us", tz=col.type.tz))
         col = col.cast(pa.int64())
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
@@ -295,8 +299,15 @@ def top_k_per_group(
         if isinstance(tie, pa.ChunkedArray):
             tie = tie.combine_chunks()
         tb = tie.to_numpy(zero_copy_only=False)
+        # rank the order key instead of negating it: works for any
+        # comparable dtype (strings, ints at INT64_MIN) and puts NaN at
+        # the greatest rank — matching the documented row_number() DESC
+        # mirror, where NaN sorts above every number
+        rank = np.searchsorted(np.unique(o), o).astype(np.int64)
+        if descending:
+            rank = -rank
         # np.lexsort: last key is primary; stable, so ties fall to tb asc
-        idx = np.lexsort((tb, -o if descending else o))[:k]
+        idx = np.lexsort((tb, rank))[:k]
         out = t.take(pa.array(idx, pa.int64()))
         out = out.append_column("rank", pa.array(np.arange(1, len(idx) + 1), pa.int64()))
         return out.cast(out_schema)

@@ -225,3 +225,40 @@ def test_pivot_counts_zero_fill_and_other(ray_session):
     out2 = pivot_counts(src, "user_id", "cat", ["a", "b"]).take_all()
     by2 = {r["user_id"]: (r["n_a"], r["n_b"]) for r in out2}
     assert by2 == {1: (1, 1), 2: (0, 0)}
+
+
+# -- review-fix regressions --------------------------------------------------
+
+
+def test_sessionize_ms_unit_timestamps(ray_session):
+    # a timestamp[ms] column must normalize to µs before gap comparison
+    import ray.data as rd
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 3600_000, 7200_001], pa.timestamp("ms")),
+    })
+    out = window.sessionize(rd.from_arrow(t), "u", "ts", gap_us=HOUR).take_all()
+    # gaps: 1h (same session), 1h+1ms (new session)
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+    assert max(r["end_us"] for r in out) == 7200_001_000
+
+
+def test_top_k_string_order_column(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"g": 1, "name": "beta", "id": 1},
+        {"g": 1, "name": "alpha", "id": 2},
+        {"g": 1, "name": "gamma", "id": 3},
+    ])
+    out = window.top_k_per_group(ds, "g", "name", k=1, tiebreak_col="id").take_all()
+    assert [(r["rank"], r["name"]) for r in out] == [(1, "gamma")]
+
+
+def test_top_k_nan_ranks_first_descending(ray_session):
+    # NaN = greatest, matching the row_number() DESC oracle mirror
+    ds = _events([(1, 0, float("nan"), 1), (1, 0, 5.0, 2)])
+    out = window.top_k_per_group(ds, "user_id", "value", k=1,
+                                 tiebreak_col="event_id").take_all()
+    assert [r["event_id"] for r in out] == [1]
