@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_guard": q.hll_distinct_guard,
         "tdigest_nchars": q.tdigest_nchars,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
+        "lang_nchars_sketch_guard": q.lang_nchars_sketch_guard,
         # groupby / aggregate / sort / filter engine ops
         "lang_histogram": q.lang_histogram,
         "source_counts_salted": q.source_counts_salted,
@@ -408,6 +409,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tdigest_nchars_guard": """
             SELECT true AS p50_within_tol, true AS p95_within_tol
+        """,
+        "lang_nchars_sketch_guard": """
+            SELECT DISTINCT lang, true AS p50_within_tol
+            FROM documents WHERE lang IS NOT NULL
         """,
         "knn_topk_membership": f"""
             WITH q AS (

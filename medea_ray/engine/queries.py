@@ -152,6 +152,32 @@ def tdigest_nchars_guard(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def lang_nchars_sketch_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side accuracy guard for PER-GROUP sketches
+    (stats.grouped_sketch_summary): per-language t-digest p50 of n_chars
+    must land within tolerance of the per-language exact quantile
+    (computed engine-side). The oracle emits TRUE per language, so a
+    grouped-sketch regression turns this driver row red."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    grouped = stats.grouped_sketch_summary(
+        ds, "lang", tdigest_cols=["n_chars"], quantile_qs=(0.5,)
+    )
+    exact: dict[str, float] = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for lang, n in zip(b.column("lang").to_pylist(), b.column("n_chars").to_pylist()):
+            if lang is not None and n is not None:
+                exact.setdefault(lang, []).append(n)
+    rows = []
+    for lang, vals in sorted(exact.items()):
+        e = float(np.quantile(np.asarray(vals, np.float64), 0.5))
+        p50 = grouped[lang]["n_chars"]["p50"]
+        rows.append({
+            "lang": lang,
+            "p50_within_tol": bool(abs(p50 - e) <= max(2.0, 0.05 * abs(e))),
+        })
+    return pd.DataFrame(rows)
+
+
 # -- groupby / aggregate -----------------------------------------------------
 
 

@@ -342,6 +342,93 @@ def sketch_summary(
     return out
 
 
+def grouped_sketch_summary(
+    ds,
+    group_col: str,
+    stats_cols=(),
+    hll_cols=(),
+    tdigest_cols=(),
+    quantile_qs=(0.5, 0.95, 0.99),
+    batch_size: int = 65536,
+) -> dict:
+    """Per-group sketches: ``sketch_summary`` partitioned by ``group_col``
+    (per-language quantiles, per-source distincts, ...). Returns
+    ``{group: {col: {...}}}``.
+
+    Scale shape: each batch builds one mergeable ``_SketchState`` PER
+    GROUP PRESENT IN THE BATCH, so the groupby shuffle moves only
+    (group, pickled-state) rows — never the data — and a group's values
+    are never materialized in one place (the digest/HLL streams). The
+    per-batch state count is O(groups-per-batch): meant for moderate
+    group cardinality (languages, sources, day partitions); for
+    million-way groups use a plain groupby-aggregate instead. Null group
+    keys are dropped (documented; Ray's groupby cannot shuffle them)."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(group_col)
+        t = t.filter(pc.is_valid(keys))
+        keys = t.column(group_col)
+        out_schema = pa.schema(
+            [(group_col, keys.type), ("state", pa.large_binary())]
+        )
+        groups = pc.unique(keys)
+        gs, states = [], []
+        for g in groups:
+            sub = t.filter(pc.equal(keys, g))
+            st = _SketchState(stats_cols, hll_cols, tdigest_cols)
+            st.accumulate(sub)
+            for td in st.td.values():
+                td.compress()
+            gs.append(g.as_py())
+            states.append(pickle.dumps(st))
+        return pa.table(
+            {group_col: pa.array(gs, keys.type),
+             "state": pa.array(states, pa.large_binary())},
+            schema=out_schema,
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(group_col, t.schema.field(group_col).type),
+             ("state", pa.large_binary())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        states = [pickle.loads(s) for s in t.column("state").to_pylist()]
+        acc = states[0]
+        for s in states[1:]:
+            acc.merge(s)
+        return pa.table(
+            {group_col: t.column(group_col).slice(0, 1),
+             "state": pa.array([pickle.dumps(acc)], pa.large_binary())},
+            schema=schema,
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()
+    )
+    import pickle as _p
+
+    out: dict = {}
+    for r in merged:
+        acc = _p.loads(r["state"])
+        summary: dict = {}
+        for c, (n, nulls, mn, mx, sm) in acc.basic.items():
+            summary[c] = {"n": n, "n_null": nulls, "min": mn, "max": mx, "sum": sm}
+        for c, h in acc.hll.items():
+            summary.setdefault(c, {})["approx_distinct"] = h.estimate()
+        for c, td in acc.td.items():
+            summary.setdefault(c, {}).update(
+                {f"p{int(q * 100)}": td.quantile(q) for q in quantile_qs}
+            )
+        out[r[group_col]] = summary
+    return out
+
+
 def column_stats(ds, columns: list[str]) -> dict:
     """Single-pass basic stats for several columns (no shuffle)."""
     return {

@@ -238,3 +238,42 @@ def test_union_then_groupby(ray_session, pages_dir):
     u = a.union(b)
     total = sum(r["n"] for r in group_count(u, "lang").take_all())
     assert total == 2000
+
+
+# -- grouped sketches (stats.grouped_sketch_summary) -------------------------
+
+
+def test_grouped_sketch_matches_per_group_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from medea_ray.engine.stats import grouped_sketch_summary
+
+    rng = np.random.default_rng(7)
+    items = [
+        {"g": ["a", "b", "c"][i % 3], "x": float(rng.normal(100 * (i % 3 + 1), 10))}
+        for i in range(6000)
+    ]
+    ds = rd.from_items(items, override_num_blocks=8)  # multi-block: merge path
+    out = grouped_sketch_summary(
+        ds, "g", stats_cols=["x"], tdigest_cols=["x"], quantile_qs=(0.5,)
+    )
+    assert set(out) == {"a", "b", "c"}
+    for g in "abc":
+        vals = np.array([r["x"] for r in items if r["g"] == g])
+        assert out[g]["x"]["n"] == len(vals)
+        assert out[g]["x"]["min"] == vals.min()
+        assert abs(out[g]["x"]["p50"] - np.quantile(vals, 0.5)) < 0.05 * abs(
+            np.quantile(vals, 0.5)
+        ) + 2
+
+
+def test_grouped_sketch_drops_null_groups(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.stats import grouped_sketch_summary
+
+    ds = rd.from_items([{"g": "a", "x": 1.0}, {"g": None, "x": 2.0}])
+    out = grouped_sketch_summary(ds, "g", stats_cols=["x"])
+    assert set(out) == {"a"}
+    assert out["a"]["x"]["n"] == 1
