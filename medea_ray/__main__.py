@@ -119,6 +119,43 @@ def _cmd_stats(args) -> int:
     return 0
 
 
+def _cmd_export(args) -> int:
+    """Re-partition a table into hive-partitioned parquet (the resumable
+    output layout: one directory per partition value, bounded file sizes,
+    so a downstream consumer — or a re-run — can skip finished
+    partitions)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+    import ray.data as rd
+
+    if not (os.path.isfile(args.input) or os.path.isdir(args.input)
+            or glob.glob(args.input)):
+        print(f"input {args.input!r} not found", file=sys.stderr)
+        return 2
+    cols = [c for c in args.columns.split(",") if c] or None
+    is_jsonl = args.input.endswith((".jsonl", ".json")) or (
+        os.path.isdir(args.input)
+        and any(f.endswith((".jsonl", ".json")) for f in os.listdir(args.input))
+    )
+    if is_jsonl:
+        # JSONL is a row format: prune after parse
+        ds = rd.read_json(args.input, file_extensions=["jsonl", "json"])
+        if cols:
+            ds = ds.select_columns(cols)
+    else:
+        ds = rd.read_parquet(args.input, columns=cols)
+    parts = [c for c in args.partition_by.split(",") if c]
+    ds.write_parquet(
+        args.out,
+        partition_cols=parts or None,
+        max_rows_per_file=args.max_rows_per_file,
+    )
+    print(json.dumps({"out": args.out, "partition_by": parts}))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from medea_ray.fixtures.gen import write_pages
 
@@ -156,6 +193,14 @@ def main(argv=None) -> int:
     s.add_argument("--hll", default="", help="comma-separated columns for approx distinct")
     s.add_argument("--quantiles", default="", help="comma-separated numeric columns")
     s.set_defaults(fn=_cmd_stats)
+
+    e = sub.add_parser("export", help="re-partition a table to hive-partitioned parquet")
+    e.add_argument("--input", required=True, help="parquet/jsonl file, dir or glob")
+    e.add_argument("--out", required=True)
+    e.add_argument("--partition-by", default="", help="comma-separated partition columns")
+    e.add_argument("--columns", default="", help="comma-separated columns to keep")
+    e.add_argument("--max-rows-per-file", type=int, default=200_000)
+    e.set_defaults(fn=_cmd_export)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
     g.add_argument("--out", required=True)

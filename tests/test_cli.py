@@ -104,3 +104,30 @@ def test_cli_gen_and_run(tmp_path):
     )
     assert r4.returncode == 2
     assert "not a file, directory or glob" in r4.stderr
+
+
+def test_cli_export_partitioned(tmp_path):
+    out = str(tmp_path / "by_lang")
+    r = _run(
+        "export", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--partition-by", "lang", "--columns", "doc_id,lang",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert parts  # one hive directory per language
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet', hive_partitioning=1)"
+    ).fetchone()[0]
+    exact = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert n == exact
+
+
+def test_cli_export_missing_input_exits_2(tmp_path):
+    r = _run("export", "--input", str(tmp_path / "nope.parquet"),
+             "--out", str(tmp_path / "o"))
+    assert r.returncode == 2
+    assert "not found" in r.stderr
