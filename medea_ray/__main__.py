@@ -44,6 +44,30 @@ def _cmd_validate_file(args) -> int:
     return 0
 
 
+def _resolve_inputs(path: str) -> tuple[list[str] | None, str]:
+    """Expand a file/dir/glob input into a homogeneous file list.
+    Returns (files, format 'parquet'|'jsonl') on success, or
+    (None, error message) — mixed-format dirs are an error, never a
+    silent partial read."""
+    exts = (".parquet", ".jsonl", ".json")
+    if os.path.isfile(path):
+        files = [path]
+    elif any(c in path for c in "*?["):
+        files = sorted(glob.glob(path))
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(exts)
+        )
+    else:
+        return None, f"input {path!r} is not a file, directory or glob"
+    if not files:
+        return None, f"no parquet/jsonl inputs under {path!r}"
+    found = {"jsonl" if f.endswith((".jsonl", ".json")) else "parquet" for f in files}
+    if len(found) > 1:
+        return None, f"mixed parquet and jsonl inputs under {path!r}"
+    return files, found.pop()
+
+
 def _cmd_run(args) -> int:
     # validate the schema before paying for a Ray session
     with open(args.schema) as f:
@@ -62,26 +86,9 @@ def _cmd_run(args) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     from medea_ray.engine.pipeline import run_validation_pipeline
 
-    exts = (".parquet", ".jsonl", ".json")
-    if os.path.isfile(args.input):
-        files = [args.input]
-    elif any(c in args.input for c in "*?["):
-        files = sorted(glob.glob(args.input))
-    elif os.path.isdir(args.input):
-        files = sorted(
-            os.path.join(args.input, f)
-            for f in os.listdir(args.input)
-            if f.endswith(exts)
-        )
-    else:
-        print(f"input {args.input!r} is not a file, directory or glob", file=sys.stderr)
-        return 2
-    if not files:
-        print(f"no parquet/jsonl inputs under {args.input!r}", file=sys.stderr)
-        return 2
-    found = {"jsonl" if f.endswith((".jsonl", ".json")) else "parquet" for f in files}
-    if len(found) > 1:
-        print(f"mixed parquet and jsonl inputs under {args.input!r}", file=sys.stderr)
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
         return 2
     report = run_validation_pipeline(
         files,
@@ -92,7 +99,7 @@ def _cmd_run(args) -> int:
         batch_size=args.batch_size,
         wave_size=args.wave_size,
         resume=not args.no_resume,
-        input_format=found.pop(),
+        input_format=fmt,
     )
     report.pop("partitions", None)
     print(json.dumps(report))
@@ -124,29 +131,29 @@ def _cmd_export(args) -> int:
     output layout: one directory per partition value, bounded file sizes,
     so a downstream consumer — or a re-run — can skip finished
     partitions)."""
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+
     import ray
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     import ray.data as rd
 
-    if not (os.path.isfile(args.input) or os.path.isdir(args.input)
-            or glob.glob(args.input)):
-        print(f"input {args.input!r} not found", file=sys.stderr)
-        return 2
+    parts = [c for c in args.partition_by.split(",") if c]
     cols = [c for c in args.columns.split(",") if c] or None
-    is_jsonl = args.input.endswith((".jsonl", ".json")) or (
-        os.path.isdir(args.input)
-        and any(f.endswith((".jsonl", ".json")) for f in os.listdir(args.input))
-    )
-    if is_jsonl:
+    if cols:
+        # partition columns must survive the projection to name the dirs
+        cols += [p for p in parts if p not in cols]
+    if fmt == "jsonl":
         # JSONL is a row format: prune after parse
-        ds = rd.read_json(args.input, file_extensions=["jsonl", "json"])
+        ds = rd.read_json(files, file_extensions=["jsonl", "json"])
         if cols:
             ds = ds.select_columns(cols)
     else:
-        ds = rd.read_parquet(args.input, columns=cols)
-    parts = [c for c in args.partition_by.split(",") if c]
+        ds = rd.read_parquet(files, columns=cols)
     ds.write_parquet(
         args.out,
         partition_cols=parts or None,

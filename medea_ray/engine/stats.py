@@ -330,6 +330,12 @@ def sketch_summary(
     acc = states[0]
     for s in states[1:]:
         acc.merge(s)
+    return _finalize_state(acc, quantile_qs)
+
+
+def _finalize_state(acc: "_SketchState", quantile_qs) -> dict:
+    """_SketchState → {col: summary} (shared by the flat and grouped paths
+    so their output shapes can never diverge)."""
     out: dict = {}
     for c, (n, nulls, mn, mx, sm) in acc.basic.items():
         out[c] = {"n": n, "n_null": nulls, "min": mn, "max": mx, "sum": sm}
@@ -372,18 +378,28 @@ def grouped_sketch_summary(
         out_schema = pa.schema(
             [(group_col, keys.type), ("state", pa.large_binary())]
         )
-        groups = pc.unique(keys)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # one sort + contiguous run slices: O(rows log rows) regardless of
+        # group count (a per-group filter scan would be O(groups × rows))
+        order = pc.sort_indices(keys)
+        t = t.take(order)
+        keys = t.column(group_col)
+        vc = pc.value_counts(keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
         gs, states = [], []
-        for g in groups:
-            sub = t.filter(pc.equal(keys, g))
+        start = 0
+        for rec in vc.to_pylist():  # first-occurrence order == sorted order here
+            n = rec["counts"]
+            sub = t.slice(start, n)
+            start += n
             st = _SketchState(stats_cols, hll_cols, tdigest_cols)
             st.accumulate(sub)
             for td in st.td.values():
                 td.compress()
-            gs.append(g.as_py())
+            gs.append(rec["values"])
             states.append(pickle.dumps(st))
         return pa.table(
-            {group_col: pa.array(gs, keys.type),
+            {group_col: pa.array(gs, t.schema.field(group_col).type),
              "state": pa.array(states, pa.large_binary())},
             schema=out_schema,
         )
@@ -411,22 +427,10 @@ def grouped_sketch_summary(
         .map_groups(merge_group, batch_format="pyarrow")
         .take_all()
     )
-    import pickle as _p
-
-    out: dict = {}
-    for r in merged:
-        acc = _p.loads(r["state"])
-        summary: dict = {}
-        for c, (n, nulls, mn, mx, sm) in acc.basic.items():
-            summary[c] = {"n": n, "n_null": nulls, "min": mn, "max": mx, "sum": sm}
-        for c, h in acc.hll.items():
-            summary.setdefault(c, {})["approx_distinct"] = h.estimate()
-        for c, td in acc.td.items():
-            summary.setdefault(c, {}).update(
-                {f"p{int(q * 100)}": td.quantile(q) for q in quantile_qs}
-            )
-        out[r[group_col]] = summary
-    return out
+    return {
+        r[group_col]: _finalize_state(pickle.loads(r["state"]), quantile_qs)
+        for r in merged
+    }
 
 
 def column_stats(ds, columns: list[str]) -> dict:

@@ -130,4 +130,31 @@ def test_cli_export_missing_input_exits_2(tmp_path):
     r = _run("export", "--input", str(tmp_path / "nope.parquet"),
              "--out", str(tmp_path / "o"))
     assert r.returncode == 2
-    assert "not found" in r.stderr
+    assert "is not a file" in r.stderr
+
+
+def test_cli_export_glob_and_column_autoadd(tmp_path):
+    import shutil
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+    out = str(tmp_path / "og")
+    # glob input + --columns omitting the partition column (auto-added)
+    r = _run("export", "--input", f"{src}/*.parquet", "--out", out,
+             "--partition-by", "lang", "--columns", "doc_id")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_cli_export_mixed_dir_exits_2(tmp_path):
+    import shutil
+
+    src = str(tmp_path / "mixed")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+    with open(os.path.join(src, "stray.jsonl"), "w") as f:
+        f.write('{"a": 1}\n')
+    r = _run("export", "--input", src, "--out", str(tmp_path / "o"))
+    assert r.returncode == 2
+    assert "mixed" in r.stderr
