@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q.top_events_per_user,
         "events_tumbling_6h": q.events_tumbling_6h,
         "user_running_value": q.user_running_value,
+        "events_prev_value": q.events_prev_value,
         # long→wide pivot (engine/reshape.py)
         "user_event_pivot": q.user_event_pivot,
         # uniqueness / referential / dedup (E9 + training-data ops)
@@ -331,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS running_milli
             FROM events
+        """,
+        "events_prev_value": """
+            SELECT user_id, event_id, prev_milli FROM (
+              SELECT user_id, event_id,
+                     LAG(CAST(round(value * 1000) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_milli
+              FROM events) WHERE prev_milli IS NOT NULL
         """,
         "user_event_pivot": """
             SELECT user_id,

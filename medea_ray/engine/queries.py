@@ -551,6 +551,30 @@ def user_running_value(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "running_milli"])
 
 
+def events_prev_value(sf_dir: str):
+    """Per-user LAG: each event paired with the user's previous event
+    value (integer milli), in (ts, event_id) order; first events drop so
+    only exact integers cross the oracle boundary."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("milli", m)
+
+    out = window.lag_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="user_id", order_col="ts", value_col="milli",
+        tiebreak_col="event_id", out_name="prev_milli",
+    )
+
+    def drop_first(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("prev_milli")))
+
+    return out.map_batches(drop_first, batch_format="pyarrow").select_columns(
+        ["user_id", "event_id", "prev_milli"]
+    )
+
+
 def top_users_by_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
     counts = uniqueness.group_count(ds, "user_id")

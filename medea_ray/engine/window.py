@@ -315,6 +315,52 @@ def top_k_per_group(
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def lag_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    periods: int = 1,
+    out_name: str = "lagged",
+):
+    """Per-group LAG (``periods`` > 0) / LEAD (``periods`` < 0) of
+    ``value_col`` in (``order_col``, ``tiebreak_col``) order — the
+    ``LAG(v, n) OVER (PARTITION BY g ORDER BY o, t)`` window shape. Rows
+    with no row ``periods`` back/ahead get a null ``out_name``.
+    ``order_col`` must be a timestamp or integer column. One groupby
+    shuffle; per-group cost is one lexsort + one slice."""
+    if periods == 0:
+        raise ValueError("periods must be non-zero (positive=lag, negative=lead)")
+
+    def per_group(t: pa.Table) -> pa.Table:
+        vtype = t.schema.field(value_col).type
+        out_schema = pa.schema(
+            [(f.name, f.type) for f in t.schema] + [(out_name, vtype)]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        o = _ts_us(t.column(order_col))
+        tb = t.column(tiebreak_col)
+        if isinstance(tb, pa.ChunkedArray):
+            tb = tb.combine_chunks()
+        idx = np.lexsort((tb.to_numpy(zero_copy_only=False), o))
+        out = t.take(pa.array(idx, pa.int64()))
+        v = out.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n, p = len(v), periods
+        if abs(p) >= n:
+            lagged = pa.nulls(n, vtype)
+        elif p > 0:
+            lagged = pa.concat_arrays([pa.nulls(p, vtype), v.slice(0, n - p)])
+        else:
+            lagged = pa.concat_arrays([v.slice(-p, n + p), pa.nulls(-p, vtype)])
+        return out.append_column(out_name, lagged).cast(out_schema)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def cumulative_per_group(
     ds,
     group_col: str,

@@ -262,3 +262,45 @@ def test_top_k_nan_ranks_first_descending(ray_session):
     out = window.top_k_per_group(ds, "user_id", "value", k=1,
                                  tiebreak_col="event_id").take_all()
     assert [r["event_id"] for r in out] == [1]
+
+
+# -- lag_per_group -----------------------------------------------------------
+
+
+def test_lag_per_group_basic_and_short(ray_session):
+    ds = _events([
+        (1, 10, 3.0, 1), (1, 20, 7.0, 2), (1, 30, 9.0, 3),
+        (2, 5, 1.0, 9),
+    ])
+    out = window.lag_per_group(
+        ds, "user_id", order_col="ts", value_col="value",
+        tiebreak_col="event_id", out_name="prev",
+    ).take_all()
+    by = {r["event_id"]: r["prev"] for r in out}
+    assert by == {1: None, 2: 3.0, 3: 7.0, 9: None}
+
+
+def test_lead_per_group_negative_periods(ray_session):
+    ds = _events([(1, 10, 3.0, 1), (1, 20, 7.0, 2)])
+    out = window.lag_per_group(
+        ds, "user_id", order_col="ts", value_col="value",
+        tiebreak_col="event_id", periods=-1, out_name="next",
+    ).take_all()
+    by = {r["event_id"]: r["next"] for r in out}
+    assert by == {1: 7.0, 2: None}
+
+
+def test_lag_periods_beyond_group_size_all_null(ray_session):
+    ds = _events([(1, 10, 3.0, 1), (1, 20, 7.0, 2)])
+    out = window.lag_per_group(
+        ds, "user_id", order_col="ts", value_col="value",
+        tiebreak_col="event_id", periods=5, out_name="prev",
+    ).take_all()
+    assert all(r["prev"] is None for r in out)
+
+
+def test_lag_zero_periods_raises(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="periods"):
+        window.lag_per_group(rd.range(1), "id", "id", "id", "id", periods=0)
