@@ -143,7 +143,11 @@ def shuffle_join(
 
     ``num_partitions`` bounds per-aggregator memory: output blocks ≈
     total_size / num_partitions, so size it to rows × row_width / target
-    block size (defaults to 2 × cluster CPUs). Skewed hot keys
+    block size (defaults to 2 × cluster CPUs). Measured at sf0.1
+    (600k-row join, 32 cpus): 16 partitions 3.3 s, 32 → 4.0 s, 64 →
+    7.2 s — per-partition machinery dominates small inputs, so pass a
+    small explicit value when the joined data is far below
+    partitions × target block size. Skewed hot keys
     concentrate in one partition — pre-aggregate or salt upstream if one
     key's matches exceed a worker heap; the cartesian blowup of a hot key
     (L×R rows) is inherent to join semantics, not to this implementation.
