@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_digests": q.doc_text_digests,
         # text analysis
         "doc_token_counts": q.doc_token_counts,
+        "doc_word_stats": q.doc_word_stats,
         "doc_text_features": q.doc_text_features,
         "top_tokens": q.top_tokens,
         # Medea validation (E3, the per-row kernel end-to-end)
@@ -375,6 +376,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN 0
                         ELSE len(regexp_extract_all(text, '\\S+')) END AS n_tokens
+            FROM documents
+        """,
+        "doc_word_stats": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) END
+                     AS n_words,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) END
+                     AS n_distinct_words
             FROM documents
         """,
         # ties broken by token asc on both sides; ASCII token class keeps

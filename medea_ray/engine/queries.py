@@ -735,6 +735,13 @@ def top_tokens(sf_dir: str):
     )
 
 
+def doc_word_stats(sf_dir: str):
+    """Per-doc word-repetition stats (Gopher-style boilerplate signal):
+    total vs distinct ASCII word counts, exactly mirrored in SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text.add_word_stats(ds, id_col="doc_id")
+
+
 def doc_text_features(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality + fingerprint features (rows-only check)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -151,6 +151,43 @@ def add_token_counts(ds, text_col: str = "text", id_col: str | None = None):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_ASCII_WORD_RE = None
+
+
+def add_word_stats(ds, text_col: str = "text", id_col: str | None = None):
+    """Word-repetition stats per document: (id, n_words,
+    n_distinct_words) over ASCII ``[a-z0-9_]+`` tokens of ``lower(text)``
+    — the Gopher-style repetition signal (a low distinct/total ratio
+    flags boilerplate). The token class keeps Python ``re`` and DuckDB
+    RE2 in exact lockstep for the oracle. Null text → 0/0 (no words)."""
+    import re
+
+    global _ASCII_WORD_RE
+    if _ASCII_WORD_RE is None:
+        _ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_w, n_d = [], []
+        for t in batch.column(text_col).to_pylist():
+            if not t:
+                n_w.append(0)
+                n_d.append(0)
+                continue
+            words = _ASCII_WORD_RE.findall(t.lower())
+            n_w.append(len(words))
+            n_d.append(len(set(words)))
+        cols = (
+            {id_col: batch.column(id_col)}
+            if id_col
+            else dict(zip(batch.column_names, batch.columns))
+        )
+        cols["n_words"] = pa.array(n_w, pa.int64())
+        cols["n_distinct_words"] = pa.array(n_d, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def add_text_length(ds, text_col: str = "text", out_col: str = "text_len"):
     """Vectorized text length (pyarrow.compute, zero-copy append)."""
 
