@@ -142,13 +142,57 @@ def exact_dup_groups(ds, id_col: str, text_col: str = "text"):
     )
 
 
-def dedup_exact(ds, id_col: str, text_col: str = "text"):
-    """Keep one row per distinct text: hash-partition + per-group first.
-    Returns the deduplicated Dataset (all original columns)."""
-    hashed = add_content_hash(ds, text_col)
-    return hashed.groupby("content_md5").map_groups(
-        lambda df: df.sort_values(id_col).head(1), batch_format="pandas"
+def dedup_exact(ds, id_col: str, text_col: str = "text", concurrency=(1, 8)):
+    """Keep one row per distinct text (min-``id_col`` survivor). Returns
+    the deduplicated Dataset (all original columns).
+
+    Two passes, neither of which ever shuffles the text column (the
+    round-2 implementation ran one full-row groupby on the content hash —
+    the most expensive possible shape at corpus scale):
+
+    1. project to (content_md5, id) and groupby the 16-byte hash; each
+       duplicate group emits its NON-survivor ids (everything but the min).
+    2. broadcast that drop-id set once (``ray.put``) and anti-filter the
+       original dataset map-side (the ``decontam.filter_not_in`` shape).
+
+    The broadcast set holds only ids of dropped duplicate rows — dup_rate
+    × corpus ids, not the corpus. For a corpus whose duplicate count
+    exceeds driver memory, run ``exact_dup_groups`` to parquet and
+    anti-join in hash-bucket passes instead (``referential.bucket_of``
+    shape). Rows with a null ``text_col`` have no content to compare and
+    are always kept.
+    """
+    import pyarrow.compute as pc
+
+    from medea_ray.engine.decontam import filter_not_in
+
+    def to_key_id(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(text_col)))
+        return pa.table({
+            "content_md5": pa.array(md5_hex(t.column(text_col).to_pylist()), pa.string()),
+            id_col: t.column(id_col),
+        })
+
+    def drop_ids(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        schema = pa.schema([("drop_id", id_type)])
+        if t.num_rows < 2:
+            return schema.empty_table()
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        order = pc.array_sort_indices(ids)
+        return pa.table({"drop_id": ids.take(order.slice(1))}, schema=schema)
+
+    dropped = (
+        ds.map_batches(to_key_id, batch_format="pyarrow")
+        .groupby("content_md5")
+        .map_groups(drop_ids, batch_format="pyarrow")
     )
+    drop_set = {r["drop_id"] for r in dropped.take_all()}
+    if not drop_set:
+        return ds
+    return filter_not_in(ds, id_col, drop_set, concurrency=concurrency)
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -294,7 +338,9 @@ def near_dup_pairs(
     shingle_n: int = 3,
     concurrency=(1, 8),
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
-    verify: str = "exact",
+    verify: str = "auto",
+    auto_len_cutoff: int = 2048,
+    auto_sample: int = 256,
 ):
     """MinHash-LSH candidates + distributed pair verification: every band
     bucket verifies its own members inside ``map_groups`` (pairwise over ≤
@@ -310,11 +356,29 @@ def near_dup_pairs(
     per row regardless of document length, the right trade for long web
     pages — and estimates Jaccard as the fraction of agreeing signature
     components (unbiased; std ≈ sqrt(j(1-j)/num_hashes) ≈ 0.06 at k=64).
+    The default ``verify="auto"`` peeks at ``auto_sample`` texts and picks
+    exact only when the mean length is below ``auto_len_cutoff`` bytes
+    (short snippets, where the estimate's ±0.06 matters most); web-page-
+    scale text gets the constant-shuffle-volume estimate mode. The choice
+    is logged — never a silent scale trap.
     Returns a pandas DataFrame (id_a, id_b, jaccard ≥ threshold)."""
     import pandas as pd
 
-    if verify not in ("exact", "estimate"):
-        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if verify not in ("exact", "estimate", "auto"):
+        raise ValueError(f"verify must be 'exact', 'estimate' or 'auto', got {verify!r}")
+    if verify == "auto":
+        sample = [
+            r[text_col]
+            for r in ds.limit(auto_sample).select_columns([text_col]).take(auto_sample)
+            if r[text_col] is not None
+        ]
+        mean_len = sum(len(t) for t in sample) / len(sample) if sample else 0.0
+        verify = "exact" if mean_len < auto_len_cutoff else "estimate"
+        _log.info(
+            "near_dup_pairs verify='auto': mean text length %.0f B over %d sampled"
+            " rows -> %s verification (cutoff %d B)",
+            mean_len, len(sample), verify, auto_len_cutoff,
+        )
     exact = verify == "exact"
     signed = ds.map_batches(
         MinHashSigner,

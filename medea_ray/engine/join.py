@@ -40,17 +40,14 @@ def _collect_dim(dim_ds, pk_col: str, value_cols: list[str]) -> pa.Table:
     # null keys can never match (SQL join semantics): drop them, otherwise
     # pc.index_in would pair a null FK with the null key's row
     t = t.filter(pc.is_valid(t.column(pk_col)))
-    # first-wins dedup on the key
-    keys = t.column(pk_col)
-    first_idx = []
-    seen = set()
-    for i, k in enumerate(keys.to_pylist()):
-        if k not in seen:
-            seen.add(k)
-            first_idx.append(i)
-    if len(first_idx) != t.num_rows:
-        t = t.take(pa.array(first_idx, pa.int64()))
-    return t
+    # first-wins dedup on the key: one columnar group_by over the row
+    # index — min per key is the first occurrence in dataset order
+    t = t.append_column("__idx", pa.array(range(t.num_rows), pa.int64()))
+    firsts = t.group_by(pk_col).aggregate([("__idx", "min")]).column("__idx_min")
+    if len(firsts) != t.num_rows:
+        firsts = firsts.combine_chunks()
+        t = t.take(firsts.take(pc.array_sort_indices(firsts)))
+    return t.drop_columns(["__idx"])
 
 
 class _Joiner:

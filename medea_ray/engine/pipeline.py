@@ -317,7 +317,18 @@ def run_validation_pipeline(
         concurrency = default_pool()
     t_start = time.time()
     input_files = sorted(input_files)
-    done = load_manifest(out_dir) if resume else {}
+    if resume:
+        done = load_manifest(out_dir)
+    else:
+        # a fresh (resume=False) run into a previously-used out_dir must
+        # not inherit its manifest: the uncommitted-wave sweep below keys
+        # off manifest records, so stale wave_*.json files would survive
+        # the sweep and report phantom partitions with deleted result dirs
+        # (plus stale pids mixed into the fresh numbering)
+        done = {}
+        mdir = _manifest_dir(out_dir)
+        if os.path.isdir(mdir):
+            shutil.rmtree(mdir)
     # partition_id assignment persists across resumes: manifested paths keep
     # their committed pid; only unseen paths get fresh ids. (Assigning pids
     # from the sorted file list alone would renumber everything when a file

@@ -46,9 +46,17 @@ DEFAULT_MAX_GROUP = 2_000_000
 def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """timestamp / int64 column → int64 epoch-microseconds numpy view.
     Non-us timestamp units are normalized first (a bare int64 cast would
-    read ms/ns ticks as µs — off by 10^3/10^-3)."""
+    read ms/ns ticks as µs — off by 10^3/10^-3). Null entries are
+    rejected: to_numpy would turn them into NaN and the int64 cast of NaN
+    is garbage — sessions/matches would silently corrupt. Filter null
+    timestamps upstream if the stream can contain them."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"null timestamp/order values ({col.null_count} of {len(col)}) are "
+            "not orderable; drop or fill them before the windowed operator"
+        )
     if pa.types.is_timestamp(col.type):
         if col.type.unit != "us":
             col = col.cast(pa.timestamp("us", tz=col.type.tz))
@@ -193,7 +201,18 @@ def asof_join(
         left_idx = left_idx[np.argsort(ts[left_idx], kind="stable")]
         left_idx, _ = _cap_sorted(left_idx, max_group_size, "asof_join(left)", key)
         right_ts = np.sort(ts[side == 1])
-        right_ts, _ = _cap_sorted(right_ts, max_group_size, "asof_join(right)", key)
+        if len(right_ts) > max_group_size:
+            # keep the LATEST right timestamps: the true backward match is
+            # the largest right ts <= left ts, so a left row whose match
+            # was truncated gets NO match — dropping the earliest instead
+            # would silently hand it an older, wrong timestamp
+            n_drop = len(right_ts) - max_group_size
+            _log.warning(
+                "asof_join(right) group %r: %d rows capped to %d (dropped %d "
+                "earliest; affected left rows get no match, never a stale one)",
+                key, len(right_ts), max_group_size, n_drop,
+            )
+            right_ts = right_ts[n_drop:]
         pos = np.searchsorted(right_ts, ts[left_idx], side="right") - 1
         matched = pos >= 0
         if how == "inner":
@@ -302,10 +321,21 @@ def top_k_per_group(
         # rank the order key instead of negating it: works for any
         # comparable dtype (strings, ints at INT64_MIN) and puts NaN at
         # the greatest rank — matching the documented row_number() DESC
-        # mirror, where NaN sorts above every number
-        rank = np.searchsorted(np.unique(o), o).astype(np.int64)
-        if descending:
-            rank = -rank
+        # mirror, where NaN sorts above every number. SQL NULLs are a
+        # separate case: DuckDB default is NULLS LAST under BOTH
+        # directions, so null order values rank after every value (they
+        # also must never reach np.unique — None in a string column raises)
+        is_null = pc.is_null(order).to_numpy(zero_copy_only=False)
+        if is_null.any():
+            rank = np.empty(len(o), dtype=np.int64)
+            valid = np.flatnonzero(~is_null)
+            r = np.searchsorted(np.unique(o[valid]), o[valid]).astype(np.int64)
+            rank[valid] = -r if descending else r
+            rank[is_null] = np.iinfo(np.int64).max
+        else:
+            rank = np.searchsorted(np.unique(o), o).astype(np.int64)
+            if descending:
+                rank = -rank
         # np.lexsort: last key is primary; stable, so ties fall to tb asc
         idx = np.lexsort((tb, rank))[:k]
         out = t.take(pa.array(idx, pa.int64()))

@@ -314,3 +314,29 @@ def test_bad_input_format_raises(ray_session, tmp_path):
             ["x.csv"], flagship_schema_text(), str(tmp_path / "o"),
             input_format="csv",
         )
+
+
+def test_fresh_run_clears_stale_manifest(ray_session, pages_dir, tmp_path):
+    """Regression (round-2 advisor): resume=False into a used out_dir must
+    not inherit the old manifest — a smaller rerun would otherwise report
+    phantom partitions whose result dirs the sweep deleted."""
+    out = str(tmp_path / "out_fresh")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    assert len(load_manifest(out)) == len(files)
+    # fresh (non-resume) rerun over FEWER files: manifest and verdicts must
+    # describe only the new run
+    report = run_validation_pipeline(
+        files[:1], flagship_schema_text(), out, wave_size=2, concurrency=2,
+        resume=False,
+    )
+    manifest = load_manifest(out)
+    assert set(manifest) == set(files[:1])
+    assert report["n_files_skipped"] == 0
+    verdicts = read_verdicts(out)
+    assert verdicts.num_rows == 1
+    assert sum(verdicts["n_rows"].to_pylist()) == report["n_rows"]

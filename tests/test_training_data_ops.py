@@ -578,3 +578,44 @@ def test_stratified_sample_mismatched_lengths_raise(ray_session):
 
     with pytest.raises(ValueError, match="prefix length"):
         stratified_hash_sample(rd.range(1), "id", "id", {"a": "80", "b": "2"})
+
+
+def test_dedup_exact_keeps_null_text_rows(ray_session):
+    """Null texts have no content to compare: every null row survives and
+    distinct non-null texts keep exactly their min-id survivor."""
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "same"},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "other"},
+    ])
+    kept = dedup_exact(ds, "doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4, 5]
+
+
+def test_near_dup_pairs_auto_selects_by_text_length(ray_session, caplog):
+    """verify='auto' (the default) picks exact for short snippets and the
+    constant-shuffle-volume estimate for web-page-scale text, logging the
+    decision."""
+    import logging
+
+    import ray.data as rd
+
+    from medea_ray.engine.dedup import near_dup_pairs
+
+    short = rd.from_items(
+        [{"doc_id": i, "text": f"short snippet number {i} with a few words"}
+         for i in range(8)]
+    )
+    long_rows = [{"doc_id": i, "text": ("web page boilerplate " * 200) + str(i)}
+                 for i in range(8)]
+    long = rd.from_items(long_rows)
+    with caplog.at_level(logging.INFO, logger="medea_ray.engine.dedup"):
+        near_dup_pairs(short, "doc_id", threshold=0.9, concurrency=2)
+        assert "-> exact verification" in caplog.text
+        caplog.clear()
+        near_dup_pairs(long, "doc_id", threshold=0.99, concurrency=2)
+        assert "-> estimate verification" in caplog.text

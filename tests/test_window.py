@@ -304,3 +304,62 @@ def test_lag_zero_periods_raises(ray_session):
 
     with pytest.raises(ValueError, match="periods"):
         window.lag_per_group(rd.range(1), "id", "id", "id", "id", periods=0)
+
+
+# -- null handling (round-3 hardening) ----------------------------------------
+
+
+def test_top_k_null_order_values_rank_last(ray_session):
+    # SQL mirror (DuckDB default NULLS LAST both directions): a null order
+    # value never beats a real one, for floats AND strings
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"g": 1, "v": None, "id": 1},
+        {"g": 1, "v": 5.0, "id": 2},
+        {"g": 1, "v": 1.0, "id": 3},
+    ])
+    out = window.top_k_per_group(ds, "g", "v", k=2, tiebreak_col="id").take_all()
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 2), (2, 3)]
+    out_asc = window.top_k_per_group(
+        ds, "g", "v", k=3, tiebreak_col="id", descending=False
+    ).take_all()
+    assert [r["id"] for r in out_asc] == [3, 2, 1]  # null still last
+
+    str_ds = rd.from_items([
+        {"g": 1, "name": None, "id": 1},
+        {"g": 1, "name": "alpha", "id": 2},
+    ])
+    out_s = window.top_k_per_group(str_ds, "g", "name", k=1, tiebreak_col="id").take_all()
+    assert [r["id"] for r in out_s] == [2]
+
+
+def test_null_timestamp_rejected(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"user_id": 1, "ts": 5}, {"user_id": 1, "ts": None}])
+    with pytest.raises(Exception, match="null timestamp"):
+        window.sessionize(ds, "user_id", "ts", gap_us=1).take_all()
+
+
+def test_asof_right_cap_never_fabricates_stale_match(ray_session):
+    # right side capped to 2 → the EARLIEST right rows are dropped; a left
+    # row whose true match survives still matches it, and a left row whose
+    # only candidates were dropped gets NO match (never an older wrong one)
+    out = _asof(
+        [(1, 100, 0.0, 7), (1, 15, 0.0, 8)],
+        [(1, 10), (1, 50), (1, 99)],
+        "inner",
+    )
+    by_full = {r["event_id"]: r["m"] for r in out}
+    assert by_full == {7: 99, 8: 10}
+    capped = window.asof_join(
+        _events([(1, 100, 0.0, 7), (1, 15, 0.0, 8)]),
+        _events([(1, 10), (1, 50), (1, 99)]),
+        on="user_id", ts_col="ts", left_cols=["event_id"],
+        match_name="m", how="inner", max_group_size=2,
+    ).take_all()
+    by = {r["event_id"]: r["m"] for r in capped}
+    # kept right ts = {50, 99} (latest two): event 7 matches 99 (true
+    # match), event 8's true match (10) was dropped → absent, not stale
+    assert by == {7: 99}
