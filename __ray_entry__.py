@@ -91,14 +91,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # REGISTRY SIZE CONTRACT: the driver's sweep records at most 50
+    # entries (round 2 registered 51 and the 51st silently vanished from
+    # CORRECTNESS_r02) — keep this dict ≤ 50. Round 3 deliberately retired
+    # four redundant rows-only entries in favour of oracle-checked guards
+    # over the same code paths: hll_distinct_text → hll_distinct_guard,
+    # tdigest_nchars → tdigest_nchars_guard, drift_events_value →
+    # drift_guard, knn_lsh_probe / knn_ivf_probe → knn_*_recall_guard,
+    # media_features_fake → media_features (real decode). The retired
+    # callables remain in medea_ray.engine.queries and stay pytest-covered.
     return {
         # column stats / sketches (E6-E8)
         "stats_orders_totalprice": q.stats_orders_totalprice,
         "stats_documents_nchars": q.stats_documents_nchars,
         "distinct_lang_exact": q.distinct_lang_exact,
-        "hll_distinct_text": q.hll_distinct_text,
         "hll_distinct_guard": q.hll_distinct_guard,
-        "tdigest_nchars": q.tdigest_nchars,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
         "lang_nchars_sketch_guard": q.lang_nchars_sketch_guard,
         # groupby / aggregate / sort / filter engine ops
@@ -147,16 +154,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents_payload": q.validate_documents_payload,
         "validation_verdict_counts": q.validation_verdict_counts,
         "validate_events_props": q.validate_events_props,
-        # drift (E10)
-        "drift_events_value": q.drift_events_value,
-        # similarity search
+        # drift (E10) — PSI accuracy guard, oracle-checked per day
+        "drift_guard": q.drift_guard,
+        # similarity search (+ recall guards for the approximate paths)
         "knn_topk_membership": q.knn_topk_membership,
-        "knn_lsh_probe": q.knn_lsh_probe,
-        "knn_ivf_probe": q.knn_ivf_probe,
+        "knn_lsh_recall_guard": q.knn_lsh_recall_guard,
+        "knn_ivf_recall_guard": q.knn_ivf_recall_guard,
         "minhash_verified_pairs": q.minhash_verified_pairs,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
-        # multimodal plumbing (stubbed decode, real Ray-side layout)
-        "media_features_fake": q.media_features_fake,
+        # multimodal: REAL builtin decode (BMP/PPM/WAV), oracle-checked
+        "media_features": q.media_features,
     }
 
 
@@ -448,8 +455,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             ) WHERE rnk <= 20
         """,
-        # hll_distinct_text, tdigest_nchars, minhash_near_dup,
-        # doc_text_features, drift_events_value, knn_lsh_probe,
-        # embedding_near_dup_pairs, media_features_fake: approximate /
+        # drift guard: the Ray side asserts distributed-PSI == independent
+        # exact PSI to 1e-9 per day; the oracle pins the day-bucket set and
+        # the booleans
+        "drift_guard": """
+            SELECT strftime(ts, '%Y-%m-%d') AS bucket, true AS psi_within_tol
+            FROM events GROUP BY 1
+        """,
+        # ANN recall guards: recall@10 vs the exact top-10 (thresholds are
+        # the measured deterministic floor — queries.LSH_RECALL_MIN /
+        # IVF_RECALL_MIN)
+        "knn_lsh_recall_guard": """
+            SELECT CAST(0 AS BIGINT) AS query_id, true AS lsh_recall_ok
+            UNION ALL SELECT CAST(1 AS BIGINT), true
+        """,
+        "knn_ivf_recall_guard": """
+            SELECT CAST(0 AS BIGINT) AS query_id, true AS ivf_recall_ok
+            UNION ALL SELECT CAST(1 AS BIGINT), true
+        """,
+        # real multimodal decode: DuckDB recomputes the container geometry
+        # (incl. BMP 4-byte row stride and PPM's variable-width ASCII
+        # header) from doc_id arithmetic — lockstep with
+        # multimodal.media_dims / make_media_blob
+        "media_features": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        ELSE 'wav' END AS media_format,
+                   CASE WHEN doc_id % 3 = 2 THEN 16 + doc_id % 50
+                        ELSE 4 + doc_id % 13 END AS media_width,
+                   CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+                        ELSE 3 + (doc_id // 13) % 11 END AS media_height,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 54 + ((3 * (4 + doc_id % 13) + 3) // 4) * 4
+                                        * (3 + (doc_id // 13) % 11)
+                        WHEN 1 THEN 9 + length(CAST(4 + doc_id % 13 AS VARCHAR))
+                                      + length(CAST(3 + (doc_id // 13) % 11 AS VARCHAR))
+                                      + 3 * (4 + doc_id % 13) * (3 + (doc_id // 13) % 11)
+                        ELSE 44 + (16 + doc_id % 50) * (1 + doc_id % 2) * 2
+                   END AS media_n_bytes
+            FROM documents
+        """,
+        # minhash_near_dup, simhash_near_dup, doc_text_features,
+        # minhash_verified_pairs, embedding_near_dup_pairs: approximate /
         # non-SQL-expressible → rows-only check by design.
     }

@@ -1,12 +1,23 @@
-"""Multimodal column plumbing: decode / feature-extract / resize /
-frame-sample over opaque ``binary`` payload columns with typed metadata.
+"""Multimodal column plumbing: decode / feature-extract over opaque
+``binary`` payload columns with typed metadata.
 
-The Ray-side plumbing (schema, actor-pool stage shape, batch sizing,
-output layout) is real and tested; the actual media decoding is STUBBED —
-image/audio libraries are not in this container. ``decoder="fake"`` is a
-deterministic stand-in (hash-derived dimensions/features) used by the
-tests; ``decoder="pil"``/``"ffmpeg"`` raise NotImplementedError until the
-corresponding library is installed.
+``decoder="builtin"`` (the real path) parses three uncompressed container
+formats in pure Python/numpy — no media libraries needed:
+
+- **BMP** (24-bit BI_RGB, BITMAPINFOHEADER): header-parsed dimensions,
+  4-byte-padded row stride, mean-RGB feature over the pixel grid.
+- **PPM** (binary P6, maxval 255): whitespace/comment-tolerant header
+  tokenizer, mean-RGB feature.
+- **WAV** (RIFF PCM16): chunk walk to ``fmt ``/``data``, frames ×
+  channels from block_align, (sample_rate, bits, mean |amplitude|)
+  feature.
+
+Anything unrecognized or malformed decodes to ``media_ok=false`` — a
+corrupt payload is a row verdict, never a stage crash. Compressed formats
+(JPEG/PNG/MP3/H.264) still need real codecs: ``decoder="pil"``/"ffmpeg"
+raise NotImplementedError until the corresponding library is installed,
+and ``decoder="fake"`` remains the deterministic hash-derived stand-in
+for plumbing tests.
 
 Scale notes: binary payloads are large → run with a SMALL batch_size (the
 default 64 here vs 2048 for text stages) so batch × concurrency fits the
@@ -17,6 +28,7 @@ only small typed features cross downstream stages.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -49,6 +61,171 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+# -- pure-Python codecs (uncompressed containers) ------------------------------
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 24-bit uncompressed BMP (pixel bytes are a pure
+    function of (seed, position))."""
+    stride = ((3 * width + 3) // 4) * 4
+    img_size = stride * height
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((height, stride), np.uint8)
+    base = (
+        np.arange(height, dtype=np.int64)[:, None] * (3 * width)
+        + np.arange(3 * width, dtype=np.int64)[None, :]
+        + seed * 7
+    ) % 256
+    rows[:, : 3 * width] = base
+    return header + dib + rows.tobytes()
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary PPM (P6, maxval 255)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = ((np.arange(3 * width * height, dtype=np.int64) + seed * 11) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def make_wav(n_frames: int, n_channels: int = 1, sample_rate: int = 8000,
+             seed: int = 0) -> bytes:
+    """Deterministic PCM16 WAV."""
+    block_align = n_channels * 2
+    samples = (
+        (np.arange(n_frames * n_channels, dtype=np.int64) * 37 + seed * 13) % 20001
+        - 10000
+    ).astype(np.int16)
+    d = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+        + b"data" + struct.pack("<I", len(d)) + d
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def media_dims(doc_id: int) -> tuple[str, int, int]:
+    """(format, width, height) of the deterministic per-doc media fixture.
+    For wav, width = n_frames and height = n_channels (the documented
+    audio mapping of the shared feature schema). The DuckDB oracle in
+    ``__ray_entry__.oracle_sql()['media_features']`` mirrors this
+    arithmetic — keep them in lockstep."""
+    kind = ("bmp", "ppm", "wav")[doc_id % 3]
+    if kind == "wav":
+        return kind, 16 + doc_id % 50, 1 + doc_id % 2
+    return kind, 4 + doc_id % 13, 3 + (doc_id // 13) % 11
+
+
+def make_media_blob(doc_id: int) -> bytes:
+    kind, w, h = media_dims(doc_id)
+    if kind == "bmp":
+        return make_bmp(w, h, seed=doc_id)
+    if kind == "ppm":
+        return make_ppm(w, h, seed=doc_id)
+    return make_wav(w, n_channels=h, seed=doc_id)
+
+
+def _decode_bmp(p: bytes) -> dict | None:
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    (offset,) = struct.unpack_from("<I", p, 10)
+    (hdr_size,) = struct.unpack_from("<I", p, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", p, 18)
+    _planes, bpp = struct.unpack_from("<HH", p, 26)
+    (compression,) = struct.unpack_from("<I", p, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)  # negative height = top-down row order
+    stride = ((3 * width + 3) // 4) * 4
+    if offset + stride * h > len(p):
+        return None
+    px = (
+        np.frombuffer(p, np.uint8, stride * h, offset)
+        .reshape(h, stride)[:, : 3 * width]
+        .reshape(h, width, 3)
+        .astype(np.float64)
+    )
+    mean_bgr = px.mean(axis=(0, 1)) / 255.0  # rows are BGR on disk
+    return {"ok": True, "format": "bmp", "width": width, "height": h,
+            "feature": [float(mean_bgr[2]), float(mean_bgr[1]), float(mean_bgr[0])]}
+
+
+def _decode_ppm(p: bytes) -> dict | None:
+    if not p.startswith(b"P6"):
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(p):
+        while pos < len(p) and p[pos : pos + 1].isspace():
+            pos += 1
+        if p[pos : pos + 1] == b"#":
+            nl = p.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(p) and not p[pos : pos + 1].isspace():
+            pos += 1
+        tok = p[start:pos]
+        if not tok.isdigit():
+            return None
+        vals.append(int(tok))
+    if len(vals) < 3 or pos >= len(p):
+        return None
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0 or pos + 3 * w * h > len(p):
+        return None
+    px = np.frombuffer(p, np.uint8, 3 * w * h, pos).reshape(h, w, 3).astype(np.float64)
+    mean_rgb = px.mean(axis=(0, 1)) / 255.0
+    return {"ok": True, "format": "ppm", "width": w, "height": h,
+            "feature": [float(x) for x in mean_rgb]}
+
+
+def _decode_wav(p: bytes) -> dict | None:
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", p, pos + 4)
+        if pos + 8 + size > len(p):
+            return None
+        if cid == b"fmt ":
+            fmt = p[pos + 8 : pos + 8 + size]
+        elif cid == b"data":
+            data = p[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate, _brate, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or block_align != n_ch * 2:
+        return None
+    n_frames = len(data) // block_align
+    x = np.frombuffer(data, np.int16, n_frames * n_ch).astype(np.float64)
+    mean_amp = float(np.abs(x).mean() / 32768.0) if len(x) else 0.0
+    return {"ok": True, "format": "wav", "width": n_frames, "height": n_ch,
+            "feature": [float(rate), float(bits), mean_amp]}
+
+
+_NOT_MEDIA = {"ok": False, "format": None, "width": None, "height": None, "feature": None}
+
+
+def builtin_decode(p: bytes) -> dict:
+    """Magic-byte sniff + parse; malformed/unknown payloads → ok=False."""
+    d = None
+    if p[:2] == b"BM":
+        d = _decode_bmp(p)
+    elif p[:2] == b"P6":
+        d = _decode_ppm(p)
+    elif p[:4] == b"RIFF":
+        d = _decode_wav(p)
+    return d if d is not None else dict(_NOT_MEDIA)
+
+
 class MediaFeatureExtractor:
     """Actor-pool map_batches stage over a binary column.
 
@@ -57,14 +234,17 @@ class MediaFeatureExtractor:
     small typed features, dropping the binary payload.
     """
 
-    def __init__(self, payload_col: str = "html", decoder: str = "fake"):
+    def __init__(self, payload_col: str = "html", decoder: str = "builtin"):
         self.payload_col = payload_col
-        if decoder == "fake":
+        if decoder == "builtin":
+            self.decode = builtin_decode
+        elif decoder == "fake":
             self.decode = _fake_decode
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 f"decoder {decoder!r} requires media libraries not present in "
-                "this environment; use decoder='fake' for plumbing tests"
+                "this environment; decoder='builtin' handles uncompressed "
+                "BMP/PPM/WAV without them"
             )
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
@@ -104,7 +284,7 @@ class MediaFeatureExtractor:
 def extract_media_features(
     ds,
     payload_col: str = "html",
-    decoder: str = "fake",
+    decoder: str = "builtin",
     batch_size: int = 64,
     concurrency=(1, 8),
 ):

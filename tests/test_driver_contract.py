@@ -101,3 +101,10 @@ def test_entry_smoke(entry_mod):
     metrics = dict(zip(df["metric"], df["value"]))
     assert metrics["validation.n_rows"] == 500
     assert metrics["validation.n_invalid"] == metrics["validation.n_rows"] - metrics["validation.n_valid"]
+
+
+def test_registry_within_driver_sweep_cap(entry_mod):
+    """The driver records at most 50 queries() entries (round 2 registered
+    51 and the 51st silently vanished from CORRECTNESS_r02). Never exceed
+    the cap — a query that silently exits the contract hides regressions."""
+    assert len(entry_mod.queries()) <= 50

@@ -405,7 +405,8 @@ def test_media_feature_extraction(ray_session, tmp_path):
     d = str(tmp_path / "pages")
     write_pages(d, 500, rows_per_file=500)
     ds = rd.read_parquet(d, columns=["url", "html"])
-    out = extract_media_features(ds, payload_col="html", batch_size=64, concurrency=2)
+    out = extract_media_features(ds, payload_col="html", decoder="fake",
+                                 batch_size=64, concurrency=2)
     # consume as Arrow: Ray's to_pandas() tensor-casts list columns with
     # nulls, which is exactly what we avoid by keeping plain Arrow lists
     import pyarrow as pa
@@ -619,3 +620,51 @@ def test_near_dup_pairs_auto_selects_by_text_length(ray_session, caplog):
         caplog.clear()
         near_dup_pairs(long, "doc_id", threshold=0.99, concurrency=2)
         assert "-> estimate verification" in caplog.text
+
+
+def test_builtin_codecs_roundtrip_exact():
+    """Pure-Python BMP/PPM/WAV codecs: geometry and mean features decode
+    exactly from the deterministic generators, including BMP's 4-byte row
+    padding and WAV's chunk alignment."""
+    from medea_ray.engine.multimodal import (
+        builtin_decode, make_bmp, make_media_blob, make_ppm, make_wav, media_dims)
+
+    for w, h in [(1, 1), (5, 3), (13, 11)]:
+        for make, fmt in ((make_bmp, "bmp"), (make_ppm, "ppm")):
+            blob = make(w, h, seed=w * 31 + h)
+            d = builtin_decode(blob)
+            assert (d["ok"], d["format"], d["width"], d["height"]) == (True, fmt, w, h)
+            assert len(d["feature"]) == 3 and all(0.0 <= f <= 1.0 for f in d["feature"])
+    d = builtin_decode(make_wav(16, n_channels=2, sample_rate=44100, seed=3))
+    assert (d["format"], d["width"], d["height"]) == ("wav", 16, 2)
+    assert d["feature"][0] == 44100.0 and d["feature"][1] == 16.0
+
+    # mean-RGB is exact: a PPM whose pixels are all one value
+    import numpy as np
+    header = b"P6\n2 2\n255\n"
+    d = builtin_decode(header + bytes([128] * 12))
+    assert d["ok"] and abs(d["feature"][0] - 128 / 255) < 1e-12
+
+    # every fixture blob decodes to its media_dims contract
+    for i in range(60):
+        kind, w, h = media_dims(i)
+        d = builtin_decode(make_media_blob(i))
+        assert (d["ok"], d["format"], d["width"], d["height"]) == (True, kind, w, h), i
+
+
+def test_builtin_codecs_reject_malformed():
+    from medea_ray.engine.multimodal import builtin_decode, make_bmp, make_wav
+
+    bad = [
+        b"",
+        b"garbage bytes",
+        b"BM\x00\x01",                       # truncated BMP
+        make_bmp(4, 4)[:40],                  # cut mid-header
+        b"P6\n4 4\n255\n" + b"\x00" * 5,     # raster shorter than w*h*3
+        b"P6\n4 4\n65535\n" + b"\x00" * 48,  # 16-bit maxval unsupported
+        b"RIFF\x04\x00\x00\x00WAVE",         # no fmt/data chunks
+        make_wav(8)[:30],                     # truncated WAV
+    ]
+    for p in bad:
+        d = builtin_decode(p)
+        assert d["ok"] is False, p[:20]
