@@ -118,8 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
-        # large×large shuffle join (engine/join.py)
+        # large×large shuffle join (engine/join.py) + skew-resistant salted
         "orders_lineitem_join": q.orders_lineitem_join,
+        "orders_lineitem_salted_join": q.orders_lineitem_salted_join,
         "orders_no_lineitems": q.orders_no_lineitems,
         # deterministic sampling / splits (engine/sampling.py)
         "doc_hash_sample": q.doc_hash_sample,
@@ -233,6 +234,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity >= 49
         """,
         "orders_lineitem_join": """
+            SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        """,
+        # salting must be result-invariant: identical SQL to the unsalted join
+        "orders_lineitem_salted_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         """,

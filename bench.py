@@ -99,12 +99,19 @@ def measure_turbo_droop(n_busy_low: int = 8, n_busy_high: int = 32) -> float:
 def run_suite(num_cpus: int, scaling_only: bool = False) -> dict:
     import ray
 
+    kwargs = {}
+    if scaling_only:
+        # symmetric per-arm object store: a real N-core node's plasma store
+        # scales with the node, so give each arm cpus-proportional store
+        # instead of letting the 8-cpu arm enjoy the whole machine's default
+        kwargs["object_store_memory"] = num_cpus * (1 << 30)
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
         log_to_driver=False,
+        **kwargs,
     )
     try:
         return _run_suite_inner(num_cpus, scaling_only)
@@ -203,6 +210,35 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
         )
         results["user_sessions"], _ = _timed(lambda: q.user_sessions(SF_DIR).count())
 
+        # round 3: real multimodal decode throughput (pure-Python BMP/PPM/
+        # WAV parse over 100k synthesized binary payloads, actor pool)
+        from medea_ray.engine.multimodal import extract_media_features, make_media_blob
+
+        def media_decode():
+            import pyarrow as pa
+
+            def to_blob(t):
+                ids = t.column("id").to_pylist()
+                return pa.table({
+                    "id": t.column("id"),
+                    "blob": pa.array([make_media_blob(i) for i in ids], pa.large_binary()),
+                })
+
+            blobs = rd.range(100_000).map_batches(to_blob, batch_format="pyarrow")
+            out = extract_media_features(
+                blobs, payload_col="blob", decoder="builtin",
+                batch_size=512, concurrency=pool,
+            )
+            import pyarrow.compute as pc
+
+            n_ok = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n_ok += pc.sum(pc.cast(b.column("media_ok"), "int64")).as_py()
+            assert n_ok == 100_000, n_ok
+            return n_ok
+
+        results["media_decode_100k"], _ = _timed(media_decode)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),
@@ -233,8 +269,34 @@ def _start_background_load(core_range: str, n_procs: int):
         cmd = [sys.executable, "-c", script]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", core_range] + cmd
-        procs.append(subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,  # own process group: killpg-safe cleanup
+        ))
     return procs
+
+
+def _start_background_pipeline(core_range: str, cpus: int):
+    """The strongest equal-load background: the REAL validation pipeline
+    looping on the other cores in its own pinned Ray cluster (capped
+    object store via --single-run's per-arm sizing) — the 8-cpu arm then
+    shares the box with the same stack, sink writes and shuffles included,
+    exactly like one node of a fully-loaded cluster. One looping
+    subprocess; killed (with its process group) when the arm finishes."""
+    script = (
+        "import subprocess, sys\n"
+        f"cmd = ['taskset', '-c', {core_range!r}, sys.executable, "
+        f"{os.path.join(REPO, 'bench.py')!r}, '--single-run', '{cpus}']\n"
+        "while True:\n"
+        "    subprocess.run(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)\n"
+    )
+    return [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True, cwd=REPO,
+        )
+    ]
 
 
 def run_scaling(repeats: int = 4) -> dict:
@@ -254,10 +316,17 @@ def run_scaling(repeats: int = 4) -> dict:
       memory bandwidth the way fully-loaded cluster nodes do — the
       directly-measured stand-in (no post-hoc factor)."""
     ensure_pages(SF_DIR, multiplier=16)  # warm the cache outside the timed runs
-    runs: dict[str, list[dict]] = {"8": [], "32": [], "8_loaded": []}
+    runs: dict[str, list[dict]] = {"8": [], "32": [], "8_loaded": [], "8_pipeline": []}
     have_taskset = os.path.exists("/usr/bin/taskset")
+    n_cores = os.cpu_count() or 32
+    arms = [("8", 8), ("32", 32), ("8_loaded", 8), ("8_pipeline", 8)]
+    if not have_taskset:
+        # without pinning, the background load would wander onto the
+        # measured arm's cores and the "equal-load" figure would measure
+        # scheduler luck — skip those arms rather than record a fiction
+        arms = arms[:2]
     for _ in range(repeats):
-        for arm, cpus in (("8", 8), ("32", 32), ("8_loaded", 8)):
+        for arm, cpus in arms:
             cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--single-run", str(cpus)]
             if have_taskset:
                 # Pin each arm to exactly `cpus` physical cores: an N-core
@@ -266,22 +335,29 @@ def run_scaling(repeats: int = 4) -> dict:
                 # (measured: the 32-arm went 700-940k → 940k-1.24M docs/s
                 # pinned).
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            load = (
-                _start_background_load("8-31", 24) if arm == "8_loaded" else []
-            )
+            if arm == "8_loaded":
+                load = _start_background_load(f"8-{n_cores - 1}", n_cores - 8)
+            elif arm == "8_pipeline":
+                load = _start_background_pipeline(f"8-{n_cores - 1}", n_cores - 8)
+            else:
+                load = []
             try:
                 out = subprocess.run(
                     cmd, capture_output=True, text=True, check=True, cwd=REPO
                 )
             finally:
+                import signal
+
                 for p in load:
-                    p.kill()
+                    try:  # background pipelines run in their own session —
+                        os.killpg(p.pid, signal.SIGKILL)  # kill children too
+                    except (ProcessLookupError, PermissionError):
+                        p.kill()
                 for p in load:
                     p.wait()  # reap — zombies accumulate across repeats otherwise
             runs[arm].append(json.loads(out.stdout.strip().splitlines()[-1]))
-    best = {arm: max(rs, key=lambda r: r["docs_per_sec"]) for arm, rs in runs.items()}
+    best = {arm: max(rs, key=lambda r: r["docs_per_sec"]) for arm, rs in runs.items() if rs}
     eff = (best["32"]["docs_per_sec"] / best["8"]["docs_per_sec"]) / 4
-    eff_loaded = (best["32"]["docs_per_sec"] / best["8_loaded"]["docs_per_sec"]) / 4
     droop = sorted(measure_turbo_droop() for _ in range(3))[1]  # median of 3
     eff_norm = min(1.0, eff / droop)
     result = {
@@ -290,23 +366,28 @@ def run_scaling(repeats: int = 4) -> dict:
         "unit": "efficiency",
         "queries": {
             "validate_pages_8cpu": best["8"]["queries"]["validate_pages"],
-            "validate_pages_8cpu_loaded": best["8_loaded"]["queries"]["validate_pages"],
             "validate_pages_32cpu": best["32"]["queries"]["validate_pages"],
         },
         "sf": SF_DIR,
         "num_cpus": 32,
         "docs_per_sec_8": best["8"]["docs_per_sec"],
-        "docs_per_sec_8_loaded": best["8_loaded"]["docs_per_sec"],
         "docs_per_sec_32": best["32"]["docs_per_sec"],
         "all_runs_docs_per_sec": {
-            arm: [r["docs_per_sec"] for r in rs] for arm, rs in runs.items()
+            arm: [r["docs_per_sec"] for r in rs] for arm, rs in runs.items() if rs
         },
         "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_equal_load": round(eff_loaded, 3),
         "turbo_droop_factor": round(droop, 3),
         "scaling_efficiency_freq_normalized": round(eff_norm, 3),
         "n_pages": best["32"]["n_pages"],
     }
+    for arm, label in (("8_loaded", "equal_load"), ("8_pipeline", "pipeline_load")):
+        if arm in best:
+            eff_arm = (best["32"]["docs_per_sec"] / best[arm]["docs_per_sec"]) / 4
+            result["queries"][f"validate_pages_{arm}"] = (
+                best[arm]["queries"]["validate_pages"]
+            )
+            result[f"docs_per_sec_{arm}"] = best[arm]["docs_per_sec"]
+            result[f"scaling_efficiency_{label}"] = round(eff_arm, 3)
     _append_scaling_md(result)
     return result
 
@@ -341,6 +422,13 @@ def _append_scaling_md(r: dict):
                 f"{r['docs_per_sec_8_loaded']} docs/s → equal-load efficiency "
                 f"**{r['scaling_efficiency_equal_load']}** "
                 f"(all runs: {r['all_runs_docs_per_sec']})\n"
+            )
+        if "scaling_efficiency_pipeline_load" in r:
+            f.write(
+                f"  - pipeline-load arm (8 cpus + the REAL pipeline looping on "
+                f"the other 24 in its own pinned Ray cluster): "
+                f"{r['docs_per_sec_8_pipeline']} docs/s → pipeline-load "
+                f"efficiency **{r['scaling_efficiency_pipeline_load']}**\n"
             )
 
 

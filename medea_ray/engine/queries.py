@@ -431,6 +431,25 @@ def orders_lineitem_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "l_linenumber", "l_quantity"])
 
 
+def orders_lineitem_salted_join(sf_dir: str):
+    """Skew-resistant SALTED hash join — same result set as
+    orders_lineitem_join but through join.salted_join (lineitem as the
+    salted/spread side, orders replicated n_salts×): the oracle proves
+    salting is result-invariant."""
+    from medea_ray.engine.join import salted_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = salted_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey",
+        n_salts=4, join_type="inner", num_partitions=16,
+    )
+    # the join keeps the LEFT side's key name (lineitem is the salted side)
+    return out.rename_columns({"l_orderkey": "o_orderkey"}).select_columns(
+        ["o_orderkey", "o_custkey", "l_linenumber", "l_quantity"]
+    )
+
+
 def orders_no_lineitems(sf_dir: str):
     """Anti join (NOT EXISTS): orders with no lineitem rows."""
     from medea_ray.engine.join import shuffle_join

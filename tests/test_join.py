@@ -166,3 +166,72 @@ def test_shuffle_join_vs_duckdb(ray_session):
     exp = exp[cols].sort_values(cols).reset_index(drop=True)
     assert got.shape == exp.shape
     assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+# -- salted (skew-resistant) join ---------------------------------------------
+
+
+def _skewed_sides():
+    import ray.data as rd
+
+    # hot key 1: 4000 left rows; keys 2..21: 50 rows each
+    left = rd.from_items(
+        [{"k": 1, "lv": i} for i in range(4000)]
+        + [{"k": 2 + (i % 20), "lv": 10_000 + i} for i in range(1000)]
+        + [{"k": 999, "lv": -1}, {"k": None, "lv": -2}]  # unmatched + null key
+    )
+    right = rd.from_items(
+        [{"k": k, "rv": k * 100 + j} for k in range(1, 22) for j in range(2)]
+    )
+    return left, right
+
+
+def _pairs(ds, cols):
+    rows = [tuple(r[c] for c in cols) for r in ds.take_all()]
+    return sorted(rows, key=lambda t: tuple((v is None, v or 0) for v in t))
+
+
+def test_salted_join_matches_unsalted(ray_session):
+    from medea_ray.engine.join import salted_join, shuffle_join
+
+    left, right = _skewed_sides()
+    for jt in ("inner", "left_outer", "left_semi", "left_anti"):
+        exp = _pairs(shuffle_join(left, right, on="k", join_type=jt, num_partitions=8),
+                     ["k", "lv"])
+        got = _pairs(salted_join(left, right, on="k", n_salts=8, join_type=jt,
+                                 num_partitions=8), ["k", "lv"])
+        assert got == exp, jt
+
+
+def test_salted_join_spreads_hot_key(ray_session):
+    """The salted key space splits the planted hot key's rows ~evenly: no
+    (key, salt) partition holds much more than |L_hot| / n_salts — the
+    bounded per-partition peak the docstring promises. Uses the real
+    _SaltLeft stage (per-actor running offset; a per-batch restart at salt
+    0 measured 1.6× skew on small blocks)."""
+    from medea_ray.engine.join import SALT_COL, _SaltLeft
+
+    left, _ = _skewed_sides()
+    n_salts = 8
+    salted = left.map_batches(
+        _SaltLeft, fn_constructor_kwargs=dict(n_salts=n_salts),
+        batch_format="pyarrow", concurrency=2, num_cpus=1,
+    )
+    counts = {}
+    for r in salted.take_all():
+        if r["k"] == 1:
+            counts[r[SALT_COL]] = counts.get(r[SALT_COL], 0) + 1
+    assert len(counts) == n_salts
+    # 2 actors, each stream balanced to within 1 round of n_salts
+    assert max(counts.values()) <= (4000 // n_salts) + 2 * n_salts
+
+
+def test_salted_join_rejects_right_preserving_types(ray_session):
+    from medea_ray.engine.join import salted_join
+
+    left, right = _skewed_sides()
+    for jt in ("right_outer", "full_outer", "right_semi", "right_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, on="k", join_type=jt)
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(left, right, on="k", n_salts=1)
