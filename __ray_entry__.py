@@ -480,24 +480,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(1 AS BIGINT), true
         """,
         # real multimodal decode: DuckDB recomputes the container geometry
-        # (incl. BMP 4-byte row stride and PPM's variable-width ASCII
-        # header) from doc_id arithmetic — lockstep with
-        # multimodal.media_dims / make_media_blob
+        # (incl. BMP 4-byte row stride, PPM's variable-width ASCII header,
+        # and the PNG stored-deflate layout 68 + h*(1+3w)) from doc_id
+        # arithmetic — lockstep with multimodal.media_dims / make_media_blob
         "media_features": """
             SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-                        ELSE 'wav' END AS media_format,
-                   CASE WHEN doc_id % 3 = 2 THEN 16 + doc_id % 50
+                   CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        WHEN 2 THEN 'wav' ELSE 'png' END AS media_format,
+                   CASE WHEN doc_id % 4 = 2 THEN 16 + doc_id % 50
                         ELSE 4 + doc_id % 13 END AS media_width,
-                   CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+                   CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
                         ELSE 3 + (doc_id // 13) % 11 END AS media_height,
-                   CASE doc_id % 3
+                   CASE doc_id % 4
                         WHEN 0 THEN 54 + ((3 * (4 + doc_id % 13) + 3) // 4) * 4
                                         * (3 + (doc_id // 13) % 11)
                         WHEN 1 THEN 9 + length(CAST(4 + doc_id % 13 AS VARCHAR))
                                       + length(CAST(3 + (doc_id // 13) % 11 AS VARCHAR))
                                       + 3 * (4 + doc_id % 13) * (3 + (doc_id // 13) % 11)
-                        ELSE 44 + (16 + doc_id % 50) * (1 + doc_id % 2) * 2
+                        WHEN 2 THEN 44 + (16 + doc_id % 50) * (1 + doc_id % 2) * 2
+                        ELSE 68 + (3 + (doc_id // 13) % 11)
+                                  * (1 + 3 * (4 + doc_id % 13))
                    END AS media_n_bytes
             FROM documents
         """,

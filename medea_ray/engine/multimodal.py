@@ -11,13 +11,18 @@ formats in pure Python/numpy — no media libraries needed:
 - **WAV** (RIFF PCM16): chunk walk to ``fmt ``/``data``, frames ×
   channels from block_align, (sample_rate, bits, mean |amplitude|)
   feature.
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced): CRC-verified chunk
+  walk, full DEFLATE inflate of the concatenated IDAT stream (stdlib
+  ``zlib``), and per-scanline unfiltering of all five PNG filter types
+  (None/Sub/Up/Average/Paeth) — a real compressed-format decode, no
+  media libraries.
 
 Anything unrecognized or malformed decodes to ``media_ok=false`` — a
-corrupt payload is a row verdict, never a stage crash. Compressed formats
-(JPEG/PNG/MP3/H.264) still need real codecs: ``decoder="pil"``/"ffmpeg"
-raise NotImplementedError until the corresponding library is installed,
-and ``decoder="fake"`` remains the deterministic hash-derived stand-in
-for plumbing tests.
+corrupt payload is a row verdict, never a stage crash. Entropy-coded
+formats (JPEG/MP3/H.264) still need real codecs: ``decoder="pil"``/
+"ffmpeg" raise NotImplementedError until the corresponding library is
+installed, and ``decoder="fake"`` remains the deterministic hash-derived
+stand-in for plumbing tests.
 
 Scale notes: binary payloads are large → run with a SMALL batch_size (the
 default 64 here vs 2048 for text stages) so batch × concurrency fits the
@@ -29,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -105,13 +111,59 @@ def make_wav(n_frames: int, n_channels: int = 1, sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0, *, level: int = 0,
+             filter_type: int = 0, color_type: int = 2) -> bytes:
+    """Deterministic PNG (8-bit, non-interlaced). The fixture default
+    ``level=0`` emits stored DEFLATE blocks, so for raw < 64 KiB the file
+    size is exactly ``68 + height*(1 + channels*width)`` — arithmetic the
+    DuckDB oracle can mirror. ``level>0``/``filter_type>0`` produce really
+    compressed / filtered files for decoder tests (filter bytes are written
+    per row; the pixel bytes are pre-filtered so decode still yields the
+    canonical (seed, position) pattern)."""
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    n = channels * width * height
+    px = ((np.arange(n, dtype=np.int64) + seed * 11) % 256).astype(np.uint8)
+    img = px.reshape(height, channels * width).astype(np.int64)
+    rows = []
+    for y in range(height):
+        cur = img[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(channels, np.int64), cur[:-channels]])
+            filt = (cur - left) % 256
+        elif filter_type == 2:  # Up
+            up = img[y - 1] if y > 0 else np.zeros_like(cur)
+            filt = (cur - up) % 256
+        else:
+            raise ValueError("encoder supports filter types 0/1/2")
+        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def media_dims(doc_id: int) -> tuple[str, int, int]:
     """(format, width, height) of the deterministic per-doc media fixture.
     For wav, width = n_frames and height = n_channels (the documented
     audio mapping of the shared feature schema). The DuckDB oracle in
     ``__ray_entry__.oracle_sql()['media_features']`` mirrors this
     arithmetic — keep them in lockstep."""
-    kind = ("bmp", "ppm", "wav")[doc_id % 3]
+    kind = ("bmp", "ppm", "wav", "png")[doc_id % 4]
     if kind == "wav":
         return kind, 16 + doc_id % 50, 1 + doc_id % 2
     return kind, 4 + doc_id % 13, 3 + (doc_id // 13) % 11
@@ -123,6 +175,8 @@ def make_media_blob(doc_id: int) -> bytes:
         return make_bmp(w, h, seed=doc_id)
     if kind == "ppm":
         return make_ppm(w, h, seed=doc_id)
+    if kind == "png":
+        return make_png(w, h, seed=doc_id)
     return make_wav(w, n_channels=h, seed=doc_id)
 
 
@@ -211,6 +265,85 @@ def _decode_wav(p: bytes) -> dict | None:
             "feature": [float(rate), float(bits), mean_amp]}
 
 
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray | None:
+    """Reverse PNG scanline filtering (spec filters 0-4). Returns the
+    (height, width*channels) uint8 pixel grid or None on a malformed
+    stream. Sub/Paeth are inherently sequential per pixel, so rows decode
+    in a Python loop over width — fine at thumbnail scale; megapixel
+    assets belong on decoder='pil' when a codec library is present."""
+    rowbytes = channels * width
+    if len(raw) != height * (1 + rowbytes):
+        return None
+    arr = np.frombuffer(raw, np.uint8).reshape(height, 1 + rowbytes)
+    filters, data = arr[:, 0], arr[:, 1:].astype(np.int64)
+    if filters.max(initial=0) > 4:
+        return None
+    out = np.zeros((height, rowbytes), np.int64)
+    for y in range(height):
+        f, cur = int(filters[y]), data[y]
+        up = out[y - 1] if y > 0 else np.zeros(rowbytes, np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up — vectorized across the row
+            out[y] = (cur + up) % 256
+        else:  # Sub / Average / Paeth need the just-decoded left pixel
+            row = out[y]
+            for x in range(rowbytes):
+                a = row[x - channels] if x >= channels else 0
+                b = up[x]
+                c = up[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    pp = a + b - c
+                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                row[x] = (cur[x] + pred) % 256
+    return out.astype(np.uint8)
+
+
+def _decode_png(p: bytes) -> dict | None:
+    if len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos + 8 <= len(p):
+        (size,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4 : pos + 8]
+        if pos + 12 + size > len(p):
+            return None
+        data = p[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", p, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + size
+    if ihdr is None or not idat or not seen_end or len(ihdr) != 13:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0 or w * h > 1 << 24):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, w, h, channels)
+    if px is None:
+        return None
+    mean = px.reshape(h * w, channels).astype(np.float64).mean(axis=0) / 255.0
+    return {"ok": True, "format": "png", "width": int(w), "height": int(h),
+            "feature": [float(x) for x in mean]}
+
+
 _NOT_MEDIA = {"ok": False, "format": None, "width": None, "height": None, "feature": None}
 
 
@@ -223,6 +356,8 @@ def builtin_decode(p: bytes) -> dict:
         d = _decode_ppm(p)
     elif p[:4] == b"RIFF":
         d = _decode_wav(p)
+    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+        d = _decode_png(p)
     return d if d is not None else dict(_NOT_MEDIA)
 
 
@@ -243,8 +378,8 @@ class MediaFeatureExtractor:
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 f"decoder {decoder!r} requires media libraries not present in "
-                "this environment; decoder='builtin' handles uncompressed "
-                "BMP/PPM/WAV without them"
+                "this environment; decoder='builtin' handles BMP/PPM/WAV/PNG "
+                "without them"
             )
         else:
             raise ValueError(f"unknown decoder {decoder!r}")

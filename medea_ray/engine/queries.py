@@ -1119,13 +1119,15 @@ def media_features_fake(sf_dir: str) -> pd.DataFrame:
 
 def media_features(sf_dir: str) -> pd.DataFrame:
     """REAL multimodal decode, oracle-checked (VERDICT r02 item 6): each
-    document row synthesizes an uncompressed media payload (BMP / PPM /
-    WAV, cycling on doc_id % 3 — a pure function of doc_id, see
+    document row synthesizes a media payload (BMP / PPM / WAV / PNG,
+    cycling on doc_id % 4 — a pure function of doc_id, see
     ``multimodal.media_dims``), the actor-pool extractor parses the actual
-    container bytes (headers, strides, chunk walk), and the driver checks
+    container bytes (headers, strides, chunk walk; for PNG a CRC-verified
+    chunk walk + zlib inflate + scanline unfilter), and the driver checks
     (format, width, height, n_bytes) against DuckDB recomputing the same
-    arithmetic. n_bytes is measured from the real blob, so a container-
-    layout bug on either side turns the row red."""
+    arithmetic (PNG fixtures use stored deflate blocks so the size is
+    exactly 68 + h*(1+3w)). n_bytes is measured from the real blob, so a
+    container-layout bug on either side turns the row red."""
     from medea_ray.engine.multimodal import extract_media_features, make_media_blob
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])

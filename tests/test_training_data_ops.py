@@ -646,10 +646,96 @@ def test_builtin_codecs_roundtrip_exact():
     assert d["ok"] and abs(d["feature"][0] - 128 / 255) < 1e-12
 
     # every fixture blob decodes to its media_dims contract
-    for i in range(60):
+    for i in range(80):
         kind, w, h = media_dims(i)
         d = builtin_decode(make_media_blob(i))
         assert (d["ok"], d["format"], d["width"], d["height"]) == (True, kind, w, h), i
+
+
+def test_png_codec_full_decode():
+    """PNG is a REAL compressed-format decode: zlib inflate + scanline
+    unfilter. The stored-block fixture layout (oracle arithmetic), real
+    compression at level 9, Sub/Up encoder filters, and a hand-built
+    Average/Paeth stream must all reproduce the canonical pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from medea_ray.engine.multimodal import _png_chunk, builtin_decode, make_png
+
+    # stored-deflate fixture size is exactly the oracle's arithmetic
+    for w, h in [(1, 1), (4, 3), (16, 13)]:
+        p = make_png(w, h, seed=w * 7 + h)
+        assert len(p) == 68 + h * (1 + 3 * w)
+        d = builtin_decode(p)
+        assert (d["ok"], d["format"], d["width"], d["height"]) == (True, "png", w, h)
+        assert len(d["feature"]) == 3 and all(0.0 <= f <= 1.0 for f in d["feature"])
+
+    # really-compressed + filtered variants decode to identical features
+    # across gray / RGB / RGBA
+    for color_type, n_feat in ((0, 1), (2, 3), (6, 4)):
+        base = builtin_decode(make_png(9, 7, seed=5, color_type=color_type))
+        assert len(base["feature"]) == n_feat
+        for filter_type in (0, 1, 2):
+            v = builtin_decode(
+                make_png(9, 7, seed=5, level=9, filter_type=filter_type,
+                         color_type=color_type))
+            assert v["ok"] and np.allclose(v["feature"], base["feature"]), (
+                color_type, filter_type)
+
+    # Average (3) and Paeth (4) via a hand-filtered stream
+    w, h, ch = 4, 3, 3
+    px = ((np.arange(ch * w * h, dtype=np.int64) * 37 + 5) % 256).astype(np.uint8)
+    grid = px.reshape(h, ch * w).astype(np.int64)
+    rows, prev = [], np.zeros(ch * w, np.int64)
+    for y, f in enumerate([3, 4, 4]):
+        cur, filt = grid[y], np.zeros(ch * w, np.int64)
+        for x in range(ch * w):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 3:
+                pred = (a + b) // 2
+            else:
+                pp = a + b - c
+                pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+            filt[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+            + _png_chunk(b"IEND", b""))
+    d = builtin_decode(blob)
+    expected = grid.reshape(h * w, ch).astype(np.float64).mean(axis=0) / 255.0
+    assert d["ok"] and np.allclose(d["feature"], expected)
+
+
+def test_png_codec_rejects_malformed():
+    import struct
+    import zlib
+
+    from medea_ray.engine.multimodal import _png_chunk, builtin_decode, make_png
+
+    good = make_png(4, 4, seed=1)
+    flipped = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]  # CRC break
+    bad_filter = (b"\x89PNG\r\n\x1a\n"
+                  + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0))
+                  + _png_chunk(b"IDAT", zlib.compress(bytes([7]) + b"\x00" * 12, 0))
+                  + _png_chunk(b"IEND", b""))
+    short_raw = (b"\x89PNG\r\n\x1a\n"
+                 + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+                 + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13, 0))
+                 + _png_chunk(b"IEND", b""))
+    no_end = good[: len(good) - 12]
+    bad_depth = (b"\x89PNG\r\n\x1a\n"
+                 + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 16, 2, 0, 0, 0))
+                 + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 25, 0))
+                 + _png_chunk(b"IEND", b""))
+    for p in (flipped, good[:30], bad_filter, short_raw, no_end, bad_depth):
+        assert builtin_decode(p)["ok"] is False
 
 
 def test_builtin_codecs_reject_malformed():
