@@ -149,7 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_counts": q.doc_token_counts,
         "doc_word_stats": q.doc_word_stats,
-        "doc_text_features": q.doc_text_features,
+        # doc_text_features retired round 3 (its token/word/char code paths
+        # are oracle-green via doc_token_counts / doc_word_stats /
+        # top_tokens) in favour of the oracle-checked GIF frame-sampling
+        # path below; the callable remains pytest-covered in engine.queries.
+        "gif_frame_stats": q.gif_frame_stats,
         "top_tokens": q.top_tokens,
         # Medea validation (E3, the per-row kernel end-to-end)
         "validate_documents_payload": q.validate_documents_payload,
@@ -503,7 +507,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS media_n_bytes
             FROM documents
         """,
-        # minhash_near_dup, simhash_near_dup, doc_text_features,
+        # video-style frame sampling over per-doc ANIMATED GIFs (real LZW
+        # decode): DuckDB recomputes frame counts and the integer pixel
+        # sum of every 2nd frame in closed form — lockstep with
+        # multimodal.gif_frame_pixels (pixels (k + seed*11 + f*7) % 256
+        # over 195 px/frame; identity palette ⇒ red channel == index)
+        "gif_frame_stats": """
+            SELECT d.doc_id,
+                   CAST(2 + d.doc_id % 5 AS BIGINT) AS n_frames,
+                   CAST((3 + d.doc_id % 5) // 2 AS BIGINT) AS n_sampled,
+                   CAST(15 AS BIGINT) AS frame_width,
+                   CAST(13 AS BIGINT) AS frame_height,
+                   CAST(SUM(CASE WHEN (d.doc_id * 11 + t.f * 7) % 256 <= 61
+                                 THEN 195 * ((d.doc_id * 11 + t.f * 7) % 256) + 18915
+                                 ELSE 32640
+                                      - ((d.doc_id * 11 + t.f * 7) % 256)
+                                        * ((d.doc_id * 11 + t.f * 7) % 256 - 1) // 2
+                                      + ((d.doc_id * 11 + t.f * 7) % 256 - 62)
+                                        * ((d.doc_id * 11 + t.f * 7) % 256 - 61) // 2
+                            END) AS BIGINT) AS px_sum
+            FROM documents d
+            JOIN (VALUES (0), (2), (4)) AS t(f) ON t.f < 2 + d.doc_id % 5
+            GROUP BY d.doc_id
+        """,
+        # minhash_near_dup, simhash_near_dup,
         # minhash_verified_pairs, embedding_near_dup_pairs: approximate /
         # non-SQL-expressible → rows-only check by design.
     }

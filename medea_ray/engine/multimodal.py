@@ -16,6 +16,12 @@ formats in pure Python/numpy — no media libraries needed:
   ``zlib``), and per-scanline unfiltering of all five PNG filter types
   (None/Sub/Up/Average/Paeth) — a real compressed-format decode, no
   media libraries.
+- **GIF** (87a/89a, non-interlaced): block walk (extensions skipped),
+  global/local color tables, and a full LZW decoder — variable-width
+  codes growing 9→12 bits, clear/end codes, the KwKwK self-reference
+  case. Animated GIFs decode to a frame list; ``FrameSampler`` is the
+  video-style frame-sample stage (decode → every k-th frame → small
+  typed per-frame stats).
 
 Anything unrecognized or malformed decodes to ``media_ok=false`` — a
 corrupt payload is a row verdict, never a stage crash. Entropy-coded
@@ -155,6 +161,220 @@ def make_png(width: int, height: int, seed: int = 0, *, level: int = 0,
         + _png_chunk(b"IDAT", zlib.compress(raw, level))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# -- GIF: real LZW codec + multi-frame container -------------------------------
+
+_GIF_MIN_CODE_SIZE = 8  # 256-color tables throughout
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = _GIF_MIN_CODE_SIZE) -> bytes:
+    """Standard GIF LZW: string table rebuilt on clear, codes widen from
+    min+1 up to 12 bits (encoder bumps at next_code == 2^w + 1 to stay in
+    lockstep with the decoder's one-code entry lag), table reset before
+    the 4096-entry ceiling."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc  # GIF packs codes LSB-first
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    buf = indices[:1]
+    for b in indices[1:]:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset comfortably before the 12-bit ceiling
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+        buf = bytes([b])
+    emit(table[buf], width)
+    emit(end, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code, width = end + 1, min_code_size + 1
+    out, prev = bytearray(), None
+    acc = n_acc = pos = 0
+    while True:
+        while n_acc < width:
+            if pos >= len(data):
+                return None  # ran out before the end code
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == end:
+            return bytes(out)
+        if code == clear:
+            table = dict(base)
+            next_code, width = end + 1, min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = table[prev] + table[prev][:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = table[prev] + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap a byte stream in GIF ≤255-byte length-prefixed sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_frame_pixels(width: int, height: int, frame: int, seed: int) -> np.ndarray:
+    """Canonical fixture pixel indices for frame ``frame``: a pure
+    function of (seed, frame, position). The grayscale-identity palette
+    makes the decoded red channel equal the index, so integer pixel sums
+    are SQL-recomputable (see oracle_sql()['gif_frame_stats'])."""
+    n = width * height
+    return ((np.arange(n, dtype=np.int64) + seed * 11 + frame * 7) % 256).astype(np.uint8)
+
+
+def make_gif(width: int, height: int, n_frames: int = 1, seed: int = 0) -> bytes:
+    """Deterministic animated GIF89a: 256-entry grayscale-identity global
+    color table, one graphic-control extension + full-frame image per
+    frame, really-LZW-compressed pixel data."""
+    lsd = struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
+    gct = b"".join(bytes([i, i, i]) for i in range(256))
+    parts = [b"GIF89a", lsd, gct]
+    for f in range(n_frames):
+        parts.append(b"\x21\xf9\x04\x00" + struct.pack("<H", 10) + b"\x00\x00")
+        parts.append(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00")
+        idx = gif_frame_pixels(width, height, f, seed).tobytes()
+        parts.append(bytes([_GIF_MIN_CODE_SIZE]) + _gif_subblocks(_lzw_encode(idx)))
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+def decode_gif_frames(p: bytes) -> dict | None:
+    """Parse a GIF87a/89a container into decoded frames. Returns
+    {width, height, frames: [uint8 (fh, fw) index grid, ...],
+    palettes: [uint8 (n, 3), ...]} or None on malformed input. Frames
+    are independent grids (no disposal-method compositing); interlaced
+    images are rejected."""
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", p, 6)
+    packed = p[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(p):
+            return None
+        gct = np.frombuffer(p, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames, palettes = [], []
+    while pos < len(p):
+        marker = p[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            if not frames or width <= 0 or height <= 0:
+                return None
+            return {"width": int(width), "height": int(height),
+                    "frames": frames, "palettes": palettes}
+        if marker == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while pos < len(p) and p[pos]:
+                pos += 1 + p[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > len(p):
+                return None
+            _left, _top, fw, fh = struct.unpack_from("<HHHH", p, pos)
+            flags = p[pos + 8]
+            pos += 9
+            if flags & 0x40:  # interlaced: unsupported
+                return None
+            pal = gct
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                if pos + 3 * n > len(p):
+                    return None
+                pal = np.frombuffer(p, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or pos >= len(p) or fw <= 0 or fh <= 0:
+                return None
+            min_code = p[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                return None
+            chunks = []
+            while pos < len(p) and p[pos]:
+                size = p[pos]
+                if pos + 1 + size > len(p):
+                    return None
+                chunks.append(p[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            if pos >= len(p):
+                return None
+            pos += 1  # sub-block terminator
+            idx = _lzw_decode(b"".join(chunks), min_code)
+            if idx is None or len(idx) != fw * fh:
+                return None
+            grid = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+            if int(grid.max(initial=0)) >= len(pal):
+                return None
+            frames.append(grid)
+            palettes.append(pal)
+        else:
+            return None
+    return None  # no trailer
+
+
+def _decode_gif(p: bytes) -> dict | None:
+    g = decode_gif_frames(p)
+    if g is None:
+        return None
+    rgb = g["palettes"][0][g["frames"][0]].astype(np.float64)
+    mean = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    return {"ok": True, "format": "gif", "width": g["width"], "height": g["height"],
+            "feature": [float(len(g["frames"]))] + [float(x) for x in mean]}
 
 
 def media_dims(doc_id: int) -> tuple[str, int, int]:
@@ -358,7 +578,89 @@ def builtin_decode(p: bytes) -> dict:
         d = _decode_wav(p)
     elif p[:8] == b"\x89PNG\r\n\x1a\n":
         d = _decode_png(p)
+    elif p[:4] == b"GIF8":
+        d = _decode_gif(p)
     return d if d is not None else dict(_NOT_MEDIA)
+
+
+FRAME_STATS_SCHEMA = pa.schema(
+    [
+        ("frames_ok", pa.bool_()),
+        ("n_frames", pa.int32()),
+        ("n_sampled", pa.int32()),
+        ("frame_width", pa.int32()),
+        ("frame_height", pa.int32()),
+        ("px_sum", pa.int64()),
+    ]
+)
+
+
+class FrameSampler:
+    """Video-style frame sampling over an animated-GIF binary column:
+    decode every frame, keep every ``every``-th (frames 0, every,
+    2*every, …), and emit small typed per-document stats — the decode /
+    frame-sample / feature-extract shape the north rule asks of video
+    columns, with GIF as the in-repo codec (no media libraries).
+
+    ``px_sum`` is the integer sum of the sampled frames' red-channel
+    values (== palette indices under the fixture's grayscale-identity
+    palette), so the whole decode → sample → reduce path is
+    SQL-recomputable for the driver oracle."""
+
+    def __init__(self, payload_col: str = "blob", every: int = 2):
+        if every < 1:
+            raise ValueError("every must be >= 1")
+        self.payload_col = payload_col
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, nf, ns, fw, fh, px = [], [], [], [], [], []
+        for p in batch.column(self.payload_col).to_pylist():
+            g = decode_gif_frames(p) if p is not None else None
+            if g is None:
+                ok.append(False)
+                nf.append(None)
+                ns.append(None)
+                fw.append(None)
+                fh.append(None)
+                px.append(None)
+                continue
+            sampled = g["frames"][:: self.every]
+            pals = g["palettes"][:: self.every]
+            total = 0
+            for grid, pal in zip(sampled, pals):
+                total += int(pal[grid, 0].astype(np.int64).sum())
+            ok.append(True)
+            nf.append(len(g["frames"]))
+            ns.append(len(sampled))
+            fw.append(g["width"])
+            fh.append(g["height"])
+            px.append(total)
+        out = batch.drop_columns([self.payload_col])
+        for (name, typ), vals in zip(
+            [(f.name, f.type) for f in FRAME_STATS_SCHEMA], [ok, nf, ns, fw, fh, px]
+        ):
+            out = out.append_column(name, pa.array(vals, typ))
+        return out
+
+
+def sample_frames(
+    ds,
+    payload_col: str = "blob",
+    every: int = 2,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+):
+    """Actor-pool frame-sampling stage (small batches: payloads are
+    multi-frame binaries); the binary column never flows downstream."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(payload_col=payload_col, every=every),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 class MediaFeatureExtractor:

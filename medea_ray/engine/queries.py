@@ -1150,3 +1150,39 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     df["media_width"] = df["media_width"].astype("int64")
     df["media_height"] = df["media_height"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def gif_frame_stats(sf_dir: str) -> pd.DataFrame:
+    """Video-style frame sampling, oracle-checked end-to-end: each
+    document synthesizes an ANIMATED GIF (15×13, 2 + doc_id % 5 frames,
+    really LZW-compressed), the actor-pool ``FrameSampler`` decodes every
+    frame (full LZW: variable-width codes, clear/end, KwKwK) and keeps
+    every 2nd, and the driver checks (n_frames, n_sampled, geometry,
+    integer pixel sum of the sampled frames) against DuckDB recomputing
+    the same arithmetic — the grayscale-identity palette makes the
+    decoded red channel equal the pixel index, so a closed-form sum over
+    the (seed, frame, position) pattern is exactly SQL-expressible."""
+    from medea_ray.engine.multimodal import make_gif, sample_frames
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_gif(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "blob": pa.array(
+                [make_gif(15, 13, n_frames=2 + i % 5, seed=i) for i in ids],
+                pa.large_binary()),
+        })
+
+    binary = ds.map_batches(to_gif, batch_format="pyarrow")
+    out = sample_frames(binary, payload_col="blob", every=2,
+                        batch_size=64, concurrency=(1, 4))
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert tbl.column("frames_ok").to_pandas().all(), "GIF decode failed a fixture blob"
+    df = tbl.select(
+        ["doc_id", "n_frames", "n_sampled", "frame_width", "frame_height", "px_sum"]
+    ).to_pandas()
+    for c in ("n_frames", "n_sampled", "frame_width", "frame_height"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
