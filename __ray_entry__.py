@@ -142,7 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q.user_event_pivot,
         # uniqueness / referential / dedup (E9 + training-data ops)
         "exact_dup_texts": q.exact_dup_texts,
-        "minhash_near_dup": q.minhash_near_dup,
+        # minhash_near_dup (candidate pairs, rows-only) retired round 3:
+        # its band-shuffle code path stays driver-visible through
+        # minhash_verified_pairs; the callable remains pytest-covered.
+        # Its slot holds the oracle-checked baseline-JPEG codec guard.
+        "jpeg_codec_guard": q.jpeg_codec_guard,
         "simhash_near_dup": q.simhash_near_dup,
         "referential_orders_customers": q.referential_orders_customers,
         "doc_text_digests": q.doc_text_digests,
@@ -530,7 +534,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES (0), (2), (4)) AS t(f) ON t.f < 2 + d.doc_id % 5
             GROUP BY d.doc_id
         """,
-        # minhash_near_dup, simhash_near_dup,
+        # baseline JPEG codec guard: encode → decode round-trip booleans
+        # (exact geometry, RMSE < 6 under the uniform quantizer); every
+        # row must be TRUE — see engine/jpeg.py
+        "jpeg_codec_guard": """
+            SELECT doc_id, true AS geometry_ok, true AS fidelity_ok
+            FROM documents
+        """,
+        # simhash_near_dup,
         # minhash_verified_pairs, embedding_near_dup_pairs: approximate /
         # non-SQL-expressible → rows-only check by design.
     }

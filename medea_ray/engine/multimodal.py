@@ -22,6 +22,11 @@ formats in pure Python/numpy — no media libraries needed:
   case. Animated GIFs decode to a frame list; ``FrameSampler`` is the
   video-style frame-sample stage (decode → every k-th frame → small
   typed per-frame stats).
+- **JPEG** (baseline, via ``medea_ray.engine.jpeg``): full entropy-coded
+  decode — canonical Huffman from the file's DHT, DC prediction, AC
+  run-length, dequantize, IDCT, YCbCr→RGB — plus a matching encoder for
+  deterministic fixtures. Lossy, so guards bound RMSE rather than demand
+  bit-equality.
 
 Anything unrecognized or malformed decodes to ``media_ok=false`` — a
 corrupt payload is a row verdict, never a stage crash. Entropy-coded
@@ -580,7 +585,20 @@ def builtin_decode(p: bytes) -> dict:
         d = _decode_png(p)
     elif p[:4] == b"GIF8":
         d = _decode_gif(p)
+    elif p[:2] == b"\xff\xd8":
+        d = _decode_jpeg_features(p)
     return d if d is not None else dict(_NOT_MEDIA)
+
+
+def _decode_jpeg_features(p: bytes) -> dict | None:
+    from medea_ray.engine.jpeg import decode_jpeg
+
+    d = decode_jpeg(p)
+    if d is None:
+        return None
+    mean = d["pixels"].reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    return {"ok": True, "format": "jpeg", "width": d["width"], "height": d["height"],
+            "feature": [float(x) for x in mean]}
 
 
 FRAME_STATS_SCHEMA = pa.schema(

@@ -1152,6 +1152,47 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def jpeg_codec_guard(sf_dir: str) -> pd.DataFrame:
+    """Baseline JPEG codec, oracle-checked as per-doc boolean guards:
+    each document encodes a deterministic RGB gradient image
+    (16+doc_id%9 × 16+(doc_id//9)%7, seed doc_id) through the pure-numpy
+    encoder (DCT → quantize → zigzag → Huffman + byte stuffing) and
+    decodes it back (DHT/DQT parse → Huffman → dequant → IDCT →
+    YCbCr→RGB). geometry_ok asserts exact dimensions; fidelity_ok bounds
+    reconstruction RMSE < 6 under the uniform quantizer (JPEG is lossy —
+    bit-equality is the wrong check). The DuckDB oracle expects every
+    row TRUE, so a Huffman, DCT, or marker regression turns the row red."""
+    import numpy as np
+
+    from medea_ray.engine.jpeg import decode_jpeg, encode_jpeg, jpeg_fixture_image
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        geom, fid = [], []
+        for i in ids:
+            w, h = 16 + i % 9, 16 + (i // 9) % 7
+            img = jpeg_fixture_image(w, h, seed=i)
+            d = decode_jpeg(encode_jpeg(img))
+            ok = d is not None and d["width"] == w and d["height"] == h
+            geom.append(bool(ok))
+            if ok:
+                err = d["pixels"].astype(np.float64) - img.astype(np.float64)
+                fid.append(bool(float(np.sqrt((err ** 2).mean())) < 6.0))
+            else:
+                fid.append(False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "geometry_ok": pa.array(geom, pa.bool_()),
+            "fidelity_ok": pa.array(fid, pa.bool_()),
+        })
+
+    out = ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=64)
+    df = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def gif_frame_stats(sf_dir: str) -> pd.DataFrame:
     """Video-style frame sampling, oracle-checked end-to-end: each
     document synthesizes an ANIMATED GIF (15×13, 2 + doc_id % 5 frames,

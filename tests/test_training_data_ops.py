@@ -785,6 +785,73 @@ def test_gif_container_and_frame_sampler(ray_session):
         assert int(df.loc[i, "px_sum"]) == px
 
 
+def test_jpeg_codec_roundtrip_fidelity():
+    """Baseline JPEG in pure numpy: full entropy pipeline both ways.
+    Lossy, so the contract is exact geometry + bounded RMSE — plus the
+    structural cases: odd (non-multiple-of-8) sizes, grayscale, 1×1,
+    restart markers, and a constant image decoding exactly."""
+    import numpy as np
+
+    from medea_ray.engine.jpeg import decode_jpeg, encode_jpeg, jpeg_fixture_image
+
+    for (w, h), seed in [((16, 16), 0), ((8, 8), 1), ((24, 17), 2), ((1, 1), 3),
+                         ((9, 5), 4), ((64, 48), 5)]:
+        img = jpeg_fixture_image(w, h, seed)
+        d = decode_jpeg(encode_jpeg(img))
+        assert d is not None and (d["width"], d["height"]) == (w, h)
+        err = d["pixels"].astype(np.float64) - img.astype(np.float64)
+        assert float(np.sqrt((err ** 2).mean())) < 6.0, (w, h)
+
+    # grayscale single-component scan
+    g = jpeg_fixture_image(20, 12, 7)[:, :, 0]
+    d = decode_jpeg(encode_jpeg(g))
+    err = d["pixels"][:, :, 0].astype(np.float64) - g.astype(np.float64)
+    assert float(np.sqrt((err ** 2).mean())) < 6.0
+    assert np.array_equal(d["pixels"][:, :, 0], d["pixels"][:, :, 1])
+
+    # restart markers reset DC prediction and resync byte alignment
+    img = jpeg_fixture_image(40, 24, 9)
+    d = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    err = d["pixels"].astype(np.float64) - img.astype(np.float64)
+    assert float(np.sqrt((err ** 2).mean())) < 6.0
+
+    # constant image is DC-only and decodes exactly
+    const = np.full((16, 16, 3), 77, np.uint8)
+    d = decode_jpeg(encode_jpeg(const))
+    assert int(np.abs(d["pixels"].astype(np.int64) - 77).max()) == 0
+
+    # random noise (worst case for the DCT) stays bounded by the quantizer
+    noise = np.random.default_rng(3).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(noise))
+    err = d["pixels"].astype(np.float64) - noise.astype(np.float64)
+    assert float(np.sqrt((err ** 2).mean())) < 10.0
+
+
+def test_jpeg_codec_rejects_malformed():
+    import numpy as np
+
+    from medea_ray.engine.jpeg import decode_jpeg, encode_jpeg, jpeg_fixture_image
+    from medea_ray.engine.multimodal import builtin_decode
+
+    good = encode_jpeg(jpeg_fixture_image(16, 16, 0))
+    for p in [b"", b"\xff\xd8", good[:50], good[:-20], good[:2] + b"\x00" * 30]:
+        assert decode_jpeg(p) is None
+
+    # progressive SOF2 is rejected, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+    # builtin_decode sniffs JPEG and reports geometry + mean-RGB feature
+    d = builtin_decode(good)
+    assert d["ok"] and d["format"] == "jpeg" and (d["width"], d["height"]) == (16, 16)
+    img = jpeg_fixture_image(16, 16, 0)
+    mean = img.reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
+    assert np.allclose(d["feature"], mean, atol=0.02)
+    assert builtin_decode(b"\xff\xd8 junk")["ok"] is False
+
+
 def test_png_codec_rejects_malformed():
     import struct
     import zlib
