@@ -299,32 +299,46 @@ def _start_background_pipeline(core_range: str, cpus: int):
     ]
 
 
-def run_scaling(repeats: int = 4) -> dict:
-    """Same validation job at num_cpus=8 and num_cpus=32 in fresh
-    processes, best of ``repeats`` per arm (symmetric — single-node runs
-    at 32 cpus have ±20% wall-time noise); efficiency = (docs/sec@32 ÷
-    docs/sec@8) ÷ 4.
+def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
+    """Same validation job at num_cpus=``small`` and num_cpus=``large`` in
+    fresh processes, best of ``repeats`` per arm (symmetric — single-node
+    runs at 32 cpus have ±20% wall-time noise); efficiency =
+    (docs/sec@large ÷ docs/sec@small) ÷ (large/small).
 
-    Three figures are reported, because one shared 32-core VM cannot
-    reproduce a real N vs 4N NODE cluster directly:
-    - raw: idle-machine 8-cpu arm — flatters the small arm (8 busy cores
-      enjoy turbo + the whole memory subsystem).
+    Figures reported, because one shared 32-core VM cannot reproduce a
+    real N vs 4N NODE cluster directly:
+    - raw: idle-machine small arm — flatters the small arm (few busy
+      cores enjoy turbo + the whole memory subsystem).
     - droop-normalized: raw ÷ the measured per-core slowdown of the same
       workload under all-core load (post-hoc correction).
-    - equal-load: the 8-cpu arm runs while the OTHER 24 cores execute the
-      same JSON workload as background load, so both arms contend for
-      memory bandwidth the way fully-loaded cluster nodes do — the
-      directly-measured stand-in (no post-hoc factor)."""
+    - equal-load: each arm that uses fewer than all cores runs while the
+      REMAINING cores execute the same JSON workload as background load,
+      so both arms contend for memory bandwidth the way fully-loaded
+      cluster nodes do — the directly-measured stand-in (no post-hoc
+      factor). With the default 8/32 pairing only the 8-arm needs the
+      background; a 4/16 pairing loads both arms.
+
+    The 4/16 pairing (``--scaling 4 16``) is the sanctioned N-vs-4N
+    alternative whose large arm does NOT saturate the box's memory
+    bandwidth (BENCH/membw.py ceiling binds 8→32 at ~0.794) — it
+    measures engine-coordination efficiency with the hardware ceiling
+    lifted."""
+    ratio = large / small
     ensure_pages(SF_DIR, multiplier=16)  # warm the cache outside the timed runs
-    runs: dict[str, list[dict]] = {"8": [], "32": [], "8_loaded": [], "8_pipeline": []}
     have_taskset = os.path.exists("/usr/bin/taskset")
     n_cores = os.cpu_count() or 32
-    arms = [("8", 8), ("32", 32), ("8_loaded", 8), ("8_pipeline", 8)]
-    if not have_taskset:
-        # without pinning, the background load would wander onto the
-        # measured arm's cores and the "equal-load" figure would measure
-        # scheduler luck — skip those arms rather than record a fiction
-        arms = arms[:2]
+    s, l = str(small), str(large)
+    arms: list[tuple[str, int]] = [(s, small), (l, large)]
+    if have_taskset:
+        arms.append((f"{s}_loaded", small))
+        if large < n_cores:
+            arms.append((f"{l}_loaded", large))
+        if (small, large) == (8, 32):
+            arms.append((f"{s}_pipeline", small))
+    # without taskset, the background load would wander onto the measured
+    # arm's cores and the "equal-load" figure would measure scheduler
+    # luck — skip those arms rather than record a fiction
+    runs: dict[str, list[dict]] = {arm: [] for arm, _ in arms}
     for _ in range(repeats):
         for arm, cpus in arms:
             cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--single-run", str(cpus)]
@@ -335,10 +349,10 @@ def run_scaling(repeats: int = 4) -> dict:
                 # (measured: the 32-arm went 700-940k → 940k-1.24M docs/s
                 # pinned).
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            if arm == "8_loaded":
-                load = _start_background_load(f"8-{n_cores - 1}", n_cores - 8)
-            elif arm == "8_pipeline":
-                load = _start_background_pipeline(f"8-{n_cores - 1}", n_cores - 8)
+            if arm.endswith("_loaded"):
+                load = _start_background_load(f"{cpus}-{n_cores - 1}", n_cores - cpus)
+            elif arm.endswith("_pipeline"):
+                load = _start_background_pipeline(f"{cpus}-{n_cores - 1}", n_cores - cpus)
             else:
                 load = []
             try:
@@ -357,37 +371,50 @@ def run_scaling(repeats: int = 4) -> dict:
                     p.wait()  # reap — zombies accumulate across repeats otherwise
             runs[arm].append(json.loads(out.stdout.strip().splitlines()[-1]))
     best = {arm: max(rs, key=lambda r: r["docs_per_sec"]) for arm, rs in runs.items() if rs}
-    eff = (best["32"]["docs_per_sec"] / best["8"]["docs_per_sec"]) / 4
-    droop = sorted(measure_turbo_droop() for _ in range(3))[1]  # median of 3
+    eff = (best[l]["docs_per_sec"] / best[s]["docs_per_sec"]) / ratio
+    droop = sorted(measure_turbo_droop(small, large) for _ in range(3))[1]  # median of 3
     eff_norm = min(1.0, eff / droop)
     result = {
-        "metric": "validation throughput scaling 8→32 cpus",
+        "metric": f"validation throughput scaling {small}→{large} cpus",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            "validate_pages_8cpu": best["8"]["queries"]["validate_pages"],
-            "validate_pages_32cpu": best["32"]["queries"]["validate_pages"],
+            f"validate_pages_{s}cpu": best[s]["queries"]["validate_pages"],
+            f"validate_pages_{l}cpu": best[l]["queries"]["validate_pages"],
         },
         "sf": SF_DIR,
-        "num_cpus": 32,
-        "docs_per_sec_8": best["8"]["docs_per_sec"],
-        "docs_per_sec_32": best["32"]["docs_per_sec"],
+        "num_cpus": large,
+        "arm_small": small,
+        "arm_large": large,
+        "docs_per_sec_small": best[s]["docs_per_sec"],
+        "docs_per_sec_large": best[l]["docs_per_sec"],
         "all_runs_docs_per_sec": {
             arm: [r["docs_per_sec"] for r in rs] for arm, rs in runs.items() if rs
         },
         "scaling_efficiency": round(eff, 3),
         "turbo_droop_factor": round(droop, 3),
         "scaling_efficiency_freq_normalized": round(eff_norm, 3),
-        "n_pages": best["32"]["n_pages"],
+        "n_pages": best[l]["n_pages"],
     }
-    for arm, label in (("8_loaded", "equal_load"), ("8_pipeline", "pipeline_load")):
-        if arm in best:
-            eff_arm = (best["32"]["docs_per_sec"] / best[arm]["docs_per_sec"]) / 4
-            result["queries"][f"validate_pages_{arm}"] = (
-                best[arm]["queries"]["validate_pages"]
-            )
-            result[f"docs_per_sec_{arm}"] = best[arm]["docs_per_sec"]
-            result[f"scaling_efficiency_{label}"] = round(eff_arm, 3)
+    if f"{s}_loaded" in best:
+        # equal-load: both arms under all-core contention (the large arm
+        # is its own loaded measurement when it spans every core)
+        big = best.get(f"{l}_loaded", best[l])
+        eff_eq = (big["docs_per_sec"] / best[f"{s}_loaded"]["docs_per_sec"]) / ratio
+        result["queries"][f"validate_pages_{s}_loaded"] = (
+            best[f"{s}_loaded"]["queries"]["validate_pages"]
+        )
+        result["docs_per_sec_small_loaded"] = best[f"{s}_loaded"]["docs_per_sec"]
+        if f"{l}_loaded" in best:
+            result["docs_per_sec_large_loaded"] = big["docs_per_sec"]
+        result["scaling_efficiency_equal_load"] = round(eff_eq, 3)
+    if f"{s}_pipeline" in best:
+        eff_pl = (best[l]["docs_per_sec"] / best[f"{s}_pipeline"]["docs_per_sec"]) / ratio
+        result["queries"][f"validate_pages_{s}_pipeline"] = (
+            best[f"{s}_pipeline"]["queries"]["validate_pages"]
+        )
+        result["docs_per_sec_small_pipeline"] = best[f"{s}_pipeline"]["docs_per_sec"]
+        result["scaling_efficiency_pipeline_load"] = round(eff_pl, 3)
     _append_scaling_md(result)
     return result
 
@@ -410,16 +437,36 @@ def _append_scaling_md(r: dict):
                 "| when | n_pages | docs/sec @8cpu | docs/sec @32cpu | efficiency (raw) | turbo droop | efficiency (freq-normalized) |\n"
                 "|---|---|---|---|---|---|---|\n"
             )
+        small, large = r.get("arm_small", 8), r.get("arm_large", 32)
+        if (small, large) != (8, 32):
+            # non-default N-vs-4N pairing: its own labelled block, so the
+            # canonical 8/32 table stays homogeneous
+            f.write(
+                f"\n**{small}→{large}-cpu pairing** "
+                f"({time.strftime('%Y-%m-%d %H:%M:%S')}, n_pages {r['n_pages']}): "
+                f"{r['docs_per_sec_small']} docs/s @{small}cpu → "
+                f"{r['docs_per_sec_large']} docs/s @{large}cpu, raw efficiency "
+                f"**{r['scaling_efficiency']}**"
+            )
+            if "scaling_efficiency_equal_load" in r:
+                f.write(
+                    f"; equal-load (JSON background on every unmeasured core in "
+                    f"BOTH arms): {r['docs_per_sec_small_loaded']} → "
+                    f"{r.get('docs_per_sec_large_loaded', r['docs_per_sec_large'])} "
+                    f"docs/s, efficiency **{r['scaling_efficiency_equal_load']}**"
+                )
+            f.write(f" (all runs: {r['all_runs_docs_per_sec']})\n")
+            return
         f.write(
             f"| {time.strftime('%Y-%m-%d %H:%M:%S')} | {r['n_pages']} | "
-            f"{r['docs_per_sec_8']} | {r['docs_per_sec_32']} | "
+            f"{r['docs_per_sec_small']} | {r['docs_per_sec_large']} | "
             f"{r['scaling_efficiency']} | {r.get('turbo_droop_factor', '')} | "
             f"{r.get('scaling_efficiency_freq_normalized', '')} |\n"
         )
         if "scaling_efficiency_equal_load" in r:
             f.write(
                 f"  - equal-load arm (8 cpus + 24 background JSON workers): "
-                f"{r['docs_per_sec_8_loaded']} docs/s → equal-load efficiency "
+                f"{r['docs_per_sec_small_loaded']} docs/s → equal-load efficiency "
                 f"**{r['scaling_efficiency_equal_load']}** "
                 f"(all runs: {r['all_runs_docs_per_sec']})\n"
             )
@@ -427,7 +474,7 @@ def _append_scaling_md(r: dict):
             f.write(
                 f"  - pipeline-load arm (8 cpus + the REAL pipeline looping on "
                 f"the other 24 in its own pinned Ray cluster): "
-                f"{r['docs_per_sec_8_pipeline']} docs/s → pipeline-load "
+                f"{r['docs_per_sec_small_pipeline']} docs/s → pipeline-load "
                 f"efficiency **{r['scaling_efficiency_pipeline_load']}**\n"
             )
 
@@ -435,7 +482,10 @@ def _append_scaling_md(r: dict):
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--scaling":
-        print(json.dumps(run_scaling()))
+        if len(args) >= 3:
+            print(json.dumps(run_scaling(small=int(args[1]), large=int(args[2]))))
+        else:
+            print(json.dumps(run_scaling()))
     elif args and args[0] == "--single-run":
         print(json.dumps(run_suite(int(args[1]), scaling_only=True)))
     else:
