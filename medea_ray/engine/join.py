@@ -128,6 +128,8 @@ def shuffle_join(
     join_type: str = "inner",
     num_partitions: int | None = None,
     right_on: str | tuple[str, ...] | None = None,
+    left_suffix: str | None = None,
+    right_suffix: str | None = None,
 ):
     """Hash-partitioned join for two LARGE sides — delegates to Ray Data's
     native hash-shuffle ``Dataset.join`` (both sides exchanged once by key
@@ -161,7 +163,123 @@ def shuffle_join(
         right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     return left_ds.join(
         right_ds, join_type, num_partitions, on=on, right_on=right_on,
+        left_suffix=left_suffix, right_suffix=right_suffix,
     )
+
+
+BAND_COL = "__band"
+
+
+def range_join(
+    left_ds,
+    value_col: str,
+    right_ds,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+    max_bands_per_interval: int = 4096,
+    left_suffix: str | None = None,
+    right_suffix: str | None = "_r",
+):
+    """Banded range join for two LARGE sides: emit one row per (left row,
+    right row) pair with ``lo <= value < hi`` (half-open, SQL
+    ``ON v >= lo AND v < hi``). The scale path behind ``window.
+    interval_join``'s tiny-broadcast contract: both sides shuffle ONCE.
+
+    How: the value axis is cut into bands of ``band_width``. Each left row
+    lands in exactly one band (``floor(v / w)``); each right interval is
+    replicated to every band it overlaps (``ceil((hi - lo) / w) + 1`` rows
+    at most). One hash-shuffle equality join on the band key co-locates
+    every candidate pair, and a vectorized post-filter applies the exact
+    bounds — since a left row has exactly one band, no pair can surface
+    twice. Null values / null or empty (hi <= lo) intervals match nothing.
+
+    Pick ``band_width`` near the TYPICAL interval width: replication is
+    ~(interval width / band_width) per right row, while a too-wide band
+    degrades toward a per-band cartesian. An interval spanning more than
+    ``max_bands_per_interval`` bands raises (silently capping would drop
+    matches) — raise ``band_width`` or split the outlier upstream.
+
+    Only ``join_type="inner"`` is supported: band replication makes
+    outer/anti semantics ambiguous at this layer (compose with a
+    broadcast id anti-filter for left-outer shapes, see
+    ``decontam.filter_not_in``)."""
+    import numpy as np
+
+    if join_type != "inner":
+        raise ValueError(f"range_join supports join_type='inner', got {join_type!r}")
+    if not (band_width > 0):
+        raise ValueError(f"band_width must be > 0, got {band_width!r}")
+    w = float(band_width)
+
+    def band_left(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        # null values never match — drop before the numpy cast (NaN floor
+        # would fabricate a garbage band)
+        if vals.null_count:
+            keep = pc.is_valid(vals)
+            t = t.filter(keep)
+            vals = vals.drop_null()
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        bands = np.floor(v / w).astype(np.int64)
+        return t.append_column(BAND_COL, pa.array(bands, pa.int64()))
+
+    def expand_right(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column(lo_col)), pc.is_valid(t.column(hi_col)))
+        if t.num_rows and not pc.all(keep).as_py():
+            t = t.filter(keep)
+        lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lo / w).astype(np.int64)
+        # half-open hi: a band starting exactly at hi is NOT overlapped
+        b1 = (np.ceil(hi / w) - 1).astype(np.int64)
+        counts = np.where(hi > lo, b1 - b0 + 1, 0)
+        if counts.size and counts.max() > max_bands_per_interval:
+            k = int(np.argmax(counts))
+            raise ValueError(
+                f"range_join: interval [{lo[k]}, {hi[k]}) spans {int(counts[k])} "
+                f"bands of width {w} (> max_bands_per_interval="
+                f"{max_bands_per_interval}) — raise band_width or split it"
+            )
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        offsets = np.arange(row_idx.size, dtype=np.int64) - np.repeat(starts, counts)
+        bands = b0[row_idx] + offsets
+        out = t.take(pa.array(row_idx, pa.int64()))
+        return out.append_column(BAND_COL, pa.array(bands, pa.int64()))
+
+    joined = shuffle_join(
+        left_ds.map_batches(band_left, batch_format="pyarrow"),
+        right_ds.map_batches(expand_right, batch_format="pyarrow"),
+        on=BAND_COL,
+        join_type="inner",
+        num_partitions=num_partitions,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+    # exact bounds post-filter; Ray's join appends a suffix only when the
+    # bare name collides across sides, so resolve against the actual
+    # joined column names at runtime
+    def _pick(t: pa.Table, name: str, suffix: str | None) -> str:
+        if name in t.column_names:
+            return name
+        if suffix and name + suffix in t.column_names:
+            return name + suffix
+        raise KeyError(f"range_join: column {name!r} missing after join")
+
+    def exact_filter(t: pa.Table) -> pa.Table:
+        v = t.column(_pick(t, value_col, left_suffix))
+        keep = pc.and_(
+            pc.greater_equal(v, t.column(_pick(t, lo_col, right_suffix))),
+            pc.less(v, t.column(_pick(t, hi_col, right_suffix))),
+        )
+        return t.filter(keep).drop_columns([BAND_COL])
+
+    return joined.map_batches(exact_filter, batch_format="pyarrow")
 
 
 _SALTED_JOIN_TYPES = ("inner", "left_outer", "left_semi", "left_anti")

@@ -505,9 +505,23 @@ def clicks_last_purchase(sf_dir: str):
 
 def events_value_ranges(sf_dir: str):
     """Interval (range) join of events.value against static, overlapping
-    value buckets."""
+    value buckets — through the banded large×large ``join.range_join``
+    (one shuffle on the band key + exact post-filter), so the scale path
+    is what the oracle checks; the tiny-table broadcast path
+    (``window.interval_join``) stays pytest-covered."""
+    import ray.data as rd
+
+    from medea_ray.engine import join
+
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
-    out = window.interval_join(ds, "value", VALUE_RANGES, label_name="bucket")
+    ranges = rd.from_arrow(pa.table({
+        "bucket": pa.array([lab for lab, _, _ in VALUE_RANGES], pa.string()),
+        "lo": pa.array([lo for _, lo, _ in VALUE_RANGES], pa.float64()),
+        "hi": pa.array([hi for _, _, hi in VALUE_RANGES], pa.float64()),
+    }))
+    out = join.range_join(
+        ds, "value", ranges, "lo", "hi", band_width=100.0, num_partitions=8
+    )
     return out.select_columns(["event_id", "bucket"])
 
 

@@ -249,8 +249,9 @@ def interval_join(
     ``how="left"`` additionally emits unmatched rows with a null label.
 
     The interval table is broadcast inside the task closure (it is tiny by
-    the operator's contract — for a large interval side, sort it and use
-    ``asof_join`` on the lower bound instead)."""
+    the operator's contract — for a LARGE interval side use
+    ``join.range_join``, the banded one-shuffle path with identical
+    half-open semantics)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     labels = [lab for lab, _, _ in intervals]

@@ -235,3 +235,148 @@ def test_salted_join_rejects_right_preserving_types(ray_session):
             salted_join(left, right, on="k", join_type=jt)
     with pytest.raises(ValueError, match="n_salts"):
         salted_join(left, right, on="k", n_salts=1)
+
+
+# ---------------------------------------------------------------------------
+# range_join: banded large×large interval join
+
+
+def _range_pairs(out_ds, id_col="id", label_col="bucket"):
+    return sorted((r[id_col], r[label_col]) for r in out_ds.take_all())
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Seeded random values × random intervals, band width well below the
+    typical interval width so every interval spans several bands — the
+    result must equal the brute-force O(n·m) pair set."""
+    import numpy as np
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(-50, 150, 400), 3)
+    left = rd.from_items([{"id": i, "v": float(v)} for i, v in enumerate(vals)],
+                         override_num_blocks=5)
+    ivs = []
+    for j in range(30):
+        lo = float(np.round(rng.uniform(-60, 140), 3))
+        hi = float(np.round(lo + rng.uniform(0.5, 40), 3))
+        ivs.append({"bucket": f"b{j}", "lo": lo, "hi": hi})
+    right = rd.from_items(ivs, override_num_blocks=3)
+
+    got = _range_pairs(
+        range_join(left, "v", right, "lo", "hi", band_width=4.0, num_partitions=8)
+    )
+    exp = sorted(
+        (i, iv["bucket"])
+        for i, v in enumerate(vals)
+        for iv in ivs
+        if iv["lo"] <= v < iv["hi"]
+    )
+    assert got == exp
+
+
+def test_range_join_half_open_band_edges(ray_session):
+    """v == lo matches, v == hi does not — including when the bounds sit
+    exactly on band boundaries (the ceil(hi/w)-1 edge case)."""
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    left = rd.from_items(
+        [{"id": i, "v": v} for i, v in enumerate([0.0, 5.0, 9.999, 10.0, 15.0, 20.0, -10.0, -0.001])]
+    )
+    right = rd.from_items([
+        {"bucket": "exact", "lo": 10.0, "hi": 20.0},   # both bounds on band edges (w=5)
+        {"bucket": "neg", "lo": -10.0, "hi": 0.0},
+    ])
+    got = _range_pairs(range_join(left, "v", right, "lo", "hi", band_width=5.0))
+    assert got == [(3, "exact"), (4, "exact"), (6, "neg"), (7, "neg")]
+
+
+def test_range_join_nulls_and_empty_intervals(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    left = rd.from_items([{"id": 0, "v": 1.0}, {"id": 1, "v": None}])
+    right = rd.from_items([
+        {"bucket": "ok", "lo": 0.0, "hi": 2.0},
+        {"bucket": "null_lo", "lo": None, "hi": 2.0},
+        {"bucket": "null_hi", "lo": 0.0, "hi": None},
+        {"bucket": "empty", "lo": 2.0, "hi": 2.0},
+        {"bucket": "inverted", "lo": 3.0, "hi": 1.0},
+    ])
+    got = _range_pairs(range_join(left, "v", right, "lo", "hi", band_width=1.0))
+    assert got == [(0, "ok")]
+
+
+def test_range_join_overlapping_intervals_multi_match(ray_session):
+    """A value inside several (overlapping) intervals emits one row per
+    interval — same semantics the broadcast interval_join proves."""
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    left = rd.from_items([{"id": 0, "v": 150.0}])
+    right = rd.from_items([
+        {"bucket": "mid", "lo": 50.0, "hi": 200.0},
+        {"bucket": "burst", "lo": 100.0, "hi": 300.0},
+        {"bucket": "high", "lo": 200.0, "hi": 1000.0},
+    ])
+    got = _range_pairs(range_join(left, "v", right, "lo", "hi", band_width=100.0))
+    assert got == [(0, "burst"), (0, "mid")]
+
+
+def test_range_join_equals_broadcast_interval_join(ray_session):
+    """Scale path == tiny-table path on the real events table (sf0.001)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medea_ray.engine import window
+    from medea_ray.engine.join import range_join
+    from medea_ray.engine.queries import VALUE_RANGES
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    broadcast = window.interval_join(events, "value", VALUE_RANGES, label_name="bucket")
+    exp = sorted((r["event_id"], r["bucket"]) for r in
+                 broadcast.select_columns(["event_id", "bucket"]).take_all())
+
+    ranges = rd.from_arrow(pa.table({
+        "bucket": [lab for lab, _, _ in VALUE_RANGES],
+        "lo": [lo for _, lo, _ in VALUE_RANGES],
+        "hi": [hi for _, _, hi in VALUE_RANGES],
+    }))
+    events2 = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    banded = range_join(events2, "value", ranges, "lo", "hi",
+                        band_width=100.0, num_partitions=4)
+    got = sorted((r["event_id"], r["bucket"]) for r in
+                 banded.select_columns(["event_id", "bucket"]).take_all())
+    assert got == exp and len(got) > 0
+
+
+def test_range_join_oversized_interval_raises(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    left = rd.from_items([{"id": 0, "v": 1.0}])
+    right = rd.from_items([{"bucket": "huge", "lo": 0.0, "hi": 1e6}])
+    out = range_join(left, "v", right, "lo", "hi", band_width=1.0,
+                     max_bands_per_interval=100)
+    with pytest.raises(Exception, match="max_bands_per_interval"):
+        out.take_all()
+
+
+def test_range_join_rejects_bad_args(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    left = rd.from_items([{"id": 0, "v": 1.0}])
+    right = rd.from_items([{"bucket": "b", "lo": 0.0, "hi": 2.0}])
+    with pytest.raises(ValueError, match="join_type"):
+        range_join(left, "v", right, "lo", "hi", band_width=1.0, join_type="left_outer")
+    with pytest.raises(ValueError, match="band_width"):
+        range_join(left, "v", right, "lo", "hi", band_width=0.0)
