@@ -94,12 +94,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRY SIZE CONTRACT: the driver's sweep records at most 50
     # entries (round 2 registered 51 and the 51st silently vanished from
     # CORRECTNESS_r02) — keep this dict ≤ 50. Round 3 deliberately retired
-    # four redundant rows-only entries in favour of oracle-checked guards
-    # over the same code paths: hll_distinct_text → hll_distinct_guard,
+    # redundant rows-only entries in favour of oracle-checked guards over
+    # the same code paths: hll_distinct_text → hll_distinct_guard,
     # tdigest_nchars → tdigest_nchars_guard, drift_events_value →
     # drift_guard, knn_lsh_probe / knn_ivf_probe → knn_*_recall_guard,
-    # media_features_fake → media_features (real decode). The retired
-    # callables remain in medea_ray.engine.queries and stay pytest-covered.
+    # media_features_fake → media_features (real decode), plus
+    # doc_text_features and minhash_near_dup (inline notes below) — eight
+    # in all. The retired callables remain in medea_ray.engine.queries
+    # and stay pytest-covered (test_retired_query_callables_still_run).
     return {
         # column stats / sketches (E6-E8)
         "stats_orders_totalprice": q.stats_orders_totalprice,
