@@ -209,6 +209,11 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             lambda: q.orders_lineitem_join(SF_DIR).count()
         )
         results["user_sessions"], _ = _timed(lambda: q.user_sessions(SF_DIR).count())
+        # round 3: banded large×large range join (one shuffle on the band
+        # key + exact post-filter) over the events table
+        results["events_value_ranges"], _ = _timed(
+            lambda: q.events_value_ranges(SF_DIR).count()
+        )
 
         # round 3: real multimodal decode throughput (pure-Python BMP/PPM/
         # WAV parse over 100k synthesized binary payloads, actor pool)
