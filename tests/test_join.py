@@ -245,16 +245,22 @@ def _range_pairs(out_ds, id_col="id", label_col="bucket"):
     return sorted((r[id_col], r[label_col]) for r in out_ds.take_all())
 
 
-def test_range_join_matches_bruteforce(ray_session):
-    """Seeded random values × random intervals, band width well below the
-    typical interval width so every interval spans several bands — the
-    result must equal the brute-force O(n·m) pair set."""
+@pytest.mark.parametrize("band_width,seed", [
+    (4.0, 7),      # intervals span several bands (the intended regime)
+    (0.7, 11),     # pathological: heavy replication, dozens of bands/interval
+    (1000.0, 13),  # pathological: everything lands in 1-2 bands (near-cartesian)
+    (37.3, 17),    # non-round width, bounds never align with band edges
+])
+def test_range_join_matches_bruteforce(ray_session, band_width, seed):
+    """Seeded random values × random intervals at widths from
+    heavy-replication to near-single-band — the result must equal the
+    brute-force O(n·m) pair set regardless of banding choice."""
     import numpy as np
     import ray.data as rd
 
     from medea_ray.engine.join import range_join
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     vals = np.round(rng.uniform(-50, 150, 400), 3)
     left = rd.from_items([{"id": i, "v": float(v)} for i, v in enumerate(vals)],
                          override_num_blocks=5)
@@ -266,7 +272,8 @@ def test_range_join_matches_bruteforce(ray_session):
     right = rd.from_items(ivs, override_num_blocks=3)
 
     got = _range_pairs(
-        range_join(left, "v", right, "lo", "hi", band_width=4.0, num_partitions=8)
+        range_join(left, "v", right, "lo", "hi", band_width=band_width,
+                   num_partitions=8)
     )
     exp = sorted(
         (i, iv["bucket"])
