@@ -87,6 +87,14 @@ def entry() -> Any:
     knn = q.knn_topk_membership(sf)
     rows.append({"metric": "similarity.topk_rows", "value": float(len(knn))})
 
+    rows.append({"metric": "corpus_prep.n_kept", "value": float(q.corpus_prep(sf).count())})
+
+    media = q.media_features(sf)
+    rows.append({
+        "metric": "media.n_decoded",
+        "value": float(len(media)),
+    })
+
     return pd.DataFrame(rows)
 
 
