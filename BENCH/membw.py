@@ -31,7 +31,11 @@ REPS = 8
 
 
 def _triad(q, core: int):
-    os.sched_setaffinity(0, {core})
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        q.put(0.0)
+        return
     import numpy as np
 
     a = np.ones(N_ELEMS)
@@ -48,6 +52,12 @@ def _triad(q, core: int):
 
 
 def aggregate_bw(n_procs: int) -> dict:
+    n_cores = os.cpu_count() or 1
+    if n_procs > n_cores:
+        raise SystemExit(
+            f"membw: {n_procs} pinned processes need {n_procs} cores, "
+            f"machine has {n_cores}"
+        )
     q = mp.Queue()
     procs = [mp.Process(target=_triad, args=(q, i)) for i in range(n_procs)]
     for p in procs:

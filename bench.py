@@ -489,6 +489,12 @@ def main():
     if args and args[0] == "--scaling":
         if len(args) >= 3:
             print(json.dumps(run_scaling(small=int(args[1]), large=int(args[2]))))
+        elif len(args) == 2:
+            raise SystemExit(
+                "--scaling takes BOTH arm sizes (e.g. --scaling 4 16) or "
+                "neither (default 8 32); one arm alone would silently run "
+                "the default pairing"
+            )
         else:
             print(json.dumps(run_scaling()))
     elif args and args[0] == "--single-run":

@@ -161,6 +161,12 @@ def dedup_exact(ds, id_col: str, text_col: str = "text", concurrency=(1, 8)):
     anti-join in hash-bucket passes instead (``referential.bucket_of``
     shape). Rows with a null ``text_col`` have no content to compare and
     are always kept.
+
+    ``id_col`` should be unique for exact keep-one semantics (the id IS
+    the filter key). With duplicated ids the operator degrades safely
+    within a group — every row sharing the survivor's id value is kept,
+    never dropped — but an id duplicated across two *different* texts can
+    drop more than intended; pre-assign a unique id upstream in that case.
     """
     import pyarrow.compute as pc
 
@@ -181,8 +187,13 @@ def dedup_exact(ds, id_col: str, text_col: str = "text", concurrency=(1, 8)):
         ids = t.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        order = pc.array_sort_indices(ids)
-        return pa.table({"drop_id": ids.take(order.slice(1))}, schema=schema)
+        # distinct ids except the min: if the survivor's id value is itself
+        # duplicated within the group, emitting the raw sorted tail would
+        # put the survivor's own id in the drop set and the anti-filter
+        # would delete every copy of the text
+        uniq = pc.unique(ids)
+        order = pc.array_sort_indices(uniq)
+        return pa.table({"drop_id": uniq.take(order.slice(1))}, schema=schema)
 
     dropped = (
         ds.map_batches(to_key_id, batch_format="pyarrow")

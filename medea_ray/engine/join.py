@@ -168,6 +168,9 @@ def shuffle_join(
 
 
 BAND_COL = "__band"
+_RJ_V = "__rj_v"
+_RJ_LO = "__rj_lo"
+_RJ_HI = "__rj_hi"
 
 
 def range_join(
@@ -190,8 +193,9 @@ def range_join(
 
     How: the value axis is cut into bands of ``band_width``. Each left row
     lands in exactly one band (``floor(v / w)``); each right interval is
-    replicated to every band it overlaps (``ceil((hi - lo) / w) + 1`` rows
-    at most). One hash-shuffle equality join on the band key co-locates
+    replicated to every band it overlaps plus one guard band per side for
+    float64 band-edge rounding (``ceil((hi - lo) / w) + 3`` rows at most).
+    One hash-shuffle equality join on the band key co-locates
     every candidate pair, and a vectorized post-filter applies the exact
     bounds — since a left row has exactly one band, no pair can surface
     twice. Null values / null or empty (hi <= lo) intervals match nothing.
@@ -213,6 +217,11 @@ def range_join(
     if not (band_width > 0):
         raise ValueError(f"band_width must be > 0, got {band_width!r}")
     w = float(band_width)
+    # The bound/value columns ride the join under reserved names (zero-copy
+    # refs to the originals) so the exact post-filter never has to guess
+    # which side a suffixed-or-bare name came from: user columns that merely
+    # share a name with the other side cannot be mistaken for the bounds.
+    reserved = {BAND_COL, _RJ_V, _RJ_LO, _RJ_HI}
 
     def band_left(t: pa.Table) -> pa.Table:
         vals = t.column(value_col)
@@ -224,19 +233,34 @@ def range_join(
             keep = pc.is_valid(vals)
             t = t.filter(keep)
             vals = vals.drop_null()
+        if reserved & set(t.column_names):
+            raise ValueError(
+                f"range_join: input uses reserved column name(s) "
+                f"{sorted(reserved & set(t.column_names))}"
+            )
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
         bands = np.floor(v / w).astype(np.int64)
+        t = t.append_column(_RJ_V, t.column(value_col))
         return t.append_column(BAND_COL, pa.array(bands, pa.int64()))
 
     def expand_right(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t.column(lo_col)), pc.is_valid(t.column(hi_col)))
         if t.num_rows and not pc.all(keep).as_py():
             t = t.filter(keep)
+        if reserved & set(t.column_names):
+            raise ValueError(
+                f"range_join: input uses reserved column name(s) "
+                f"{sorted(reserved & set(t.column_names))}"
+            )
         lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
         hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        b0 = np.floor(lo / w).astype(np.int64)
+        # One guard band each side: the left row's floor(v / w) is computed
+        # on the ROUNDED float64 quotient, which at an exact band boundary
+        # can land one band above ceil(hi/w)-1 or below floor(lo/w) (half-ulp
+        # rounding); the exact post-filter discards the extras.
+        b0 = np.floor(lo / w).astype(np.int64) - 1
         # half-open hi: a band starting exactly at hi is NOT overlapped
-        b1 = (np.ceil(hi / w) - 1).astype(np.int64)
+        b1 = np.ceil(hi / w).astype(np.int64)
         counts = np.where(hi > lo, b1 - b0 + 1, 0)
         if counts.size and counts.max() > max_bands_per_interval:
             k = int(np.argmax(counts))
@@ -250,6 +274,8 @@ def range_join(
         offsets = np.arange(row_idx.size, dtype=np.int64) - np.repeat(starts, counts)
         bands = b0[row_idx] + offsets
         out = t.take(pa.array(row_idx, pa.int64()))
+        out = out.append_column(_RJ_LO, out.column(lo_col))
+        out = out.append_column(_RJ_HI, out.column(hi_col))
         return out.append_column(BAND_COL, pa.array(bands, pa.int64()))
 
     joined = shuffle_join(
@@ -261,23 +287,13 @@ def range_join(
         left_suffix=left_suffix,
         right_suffix=right_suffix,
     )
-    # exact bounds post-filter; Ray's join appends a suffix only when the
-    # bare name collides across sides, so resolve against the actual
-    # joined column names at runtime
-    def _pick(t: pa.Table, name: str, suffix: str | None) -> str:
-        if name in t.column_names:
-            return name
-        if suffix and name + suffix in t.column_names:
-            return name + suffix
-        raise KeyError(f"range_join: column {name!r} missing after join")
-
     def exact_filter(t: pa.Table) -> pa.Table:
-        v = t.column(_pick(t, value_col, left_suffix))
+        v = t.column(_RJ_V)
         keep = pc.and_(
-            pc.greater_equal(v, t.column(_pick(t, lo_col, right_suffix))),
-            pc.less(v, t.column(_pick(t, hi_col, right_suffix))),
+            pc.greater_equal(v, t.column(_RJ_LO)),
+            pc.less(v, t.column(_RJ_HI)),
         )
-        return t.filter(keep).drop_columns([BAND_COL])
+        return t.filter(keep).drop_columns([BAND_COL, _RJ_V, _RJ_LO, _RJ_HI])
 
     return joined.map_batches(exact_filter, batch_format="pyarrow")
 

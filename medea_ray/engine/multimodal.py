@@ -178,6 +178,8 @@ def _lzw_encode(indices: bytes, min_code_size: int = _GIF_MIN_CODE_SIZE) -> byte
     min+1 up to 12 bits (encoder bumps at next_code == 2^w + 1 to stay in
     lockstep with the decoder's one-code entry lag), table reset before
     the 4096-entry ceiling."""
+    if not indices:
+        raise ValueError("_lzw_encode: empty pixel-index stream")
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     acc = n_acc = 0
@@ -284,6 +286,8 @@ def make_gif(width: int, height: int, n_frames: int = 1, seed: int = 0) -> bytes
     """Deterministic animated GIF89a: 256-entry grayscale-identity global
     color table, one graphic-control extension + full-frame image per
     frame, really-LZW-compressed pixel data."""
+    if width < 1 or height < 1:
+        raise ValueError(f"make_gif: zero-area frame {width}x{height}")
     lsd = struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
     gct = b"".join(bytes([i, i, i]) for i in range(256))
     parts = [b"GIF89a", lsd, gct]

@@ -1070,9 +1070,16 @@ def knn_ivf_recall_guard(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only)."""
+    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only).
+
+    ``verify`` is pinned to ``"exact"``: the registered driver query must
+    emit the same pair set at every scale factor, and the ``"auto"``
+    default switches to the ±0.06 signature estimate once sampled mean
+    text length crosses its threshold."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.near_dup_pairs(ds, "doc_id", threshold=0.5, concurrency=(1, 4))
+    pairs = dedup.near_dup_pairs(
+        ds, "doc_id", threshold=0.5, verify="exact", concurrency=(1, 4)
+    )
     pairs = pairs[["id_a", "id_b"]].copy()
     pairs["id_a"] = pairs["id_a"].astype("int64")
     pairs["id_b"] = pairs["id_b"].astype("int64")

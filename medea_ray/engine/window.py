@@ -15,8 +15,11 @@ Scale shapes:
   Partitioning assumption: ONE group's rows fit in a worker heap — true
   for per-user event streams whose size is bounded by human activity, not
   corpus size. A degenerate hot group is truncated at ``max_group_size``
-  (earliest rows kept — deterministic) with a logged drop count, same
-  policy as dedup's bucket cap (no silent caps).
+  deterministically with a logged drop count, same policy as dedup's
+  bucket cap (no silent caps). Which rows are kept is per-operator:
+  ``sessionize``/``top_k_per_group`` keep the earliest, while
+  ``asof_join`` keeps the LATEST right-side timestamps so truncation can
+  only null a match, never fabricate a stale one.
 - ``interval_join`` broadcasts the (small) interval table once inside the
   task closure and scans each batch with one boolean mask per interval —
   no shuffle, O(n_intervals × batch) vectorized. Intervals may overlap

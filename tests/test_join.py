@@ -387,3 +387,42 @@ def test_range_join_rejects_bad_args(ray_session):
         range_join(left, "v", right, "lo", "hi", band_width=1.0, join_type="left_outer")
     with pytest.raises(ValueError, match="band_width"):
         range_join(left, "v", right, "lo", "hi", band_width=0.0)
+
+
+def test_range_join_colliding_column_names(ray_session):
+    """A left column that shares a name with the right's bound column must
+    not be mistaken for the bound after the join's collision suffixing:
+    the exact filter reads the bounds through reserved internal columns,
+    so left-side 'lo'/'hi' data can be anything."""
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    # left's own 'lo' says 1e9 — filtering on it instead of the interval's
+    # lo would drop every pair; left's 'hi' says -1e9 — same, mirrored
+    left = rd.from_items([
+        {"id": 0, "v": 5.0, "lo": 1e9, "hi": -1e9},
+        {"id": 1, "v": 25.0, "lo": 1e9, "hi": -1e9},
+    ])
+    right = rd.from_items([{"bucket": "b0", "lo": 0.0, "hi": 10.0}])
+    got = _range_pairs(range_join(left, "v", right, "lo", "hi", band_width=4.0))
+    assert got == [(0, "b0")]
+
+
+def test_range_join_float_ulp_band_edge(ray_session):
+    """v one ulp below an hi that sits exactly on a band boundary: v/w can
+    round UP to the integral quotient, banding the row one past
+    ceil(hi/w)-1 — the guard band must still surface the pair."""
+    import math
+
+    import ray.data as rd
+
+    from medea_ray.engine.join import range_join
+
+    w = 0.1  # not a binary fraction: quotients round
+    hi = 3.0  # hi / w = 30.000000000000004 → ceil-1 = 29; v/w may round to 30
+    v = math.nextafter(hi, -math.inf)
+    left = rd.from_items([{"id": 0, "v": v}, {"id": 1, "v": hi}])
+    right = rd.from_items([{"bucket": "edge", "lo": 0.0, "hi": hi}])
+    got = _range_pairs(range_join(left, "v", right, "lo", "hi", band_width=w))
+    assert got == [(0, "edge")]  # v < hi matches; v == hi (id 1) does not

@@ -597,6 +597,24 @@ def test_dedup_exact_keeps_null_text_rows(ray_session):
     assert sorted(kept["doc_id"]) == [1, 3, 4, 5]
 
 
+def test_dedup_exact_duplicated_survivor_id_never_destroys_text(ray_session):
+    """If the min-id survivor's id value is itself duplicated in the
+    group, the id-based anti-filter must not drop the survivor: every row
+    sharing the survivor's id is kept (documented safe degradation for a
+    non-unique id_col), and no text ever vanishes from the corpus."""
+    import ray.data as rd
+
+    ds = rd.from_items([
+        {"doc_id": 7, "text": "a"},
+        {"doc_id": 7, "text": "a"},   # duplicate of the survivor id itself
+        {"doc_id": 9, "text": "a"},   # true non-survivor
+        {"doc_id": 3, "text": "b"},
+    ])
+    kept = dedup_exact(ds, "doc_id").to_pandas()
+    assert set(kept["text"]) == {"a", "b"}          # nothing destroyed
+    assert sorted(kept["doc_id"]) == [3, 7, 7]      # id-9 dup dropped
+
+
 def test_near_dup_pairs_auto_selects_by_text_length(ray_session, caplog):
     """verify='auto' (the default) picks exact for short snippets and the
     constant-shuffle-volume estimate for web-page-scale text, logging the
@@ -765,6 +783,12 @@ def test_gif_container_and_frame_sampler(ray_session):
     good = make_gif(6, 5, 2, 1)
     for p in [b"GIF89a", good[:20], good[:-1], good[:200], b"GIF89a" + b"\x00" * 20]:
         assert builtin_decode(p)["ok"] is False
+
+    # zero-area frames fail at the generator boundary with a named error,
+    # not a KeyError from inside the LZW bit packer
+    for bad_w, bad_h in [(0, 5), (6, 0), (0, 0)]:
+        with pytest.raises(ValueError, match="zero-area"):
+            make_gif(bad_w, bad_h, 1, 0)
 
     # frame-sample stage: every 2nd frame, typed stats, nulls tolerated
     rows = [{"doc_id": i, "blob": make_gif(15, 13, 2 + i % 5, seed=i)}
