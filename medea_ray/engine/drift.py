@@ -33,10 +33,24 @@ def histogram_by_bucket(
 
     Categorical when numeric_bins is None (bin = value as string, nulls →
     "<null>"); numeric otherwise (bin = right-open bin index as string).
+    Rows with a null ``ts_col`` have no partition to drift against and are
+    dropped (a null day bucket would otherwise poison the driver-side
+    bucket sort with a None key).
     """
     from ray.data.aggregate import Sum
 
+    _PARTIAL_SCHEMA = pa.schema(
+        [("bucket", pa.string()), ("bin", pa.string()), ("n", pa.int64())]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if ts.null_count:
+            batch = batch.filter(pc.is_valid(ts))
+        if batch.num_rows == 0:
+            # an all-null-ts block carries a null-typed ts column that no
+            # strftime kernel accepts — emit a typed empty partial
+            return _PARTIAL_SCHEMA.empty_table()
         bucket = _day_bucket(batch.column(ts_col))
         col = batch.column(value_col)
         if numeric_bins is None:

@@ -21,8 +21,19 @@ the north rule's training-data engine scope.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pyarrow as pa
+
+_HEX_RE = re.compile(r"[0-9a-fA-F]+")
+
+
+def _require_hex(s: str) -> None:
+    # int(s, 16) alone is too permissive: '0x40', '-1' and ' 8 ' all pass
+    # it but compare lexicographically against lowercase hex digests,
+    # silently sampling at the wrong rate
+    if not (isinstance(s, str) and _HEX_RE.fullmatch(s)):
+        raise ValueError(f"threshold must be bare hex digits, got {s!r}")
 
 
 def _hex_prefixes(ids, prefix_len: int) -> list[str]:
@@ -39,7 +50,7 @@ def hash_sample(ds, id_col: str, threshold_hex: str):
     """Keep rows whose ``md5(str(id))`` hex prefix sorts strictly below
     ``threshold_hex``. Sampling rate ≈ int(threshold_hex, 16) / 16**len.
     Null ids are never sampled (no stable identity to hash)."""
-    int(threshold_hex, 16)  # fail fast on a non-hex threshold
+    _require_hex(threshold_hex)
     threshold_hex = threshold_hex.lower()  # hexdigest() is lowercase
     k = len(threshold_hex)
 
@@ -67,7 +78,7 @@ def stratified_hash_sample(ds, id_col: str, strata_col: str,
     if len(lens) != 1:
         raise ValueError(f"all thresholds must share one prefix length, got {lens}")
     for v in list(thresholds.values()) + [default_threshold_hex]:
-        int(v, 16)  # fail fast on a non-hex threshold
+        _require_hex(v)
     k = lens.pop()
 
     def sample(t: pa.Table) -> pa.Table:
@@ -90,7 +101,7 @@ def train_test_split(ds, id_col: str, test_threshold_hex: str,
     int(threshold, 16) / 16**len). Null ids get a null split. Disjoint
     and exhaustive by construction; stable across runs and cluster
     shapes."""
-    int(test_threshold_hex, 16)
+    _require_hex(test_threshold_hex)
     test_threshold_hex = test_threshold_hex.lower()  # hexdigest() is lowercase
     k = len(test_threshold_hex)
 

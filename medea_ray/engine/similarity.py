@@ -147,20 +147,38 @@ def add_lsh_buckets(
     dim: int | None = None,
     seed: int = 42,
 ):
-    """Append one bucket column per LSH table (lsh_0..lsh_{t-1})."""
+    """Append one bucket column per LSH table (lsh_0..lsh_{t-1}).
+
+    Pass ``dim`` to pre-build the hyperplanes; otherwise they are learned
+    from the first non-empty batch. Zero-row blocks (empty parquet
+    fragments, upstream filters) pass through with typed empty bucket
+    columns — the same guard every other vector stage here carries."""
 
     class _Bucketer:
         def __init__(self):
-            self.planes = None
+            if dim is not None:
+                self.planes = self._build(dim)
+            else:
+                self.planes = None
+
+        @staticmethod
+        def _build(d: int):
+            rng = np.random.default_rng(seed)
+            return [
+                rng.standard_normal((n_bits, d)).astype(np.float32)
+                for _ in range(n_tables)
+            ]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                for t in range(n_tables):
+                    batch = batch.append_column(
+                        f"lsh_{t}", pa.array([], pa.uint64())
+                    )
+                return batch
             m = _batch_matrix(batch, vec_col)
             if self.planes is None:
-                rng = np.random.default_rng(seed)
-                self.planes = [
-                    rng.standard_normal((n_bits, m.shape[1])).astype(np.float32)
-                    for _ in range(n_tables)
-                ]
+                self.planes = self._build(m.shape[1])
             for t, planes in enumerate(self.planes):
                 batch = batch.append_column(
                     f"lsh_{t}", pa.array(lsh_signature(m, planes), pa.uint64())
@@ -189,7 +207,7 @@ def knn_lsh(
     qn = _normalize(queries)
     q_sigs = [lsh_signature(qn, p) for p in planes]  # per table: (n_queries,)
 
-    bucketed = add_lsh_buckets(ds, vec_col, n_bits, n_tables, seed=seed)
+    bucketed = add_lsh_buckets(ds, vec_col, n_bits, n_tables, dim=dim, seed=seed)
     sig_sets = [set(s.tolist()) for s in q_sigs]
 
     def candidate_filter(batch: pa.Table) -> pa.Table:
@@ -268,6 +286,8 @@ def knn_ivf(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
             m = _normalize(_batch_matrix(batch, vec_col))
             cells = np.argmax(m @ self.centroids.T, axis=1)
             return batch.filter(pa.array(np.isin(cells, probe_arr)))
@@ -339,15 +359,23 @@ def embedding_near_dup(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    empty = {
-        "id_a": pd.Series(dtype="int64"),
-        "id_b": pd.Series(dtype="int64"),
-        "cosine": pd.Series(dtype="float64"),
-    }
+    def _id_out(a: np.ndarray) -> np.ndarray:
+        # integer ids normalize to int64; string/other ids keep their dtype
+        # (the id columns must be consistently typed across groups for the
+        # final pair-dedup groupby)
+        return a.astype("int64") if np.issubdtype(a.dtype, np.integer) else a
+
+    def _empty(id_dtype) -> pd.DataFrame:
+        out_dtype = "int64" if pd.api.types.is_integer_dtype(id_dtype) else id_dtype
+        return pd.DataFrame({
+            "id_a": pd.Series(dtype=out_dtype),
+            "id_b": pd.Series(dtype=out_dtype),
+            "cosine": pd.Series(dtype="float64"),
+        })
 
     def verify(df):
         if len(df) < 2:
-            return pd.DataFrame(empty)
+            return _empty(df[id_col].dtype)
         if len(df) > max_bucket_size:
             log.warning(
                 "embedding_near_dup: bucket of %d capped to %d (dropped %d rows)",
@@ -361,8 +389,8 @@ def embedding_near_dup(
         mask = sims[ia, ib] >= threshold
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
-                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]).astype("int64"),
+                "id_a": _id_out(np.minimum(ids[ia[mask]], ids[ib[mask]])),
+                "id_b": _id_out(np.maximum(ids[ia[mask]], ids[ib[mask]])),
                 "cosine": sims[ia, ib][mask].astype(np.float64),
             }
         )

@@ -16,7 +16,10 @@ import pyarrow.compute as pc
 
 from medea_ray.engine.dedup import hash_bytes
 
-_TOKEN_RE = re.compile(r"\S+")
+# RE2's \s is exactly [\t\n\f\r ] (no \v, no Unicode spaces), while
+# Python's \S would also break on U+00A0 etc. — pin the class so
+# token_count_ws stays in lockstep with DuckDB regexp_extract_all('\S+')
+_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
 # BPE-ish word/number/punct splitter (GPT-2-style coarse classes).
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
 
@@ -151,7 +154,7 @@ def add_token_counts(ds, text_col: str = "text", id_col: str | None = None):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-_ASCII_WORD_RE = None
+_ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
 
 
 def add_word_stats(ds, text_col: str = "text", id_col: str | None = None):
@@ -160,11 +163,6 @@ def add_word_stats(ds, text_col: str = "text", id_col: str | None = None):
     — the Gopher-style repetition signal (a low distinct/total ratio
     flags boilerplate). The token class keeps Python ``re`` and DuckDB
     RE2 in exact lockstep for the oracle. Null text → 0/0 (no words)."""
-    import re
-
-    global _ASCII_WORD_RE
-    if _ASCII_WORD_RE is None:
-        _ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
 
     def fn(batch: pa.Table) -> pa.Table:
         n_w, n_d = [], []

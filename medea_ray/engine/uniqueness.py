@@ -8,17 +8,15 @@ for hot keys (a url duplicated a million times crosses the shuffle as a few
 hundred partial counts, one per block). Phase 2 is a small
 ``groupby(key).sum`` over partials. For *adversarial* skew where even
 partial rows of one key could swamp a reducer, ``salted_group_count``
-additionally salts the key with ``hash % n_salts`` for a 3-stage
-(partial → salted combine → final) plan — FP-Hadoop-style partial/final
-splitting (see PAPERS.md).
+additionally salts each partial row (batch-random offset + position, mod
+``n_salts``) for a 3-stage (partial → salted combine → final) plan —
+FP-Hadoop-style partial/final splitting (see PAPERS.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-
-from medea_ray.engine.stats import hash_column
 
 
 def _partial_counts_fn(key: str):
@@ -54,9 +52,13 @@ def salted_group_count(ds, key: str, n_salts: int = 16, batch_size: int = 8192):
         g = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
         t = pa.table({key: g.column(key), "cnt": g.column("count_all")})
         # Salt must differ across partials of the SAME key (that's what
-        # spreads a hot key over reducers); position within the batch does.
+        # spreads a hot key over reducers). Position alone is NOT enough:
+        # on key-sorted input a hot key holds the same first-occurrence
+        # rank in every batch and would land on one reducer anyway, so a
+        # per-batch random offset (OS entropy) rotates the assignment.
         # The final count is salt-invariant, so determinism is unaffected.
-        salt = np.arange(t.num_rows, dtype=np.int64) % n_salts
+        offset = np.random.default_rng().integers(n_salts)
+        salt = (np.arange(t.num_rows, dtype=np.int64) + offset) % n_salts
         return t.append_column("salt", pa.array(salt, pa.int64()))
 
     partials = ds.map_batches(

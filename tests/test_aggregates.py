@@ -277,3 +277,33 @@ def test_grouped_sketch_drops_null_groups(ray_session):
     out = grouped_sketch_summary(ds, "g", stats_cols=["x"])
     assert set(out) == {"a"}
     assert out["a"]["x"]["n"] == 1
+
+
+def test_drift_drops_null_timestamps(ray_session):
+    """Rows with a null warc_ts have no partition: they are dropped, never
+    turned into a None bucket key that breaks the driver-side sort."""
+    import ray.data as rd
+
+    from datetime import datetime
+
+    rows = []
+    for d in (1, 2):
+        for i in range(20):
+            rows.append({"warc_ts": datetime(2024, 1, d), "lang": "en" if i % 2 else "de"})
+    rows.append({"warc_ts": None, "lang": "zz"})
+    rep = drift_report(rd.from_items(rows), "lang")
+    assert [r["bucket"] for r in rep] == ["2024-01-01", "2024-01-02"]
+    assert all(r["n"] == 20 for r in rep)
+
+
+def test_salted_count_correct_on_key_sorted_input(ray_session):
+    """Key-sorted input (the case where a positional salt degenerates —
+    the hot key leads every batch): counts must still be exact."""
+    import ray.data as rd
+
+    rows = [{"k": "hot"}] * 500 + [{"k": f"cold{i}"} for i in range(50)]
+    ds = rd.from_items(rows).repartition(10)
+    got = {r["k"]: r["n"] for r in salted_group_count(ds, "k", n_salts=8,
+                                                      batch_size=32).take_all()}
+    assert got["hot"] == 500
+    assert all(got[f"cold{i}"] == 1 for i in range(50))

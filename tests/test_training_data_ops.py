@@ -917,3 +917,83 @@ def test_builtin_codecs_reject_malformed():
     for p in bad:
         d = builtin_decode(p)
         assert d["ok"] is False, p[:20]
+
+
+def test_add_lsh_buckets_and_ivf_survive_empty_blocks(ray_session):
+    """Zero-row blocks must pass through the LSH bucketer and the IVF cell
+    filter with typed columns, not crash in the reshape(0, -1) matrix
+    build — same guard contract as _TopKScorer."""
+    import ray.data as rd
+
+    from medea_ray.engine.similarity import add_lsh_buckets, knn_ivf
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(16).astype(np.float32).tolist()}
+        for i in range(8)
+    ]
+    # more blocks than rows → guaranteed empty blocks
+    ds = rd.from_items(rows).repartition(16)
+    out = add_lsh_buckets(ds, n_bits=4, n_tables=2).to_pandas()
+    assert len(out) == 8 and {"lsh_0", "lsh_1"} <= set(out.columns)
+    # dim pre-build: planes identical to the lazily-learned ones
+    out2 = add_lsh_buckets(ds, n_bits=4, n_tables=2, dim=16).to_pandas()
+    a = out.sort_values("vec_id")[["lsh_0", "lsh_1"]].to_numpy()
+    b = out2.sort_values("vec_id")[["lsh_0", "lsh_1"]].to_numpy()
+    assert (a == b).all()
+
+    queries = rng.standard_normal((2, 16)).astype(np.float32)
+    from medea_ray.engine.similarity import knn_ivf as _ivf
+    got = _ivf(ds, queries, k=3, n_cells=2, n_probe=2).to_pandas()
+    assert (got.groupby("query_id").size() <= 3).all()
+
+
+def test_embedding_near_dup_string_ids(ray_session):
+    """id_col is parametric: string ids must survive the verify stage's
+    min/max pairing instead of crashing on an int64 cast."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(32).astype(np.float32)
+    rows = [
+        {"url": "https://a.example/1", "embedding": v.tolist()},
+        {"url": "https://b.example/2", "embedding": (v + 0.001).tolist()},
+        {"url": "https://c.example/3", "embedding": (-v).tolist()},
+    ]
+    ds = rd.from_items(rows)
+    pairs = embedding_near_dup(
+        ds, id_col="url", threshold=0.9, n_bits=2, n_tables=4, seed=1
+    ).to_pandas()
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["id_a"] == "https://a.example/1"
+    assert pairs.iloc[0]["id_b"] == "https://b.example/2"
+
+
+def test_hash_sample_rejects_permissive_int_parses(ray_session):
+    """'0x40', signs and whitespace parse under int(x, 16) but compare
+    lexicographically against hex digests — they must be rejected."""
+    import ray.data as rd
+
+    from medea_ray.engine.sampling import (
+        hash_sample, stratified_hash_sample, train_test_split,
+    )
+
+    for bad in ["0x40", "-1", " 8 ", "+f", ""]:
+        with pytest.raises(ValueError, match="hex"):
+            hash_sample(rd.range(1), "id", bad)
+        with pytest.raises(ValueError, match="hex|prefix length"):
+            stratified_hash_sample(rd.range(1), "id", "id", {"a": bad})
+        with pytest.raises(ValueError, match="hex"):
+            train_test_split(rd.range(1), "id", bad)
+
+
+def test_token_count_ws_re2_whitespace_parity():
+    """Python \\S is Unicode-aware (NBSP, vertical tab) while DuckDB's RE2
+    \\S is exactly [^\\t\\n\\f\\r ] — the pinned class must agree with the
+    oracle on both."""
+    cases = ["a b", "a\x0bb", "a b", "a\tb", "a\fb", "a\nb", "x", ""]
+    for s in cases:
+        exp = duckdb.sql(
+            "SELECT len(regexp_extract_all(?, '\\S+'))", params=[s]
+        ).fetchone()[0]
+        assert token_count_ws(s) == exp, repr(s)
