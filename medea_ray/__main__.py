@@ -80,16 +80,19 @@ def _cmd_run(args) -> int:
         print(f"invalid schema {args.schema!r}: {e}", file=sys.stderr)
         return 2
 
+    # resolve inputs BEFORE paying for Ray session startup — a bad --input
+    # should error instantly, like a bad --schema does
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+
     import ray
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     from medea_ray.engine.pipeline import run_validation_pipeline
 
-    files, fmt = _resolve_inputs(args.input)
-    if files is None:
-        print(fmt, file=sys.stderr)
-        return 2
     report = run_validation_pipeline(
         files,
         schema_text,
@@ -107,6 +110,11 @@ def _cmd_run(args) -> int:
 
 
 def _cmd_stats(args) -> int:
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+
     import ray
 
     if not ray.is_initialized():
@@ -115,7 +123,10 @@ def _cmd_stats(args) -> int:
 
     from medea_ray.engine.stats import sketch_summary
 
-    ds = rd.read_parquet(args.input)
+    if fmt == "jsonl":
+        ds = rd.read_json(files, file_extensions=["jsonl", "json"])
+    else:
+        ds = rd.read_parquet(files)
     out = sketch_summary(
         ds,
         stats_cols=[c for c in args.columns.split(",") if c],

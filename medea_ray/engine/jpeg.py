@@ -377,10 +377,13 @@ def decode_jpeg(p: bytes) -> dict | None:
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
                 if pq != 0 or bpos + 65 > len(body):
                     return None  # only 8-bit tables
-                zz = np.frombuffer(body, np.uint8, 64, bpos + 1).astype(np.int64)
-                tab = np.zeros(64, np.int64)
-                tab[ZIGZAG] = zz
-                qtabs[tq] = tab
+                # DQT bytes are in zigzag order (T.81 B.2.4.1); keep them
+                # that way — _decode_scan's blk is zigzag-ordered too, so
+                # dequantization pairs entry k with coefficient k directly
+                # (a natural-order table here mispaired every AC entry)
+                qtabs[tq] = np.frombuffer(
+                    body, np.uint8, 64, bpos + 1
+                ).astype(np.int64)
                 bpos += 65
         elif marker == 0xC4:
             bpos = 0

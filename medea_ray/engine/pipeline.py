@@ -148,12 +148,26 @@ class ValidatorActor:
             uniq = pc.unique(
                 path_col.combine_chunks() if isinstance(path_col, pa.ChunkedArray) else path_col
             ).to_pylist()
+            # A path Ray reports that the driver never mapped means the
+            # path strings diverged (scheme/normalization change) — every
+            # verdict would land on a phantom pid and the manifest would
+            # commit n_rows=0 per file "successfully". Fail loudly instead.
+            def _pid_of(p):
+                pid = self.path_to_pid.get(p)
+                if pid is None:
+                    raise ValueError(
+                        f"validation pipeline: batch path {p!r} not in the "
+                        f"driver's input map — path normalization mismatch "
+                        f"between ray.data include_paths and the input list"
+                    )
+                return pid
+
             if len(uniq) == 1:
-                pid = self.path_to_pid.get(uniq[0], -1)
+                pid = _pid_of(uniq[0])
                 row_pids = None
                 per_pid = {pid: [n, n_valid_total]}
             else:
-                row_pids = [self.path_to_pid.get(p, -1) for p in path_col.to_pylist()]
+                row_pids = [_pid_of(p) for p in path_col.to_pylist()]
                 per_pid = {}
                 for k, ok in enumerate(valid):
                     s = per_pid.setdefault(row_pids[k], [0, 0])
@@ -319,6 +333,21 @@ def run_validation_pipeline(
     input_files = sorted(input_files)
     if resume:
         done = load_manifest(out_dir)
+        # The manifest stores schema_digest per record precisely so a
+        # resumed run can't silently sum verdicts produced under a
+        # DIFFERENT schema into one report. Mixing is never meaningful —
+        # refuse rather than warn.
+        stale = sorted({
+            rec["schema_digest"] for rec in done.values()
+            if rec.get("schema_digest") not in (None, schema_digest)
+        })
+        if stale:
+            raise ValueError(
+                f"resume=True but {out_dir!r} holds verdicts for a different "
+                f"schema (digest {stale[0][:12]}… vs current "
+                f"{schema_digest[:12]}…) — rerun with resume=False or a "
+                f"fresh out_dir"
+            )
     else:
         # a fresh (resume=False) run into a previously-used out_dir must
         # not inherit its manifest: the uncommitted-wave sweep below keys
@@ -443,16 +472,22 @@ def run_validation_pipeline(
         wave_id += 1
 
     manifest = load_manifest(out_dir)
-    n_rows = sum(r["n_rows"] for r in manifest.values())
-    n_valid = sum(r["n_valid"] for r in manifest.values())
+    # Report over THIS run's input set only: a reused out_dir may hold
+    # manifest records for files that are not in input_files this time,
+    # and summing those would claim totals for inputs this run was never
+    # given. (read_verdicts/read_violations still span the whole out_dir —
+    # that is their documented cross-run contract.)
+    run_records = [manifest[p] for p in input_files if p in manifest]
+    n_rows = sum(r["n_rows"] for r in run_records)
+    n_valid = sum(r["n_valid"] for r in run_records)
     return {
         "n_files": len(input_files),
-        "n_files_skipped": len(done),
+        "n_files_skipped": sum(1 for p in input_files if p in done),
         "n_rows": n_rows,
         "n_valid": n_valid,
         "n_invalid": n_rows - n_valid,
         "wall_s": time.time() - t_start,
-        "partitions": sorted(manifest.values(), key=lambda r: r["partition_id"]),
+        "partitions": sorted(run_records, key=lambda r: r["partition_id"]),
     }
 
 

@@ -44,14 +44,14 @@ class HLL:
         h = h.astype(np.uint64, copy=False)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zeros of the remaining 64-p bits, + 1
-        bits = np.uint64(64)
-        # np.log2-free leading-zero count via bit_length emulation:
-        # use float log2 on nonzero values (rest always nonzero by the OR).
-        lz = (bits - np.uint64(1)) - np.floor(np.log2(rest.astype(np.float64))).astype(
-            np.uint64
-        )
-        rank = (lz + np.uint64(1)).astype(np.uint8)
+        # rank = leading zeros of the remaining 64-p bits, + 1. Exact
+        # integer count via a big-endian bit matrix (float64 log2 rounds
+        # half-ulp-below-power-of-two values UP, off-by-one rank — and a
+        # value rounding to 2^64 wrapped the subtraction to rank 0);
+        # rest is never zero thanks to the OR'd sentinel bit.
+        bit_mat = np.unpackbits(rest.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+        lz = np.argmax(bit_mat, axis=1)
+        rank = (lz + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HLL") -> "HLL":
@@ -172,6 +172,25 @@ class TDigest:
 # Ray AggregateFn wrappers
 
 
+def _exact_sum(valid: pa.Array, mn, mx):
+    """Sum a non-null numeric array exactly. pc.sum wraps silently when an
+    int64 batch total exceeds 2^63 (9 values of 2^60 suffice), so integer
+    arrays whose worst-case total could overflow are summed in bounded
+    slices with Python-int (arbitrary precision) accumulation — DuckDB
+    HUGEINT SUM parity at any magnitude. Float arrays sum as-is."""
+    if not pa.types.is_integer(valid.type):
+        return pc.sum(valid).as_py() or 0
+    bound = max(abs(int(mn)), abs(int(mx)), 1)
+    safe_len = max(1, (1 << 62) // bound)
+    n = len(valid)
+    if n <= safe_len:
+        return pc.sum(valid).as_py() or 0
+    total = 0
+    for off in range(0, n, safe_len):
+        total += pc.sum(valid.slice(off, safe_len)).as_py() or 0
+    return total
+
+
 def _get_col(block, col):
     t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
     return t.column(col)
@@ -183,7 +202,10 @@ def make_basic_stats_agg(col: str):
     from ray.data.aggregate import AggregateFn
 
     def init(_k):
-        return (0, 0, None, None, 0.0)
+        # sum accumulates as a Python int for integer columns (exact at any
+        # magnitude — a float seed would silently lose low bits past 2^53
+        # and diverge from DuckDB's HUGEINT SUM); float columns stay float
+        return (0, 0, None, None, 0)
 
     def acc_block(s, block):
         arr = _get_col(block, col)
@@ -191,12 +213,12 @@ def make_basic_stats_agg(col: str):
         nulls = arr.null_count
         valid = arr.drop_null()
         mn = mx = None
-        sm = 0.0
+        sm = 0
         if len(valid):
             mm = pc.min_max(valid).as_py()
             mn, mx = mm["min"], mm["max"]
             if pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type):
-                sm = pc.sum(valid).as_py() or 0.0
+                sm = _exact_sum(valid, mn, mx)
         return merge(s, (n, nulls, mn, mx, sm))
 
     def merge(a, b):
@@ -261,7 +283,7 @@ class _SketchState:
     optional TDigest."""
 
     def __init__(self, stats_cols, hll_cols, tdigest_cols, hll_p=14, delta=200):
-        self.basic = {c: (0, 0, None, None, 0.0) for c in stats_cols}
+        self.basic = {c: (0, 0, None, None, 0) for c in stats_cols}
         self.hll = {c: HLL(hll_p) for c in hll_cols}
         self.td = {c: TDigest(delta) for c in tdigest_cols}
 
@@ -277,12 +299,12 @@ class _SketchState:
             n, nulls = len(arr), arr.null_count
             valid = arr.drop_null()
             mn = mx = None
-            sm = 0.0
+            sm = 0
             if len(valid):
                 mm = pc.min_max(valid).as_py()
                 mn, mx = mm["min"], mm["max"]
                 if pa.types.is_integer(valid.type) or pa.types.is_floating(valid.type):
-                    sm = pc.sum(valid).as_py() or 0.0
+                    sm = _exact_sum(valid, mn, mx)
             self.basic[c] = self._merge_basic(s, (n, nulls, mn, mx, sm))
         for c, h in self.hll.items():
             h.add_hashes(hash_column(t.column(c)))
@@ -325,7 +347,11 @@ def sketch_summary(
         partial, batch_format="pyarrow", batch_size=batch_size
     ).take_all()
     if not parts:
-        return {}
+        # empty dataset → finalize a fresh zero state so callers get
+        # n=0 / approx_distinct=0 / NaN quantiles instead of a KeyError
+        return _finalize_state(
+            _SketchState(stats_cols, hll_cols, tdigest_cols), quantile_qs
+        )
     states = [pickle.loads(r["state"]) for r in parts]
     acc = states[0]
     for s in states[1:]:

@@ -307,3 +307,56 @@ def test_salted_count_correct_on_key_sorted_input(ray_session):
                                                       batch_size=32).take_all()}
     assert got["hot"] == 500
     assert all(got[f"cold{i}"] == 1 for i in range(50))
+
+
+def test_hll_rank_exact_vs_bit_length():
+    """The vectorized leading-zero count must be bit-identical to the
+    definitional bit_length loop, including the half-ulp-below-power-of-two
+    band where float64 log2 rounds the rank off by one."""
+    import numpy as np
+
+    p = 14
+    rng = np.random.default_rng(1)
+    h = rng.integers(0, 2**64, 50000, dtype=np.uint64)
+    adv = (np.arange(1, 500, dtype=np.uint64) << np.uint64(p)) ^ np.uint64(2**64 - 512)
+    h = np.concatenate([h, adv])
+    sk = HLL(p)
+    sk.add_hashes(h)
+    regs = np.zeros(1 << p, np.uint8)
+    for x in h.tolist():
+        idx = x >> (64 - p)
+        rest = ((x << p) & (2**64 - 1)) | (1 << (p - 1))
+        regs[idx] = max(regs[idx], 64 - rest.bit_length() + 1)
+    assert np.array_equal(sk.registers, regs)
+
+
+def test_sketch_summary_empty_dataset(ray_session):
+    """Empty input → zeroed summary (n=0, approx_distinct=0, NaN
+    quantiles), not a KeyError."""
+    import math
+
+    import ray.data as rd
+
+    from medea_ray.engine.stats import approx_distinct, column_stats, sketch_summary
+
+    ds = rd.range(10).filter(expr="id > 100")
+    s = sketch_summary(ds, stats_cols=["id"], hll_cols=["id"], tdigest_cols=["id"])
+    assert s["id"]["n"] == 0 and s["id"]["min"] is None
+    assert s["id"]["approx_distinct"] == 0.0
+    assert math.isnan(s["id"]["p50"])
+    assert approx_distinct(ds, "id") == 0.0
+    assert column_stats(ds, ["id"])["id"]["n"] == 0
+
+
+def test_stats_integer_sums_exact_past_2_53(ray_session):
+    """Integer sums accumulate as Python ints — totals beyond float64's
+    2^53 integer range must stay exact (DuckDB HUGEINT SUM parity)."""
+    import ray.data as rd
+
+    from medea_ray.engine.stats import column_stats
+
+    big = (1 << 60) + 1
+    ds = rd.from_items([{"v": big}] * 9).repartition(3)
+    got = column_stats(ds, ["v"])["v"]["sum"]
+    assert isinstance(got, int)
+    assert got == 9 * big  # float accumulation would drop the +1s

@@ -158,3 +158,19 @@ def test_cli_export_mixed_dir_exits_2(tmp_path):
     r = _run("export", "--input", src, "--out", str(tmp_path / "o"))
     assert r.returncode == 2
     assert "mixed" in r.stderr
+
+
+def test_cli_stats_glob_and_bad_input(tmp_path):
+    """stats promises 'parquet dir or glob' — a glob must resolve (it was
+    passed raw to read_parquet, which treats '*' literally), and a bad
+    --input must exit 2 before paying for Ray startup."""
+    pages = tmp_path / "pages"
+    write_pages(str(pages), n_rows=200, rows_per_file=100)
+    r = _run("stats", "--input", str(pages / "*.parquet"), "--columns", "lang")
+    assert r.returncode == 0, r.stderr[-800:]
+    out = json.loads(r.stdout)
+    assert out["lang"]["n"] == 200
+
+    r = _run("stats", "--input", str(tmp_path / "nope"), "--columns", "lang")
+    assert r.returncode == 2
+    assert "is not a file" in r.stderr

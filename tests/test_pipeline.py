@@ -340,3 +340,49 @@ def test_fresh_run_clears_stale_manifest(ray_session, pages_dir, tmp_path):
     verdicts = read_verdicts(out)
     assert verdicts.num_rows == 1
     assert sum(verdicts["n_rows"].to_pylist()) == report["n_rows"]
+
+
+def test_resume_rejects_schema_change(ray_session, pages_dir, tmp_path):
+    """A resumed run over verdicts produced under a DIFFERENT schema must
+    refuse — summing two schemas' verdicts into one report is never
+    meaningful, and the manifest carries schema_digest to detect it."""
+    out = str(tmp_path / "out_schema_change")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    run_validation_pipeline(
+        files[:1], flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    # digest differs (loosened array bound); row counts are unaffected
+    changed = flagship_schema_text().replace("$max-length 5", "$max-length 99")
+    assert changed != flagship_schema_text()
+    with pytest.raises(ValueError, match="different"):
+        run_validation_pipeline(
+            files, changed, out, wave_size=2, concurrency=2
+        )
+    # resume=False into the same out_dir accepts the new schema (fresh run)
+    report = run_validation_pipeline(
+        files, changed, out, wave_size=2, concurrency=2, resume=False
+    )
+    assert report["n_rows"] == N_ROWS
+
+
+def test_report_scoped_to_this_runs_inputs(ray_session, pages_dir, tmp_path):
+    """A reused out_dir holding manifest records for files OUTSIDE this
+    run's input list must not leak them into the returned totals."""
+    out = str(tmp_path / "out_scoped")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    full = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=4, concurrency=2
+    )
+    # resumed run over a SUBSET: totals describe the subset, not the dir
+    sub = run_validation_pipeline(
+        files[:1], flagship_schema_text(), out, wave_size=4, concurrency=2
+    )
+    assert sub["n_files"] == 1
+    assert sub["n_files_skipped"] == 1
+    assert sub["n_rows"] == load_manifest(out)[files[0]]["n_rows"]
+    assert sub["n_rows"] < full["n_rows"]
+    assert [r["input_path"] for r in sub["partitions"]] == [files[0]]

@@ -851,6 +851,34 @@ def test_jpeg_codec_roundtrip_fidelity():
     assert float(np.sqrt((err ** 2).mean())) < 10.0
 
 
+def test_jpeg_codec_roundtrip_nonflat_quant_table(monkeypatch):
+    """The repo's own tables are flat outside DC, which masked a decoder
+    bug pairing zigzag-ordered coefficients with a natural-ordered quant
+    table. A strongly non-flat (Annex-K-style) table must still
+    round-trip within the smooth-image RMSE bound."""
+    import numpy as np
+
+    from medea_ray.engine import jpeg
+
+    std_luma = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ], np.uint8)
+    monkeypatch.setattr(jpeg, "_Q_LUMA", std_luma)
+    g = jpeg.jpeg_fixture_image(40, 32, seed=3)[:, :, 0]
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg(g))
+    assert d is not None and (d["width"], d["height"]) == (40, 32)
+    err = d["pixels"][:, :, 0].astype(np.float64) - g.astype(np.float64)
+    rmse = float(np.sqrt((err ** 2).mean()))
+    assert rmse < 8.0, rmse  # the zigzag/natural mispairing gave ~30
+
+
 def test_jpeg_codec_rejects_malformed():
     import numpy as np
 
