@@ -18,24 +18,20 @@ from medea_ray.engine import queries as q
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# Shared SQL fragments so the oracle stays in lockstep with
-# medea_ray.fixtures.gen.DEFECT_SPECIFIER / DEFECT_PATH.
-_DEFECT_SPECIFIER_SQL = (
-    "CASE doc_id % 100 "
-    "WHEN 95 THEN 'not_one_of_options' "
-    "WHEN 96 THEN 'additional_prop_banned' "
-    "WHEN 97 THEN 'required_prop_missing' "
-    "WHEN 98 THEN 'out_of_bounds_array_length' "
-    "WHEN 99 THEN 'not_one_of_options' END"
-)
-_DEFECT_PATH_SQL = (
-    "CASE doc_id % 100 "
-    "WHEN 95 THEN '$/meta/len' "
-    "WHEN 96 THEN '$' "
-    "WHEN 97 THEN '$' "
-    "WHEN 98 THEN '$/tags' "
-    "WHEN 99 THEN '$/tags[1]' END"
-)
+# SQL CASE arms built FROM medea_ray.fixtures.gen.DEFECT_SPECIFIER /
+# DEFECT_PATH so the oracle stays in lockstep by construction (hand-
+# duplicated literals silently desynchronize when a defect class is
+# edited — same single-source pattern as _ranges_sql below).
+from medea_ray.fixtures.gen import DEFECT_PATH, DEFECT_SPECIFIER
+
+
+def _defect_case_sql(mapping: dict[int, str]) -> str:
+    arms = " ".join(f"WHEN {d} THEN '{v}'" for d, v in sorted(mapping.items()))
+    return f"CASE doc_id % 100 {arms} END"
+
+
+_DEFECT_SPECIFIER_SQL = _defect_case_sql(DEFECT_SPECIFIER)
+_DEFECT_PATH_SQL = _defect_case_sql(DEFECT_PATH)
 
 
 def _ranges_sql() -> str:

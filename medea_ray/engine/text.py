@@ -118,7 +118,10 @@ def add_text_features(ds, text_col: str = "text", concurrency=(1, 8)):
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
             langs, n_ws, n_bpe, fps = [], [], [], []
-            q_cols: dict[str, list] = {}
+            # seed the quality keys so a zero-row batch still emits every
+            # q_* column (blocks with divergent schemas break downstream
+            # to_pandas/concat)
+            q_cols: dict[str, list] = {k: [] for k in quality_features("")}
             for t in texts:
                 langs.append(detect_lang(t) if t else None)
                 n_ws.append(token_count_ws(t))

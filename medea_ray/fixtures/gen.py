@@ -114,7 +114,9 @@ def build_payload(url, lang, n_chars, tags, defect: int | None) -> str:
     (DEFECT_SPECIFIER / DEFECT_PATH). Shared by the pages generator and the
     documents-table driver queries so the DuckDB oracle can predict the
     violation set by construction."""
-    meta = {"len": int(n_chars)}
+    # n_chars is nullable in the documents table contract (the stats
+    # oracle models its nulls); mirror the generator's 0-for-missing
+    meta = {"len": 0 if n_chars is None else int(n_chars)}
     doc = {"url": url, "lang": lang, "meta": meta, "tags": list(tags)}
     if defect == 95:
         doc["meta"] = {"len": "oops"}  # wrong type for len
@@ -214,8 +216,6 @@ def expected_violations_chunk(start: int, n: int, seed: int = 42):
         d = int(mod[k])
         if d in DEFECT_SPECIFIER:
             i = int(idx[k])
-            if d == 53 and i >= 13:  # unreachable; defects are 95-99
-                continue
             url = f"https://host{int(host[k])}.example.com/p/{i}"
             out.append((url, DEFECT_PATH[d], DEFECT_SPECIFIER[d]))
     return out

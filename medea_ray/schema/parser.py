@@ -198,7 +198,13 @@ def _p_string(line: str, pos: int, cur: _Cursor):
                 cur.fail("parsing_failed", "dangling escape")
             e = line[pos + 1]
             if e == "u" and pos + 5 < n:
-                out.append(chr(int(line[pos + 2 : pos + 6], 16)))
+                hex4 = line[pos + 2 : pos + 6]
+                # int(x, 16) alone accepts whitespace/underscores and, on
+                # non-hex, raises a raw ValueError that escapes the
+                # MedeaError contract — require exactly four hex digits
+                if not all(ch in "0123456789abcdefABCDEF" for ch in hex4):
+                    cur.fail("parsing_failed", f"invalid \\u escape \\u{hex4}")
+                out.append(chr(int(hex4, 16)))
                 pos += 6
                 continue
             if e in _ESCAPES:

@@ -291,10 +291,7 @@ class _Checker:
         return ("object", out if self.annotate else obj) if self.annotate else None
 
     def _ann(self, label: str, v):
-        if not self.annotate:
-            return None
-        t = json_type_of(v)
-        return (label, v) if t not in ("array", "object") else (label, v)
+        return (label, v) if self.annotate else None
 
 
 class ValidatedJSON:
@@ -312,8 +309,10 @@ class ValidatedJSON:
         return self._value
 
     def valid_against(self):
+        # the root annotation is always the UserDefined '$start' wrapper
+        # (Data/Medea.hs:401) — a single check, no descent
         t = self._tree
-        while isinstance(t, tuple) and t[0] == "user":
+        if isinstance(t, tuple) and t[0] == "user":
             return ("user_defined", t[1])
         return (t[0],) if isinstance(t, tuple) else ("any",)
 

@@ -31,3 +31,30 @@ def test_parser_pass(name):
         data = f.read()
     spec = parse_specification(data)
     assert len(spec.schemata) >= 1
+
+
+@pytest.mark.parametrize("esc", ["ZZZZ", " 123", "12_3", "+123", "00g0"])
+def test_invalid_unicode_escape_is_parse_error(esc):
+    """A malformed \\uXXXX must raise MedeaParseError (int(x, 16) accepted
+    whitespace/underscore forms and raised raw ValueError on others,
+    escaping the MedeaError contract every caller relies on)."""
+    src = (
+        "$schema $start\n"
+        "    $type\n"
+        "        $string\n"
+        "    $string-values\n"
+        f'        "a\\u{esc}b"\n'
+    )
+    with pytest.raises(MedeaParseError):
+        parse_specification(src)
+
+
+def test_valid_unicode_escape_still_parses():
+    src = (
+        "$schema $start\n"
+        "    $type\n"
+        "        $string\n"
+        "    $string-values\n"
+        '        "a\\u0041b"\n'
+    )
+    parse_specification(src)  # A = 'A'

@@ -1025,3 +1025,26 @@ def test_token_count_ws_re2_whitespace_parity():
             "SELECT len(regexp_extract_all(?, '\\S+'))", params=[s]
         ).fetchone()[0]
         assert token_count_ws(s) == exp, repr(s)
+
+
+def test_add_text_features_empty_blocks_keep_schema(ray_session):
+    """Zero-row blocks must emit the q_* quality columns too — blocks with
+    divergent schemas break to_pandas/concat downstream."""
+    import ray.data as rd
+
+    from medea_ray.engine.text import add_text_features
+
+    rows = [{"text": "hello world"}, {"text": "the quick brown fox"}]
+    ds = rd.from_items(rows).repartition(8)  # mostly empty blocks
+    df = add_text_features(ds).to_pandas()
+    assert len(df) == 2
+    for c in ("q_len", "q_alpha_ratio", "q_repetition", "lang_pred"):
+        assert c in df.columns
+
+
+def test_build_payload_null_nchars():
+    from medea_ray.fixtures.gen import build_payload
+    import json as _json
+
+    p = build_payload("https://x", "en", None, [], None)
+    assert _json.loads(p)["meta"]["len"] == 0
