@@ -82,3 +82,43 @@ def test_parser_mutation_fuzz_never_crashes():
             compile_schema(data)
         except (MedeaError, RecursionError):
             pass  # the only acceptable failures
+
+
+def test_media_decode_fuzz_never_crashes():
+    """builtin_decode parses UNTRUSTED bytes at corpus scale: random
+    garbage, truncations and single-byte mutations of valid payloads must
+    return ok=False (or a valid decode), never raise."""
+    from medea_ray.engine.multimodal import (
+        builtin_decode, make_bmp, make_gif, make_ppm, make_wav, make_png,
+    )
+    from medea_ray.engine.jpeg import encode_jpeg, jpeg_fixture_image
+
+    rng = random.Random(99)
+    valid = [
+        make_bmp(9, 7, 1), make_ppm(8, 6, 2), make_wav(300, 3),
+        make_png(10, 5, 4), make_gif(7, 7, 2, 5),
+        encode_jpeg(jpeg_fixture_image(16, 16, 6)),
+    ]
+    # random garbage, with and without magic prefixes
+    for i in range(200):
+        n = rng.randrange(0, 300)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        if i % 3 == 0:
+            blob = rng.choice(
+                [b"BM", b"P6", b"RIFF", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8"]
+            ) + blob
+        r = builtin_decode(blob)
+        assert isinstance(r, dict) and "ok" in r
+    # truncations of valid payloads at every small prefix and random cuts
+    for v in valid:
+        for cut in list(range(0, 40)) + [rng.randrange(len(v)) for _ in range(40)]:
+            r = builtin_decode(v[:cut])
+            assert isinstance(r, dict) and "ok" in r
+    # single-byte mutations (length fields, dimensions, chunk CRCs...)
+    for v in valid:
+        for _ in range(120):
+            i = rng.randrange(len(v))
+            mut = bytearray(v)
+            mut[i] ^= 1 << rng.randrange(8)
+            r = builtin_decode(bytes(mut))
+            assert isinstance(r, dict) and "ok" in r
