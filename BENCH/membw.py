@@ -30,10 +30,11 @@ N_ELEMS = 2**25  # 256 MiB per float64 array, 3 arrays per worker (~0.75 GiB)
 REPS = 8
 
 
-def _triad(q, core: int):
+def _triad(q, core: int, barrier):
     try:
         os.sched_setaffinity(0, {core})
     except OSError:
+        barrier.wait(timeout=120)
         q.put(0.0)
         return
     import numpy as np
@@ -43,6 +44,11 @@ def _triad(q, core: int):
     c = np.zeros(N_ELEMS)
     # warm
     np.multiply(b, 0.5, out=c)
+    # all workers start their timed window together: without the barrier
+    # the windows are staggered (allocation time varies), early finishers
+    # lower contention for late ones, and summing per-window rates
+    # OVERSTATES the true concurrent aggregate
+    barrier.wait(timeout=120)
     t0 = time.perf_counter()
     for _ in range(REPS):
         np.add(a, b, out=c)  # 2 reads + 1 write
@@ -59,10 +65,21 @@ def aggregate_bw(n_procs: int) -> dict:
             f"machine has {n_cores}"
         )
     q = mp.Queue()
-    procs = [mp.Process(target=_triad, args=(q, i)) for i in range(n_procs)]
+    barrier = mp.Barrier(n_procs)
+    procs = [mp.Process(target=_triad, args=(q, i, barrier)) for i in range(n_procs)]
     for p in procs:
         p.start()
-    rates = [q.get() for _ in procs]
+    rates = []
+    for _ in procs:
+        try:
+            # a worker that dies pre-put (OOM kill at ~0.75 GiB each) must
+            # not hang the whole benchmark on a bare q.get()
+            rates.append(q.get(timeout=300))
+        except Exception:
+            raise SystemExit(
+                f"membw: worker died before reporting at n_procs={n_procs} "
+                f"(likely OOM — needs ~{0.75 * n_procs:.0f} GiB free)"
+            )
     for p in procs:
         p.join()
     return {

@@ -498,6 +498,8 @@ def main():
         else:
             print(json.dumps(run_scaling()))
     elif args and args[0] == "--single-run":
+        if len(args) < 2:
+            raise SystemExit("--single-run takes the cpu count (e.g. --single-run 8)")
         print(json.dumps(run_suite(int(args[1]), scaling_only=True)))
     else:
         print(json.dumps(run_suite(NUM_CPUS)))

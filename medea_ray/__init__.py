@@ -81,9 +81,13 @@ def compile_schema(source) -> "Schema":
     """
     import os
 
-    if isinstance(source, (str, os.PathLike)) and not isinstance(source, bytes):
-        text = str(source)
-        if "\n" not in text and (text.endswith(".medea") or os.path.sep in text):
+    if isinstance(source, os.PathLike):
+        # a PathLike is unambiguously a path — no sniffing (a bare-name
+        # Path("myschema") used to be parsed as schema TEXT)
+        with open(source, "rb") as f:
+            source = f.read()
+    elif isinstance(source, str):
+        if "\n" not in source and (source.endswith(".medea") or os.path.sep in source):
             with open(source, "rb") as f:
                 source = f.read()
     spec = parse_specification(source)

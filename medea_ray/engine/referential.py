@@ -23,7 +23,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _splitmix64_np(x: np.ndarray) -> np.ndarray:
@@ -196,10 +195,4 @@ def referential_check(
         n_buckets=n_buckets, broadcast_budget_bytes=broadcast_budget_bytes,
     )
 
-    def counter(t: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
-
-    n_orphans = sum(
-        r["n"] for r in orphans.map_batches(counter, batch_format="pyarrow").take_all()
-    )
-    return {"n_orphans": int(n_orphans)}
+    return {"n_orphans": int(orphans.count())}

@@ -63,8 +63,12 @@ class JsonGen:
         if choice == 3:
             return self._string()
         if choice == 4:
-            return self.array((0, 10), depth - 1)
-        return self.obj(ObjGenOpts([], [], 0, 10), depth - 1)
+            # pass depth unchanged: array()/obj() generate elements at
+            # depth-1 themselves (Arbitrary.hs calls makeRandomArray at the
+            # SAME depth) — decrementing here too halved max nesting, so
+            # the corpus never exercised validator recursion past ~3 levels
+            return self.array((0, 10), depth)
+        return self.obj(ObjGenOpts([], [], 0, 10), depth)
 
     # -- makeRandomArray (Arbitrary.hs:84-87); top-level depth 2 ------------
     def array(self, length_range: tuple[int, int], depth: int = 2) -> list:

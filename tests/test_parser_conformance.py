@@ -58,3 +58,22 @@ def test_valid_unicode_escape_still_parses():
         '        "a\\u0041b"\n'
     )
     parse_specification(src)  # A = 'A'
+
+
+def test_compile_schema_accepts_bare_name_pathlike(tmp_path):
+    """A PathLike is unambiguously a path — even a bare name with no
+    separator or .medea suffix must be opened, not parsed as schema
+    text."""
+    from pathlib import Path
+
+    from medea_ray import compile_schema
+
+    p = tmp_path / "myschema"  # no suffix, no sep in the name itself
+    p.write_text("$schema $start\n    $type\n        $string\n")
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        compile_schema(Path("myschema"))  # relative bare-name PathLike
+    finally:
+        os.chdir(cwd)
