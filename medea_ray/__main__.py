@@ -20,11 +20,23 @@ import sys
 
 
 def _cmd_validate_file(args) -> int:
-    from medea_ray import MedeaValidationError, compile_schema, validate
+    from medea_ray import MedeaError, MedeaValidationError, compile_schema, validate
 
-    graph = compile_schema(args.schema)
-    with open(args.document, "rb") as f:
-        payload = f.read()
+    from pathlib import Path
+
+    try:
+        # a CLI argument is always a path — bypass the str text-vs-path
+        # heuristic (a bare name with no .medea suffix would be parsed
+        # as schema TEXT)
+        graph = compile_schema(Path(args.schema))
+        with open(args.document, "rb") as f:
+            payload = f.read()
+    except OSError as e:
+        print(f"cannot read input: {e}", file=sys.stderr)
+        return 2
+    except MedeaError as e:
+        print(f"invalid schema {args.schema!r}: {e}", file=sys.stderr)
+        return 2
     try:
         vj = validate(graph, payload)
     except MedeaValidationError as e:
@@ -70,8 +82,12 @@ def _resolve_inputs(path: str) -> tuple[list[str] | None, str]:
 
 def _cmd_run(args) -> int:
     # validate the schema before paying for a Ray session
-    with open(args.schema) as f:
-        schema_text = f.read()
+    try:
+        with open(args.schema) as f:
+            schema_text = f.read()
+    except OSError as e:
+        print(f"cannot read schema {args.schema!r}: {e}", file=sys.stderr)
+        return 2
     from medea_ray import MedeaError, compile_schema
 
     try:

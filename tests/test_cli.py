@@ -174,3 +174,24 @@ def test_cli_stats_glob_and_bad_input(tmp_path):
     r = _run("stats", "--input", str(tmp_path / "nope"), "--columns", "lang")
     assert r.returncode == 2
     assert "is not a file" in r.stderr
+
+
+def test_cli_missing_or_bad_schema_exits_2(tmp_path):
+    """A missing/unreadable schema file is a clean driver-side exit 2,
+    never a raw FileNotFoundError traceback (and never a Ray startup)."""
+    r = _run("run", "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--schema", str(tmp_path / "nope.medea"), "--out", str(tmp_path / "o"))
+    assert r.returncode == 2, (r.returncode, r.stderr[-300:])
+    assert "cannot read schema" in r.stderr and "Traceback" not in r.stderr
+
+    doc = tmp_path / "d.json"
+    doc.write_text("{}")
+    r = _run("validate-file", str(tmp_path / "nope.medea"), str(doc))
+    assert r.returncode == 2
+    assert "cannot read" in r.stderr and "Traceback" not in r.stderr
+
+    bad = tmp_path / "bad.medea"
+    bad.write_text("not a medea schema\n")
+    r = _run("validate-file", str(bad), str(doc))
+    assert r.returncode == 2
+    assert "invalid schema" in r.stderr and "Traceback" not in r.stderr
