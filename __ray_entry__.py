@@ -153,7 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minhash_verified_pairs; the callable remains pytest-covered.
         # Its slot holds the oracle-checked baseline-JPEG codec guard.
         "jpeg_codec_guard": q.jpeg_codec_guard,
-        "simhash_near_dup": q.simhash_near_dup,
+        # simhash_near_dup (candidate buckets, rows-only) upgraded round 4
+        # to an oracle-checked exactness guard over the same code path:
+        # co-bucket pairs == brute-force share-a-block pairs + pigeonhole
+        # Hamming recall. The bucket-emitting callable stays pytest-covered.
+        "simhash_recall_guard": q.simhash_recall_guard,
         "referential_orders_customers": q.referential_orders_customers,
         "doc_text_digests": q.doc_text_digests,
         # text analysis
@@ -175,8 +179,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk_membership": q.knn_topk_membership,
         "knn_lsh_recall_guard": q.knn_lsh_recall_guard,
         "knn_ivf_recall_guard": q.knn_ivf_recall_guard,
+        # fully hash-matched vs a from-scratch DuckDB exact-Jaccard oracle
+        # (LSH recall is 1.0 on this corpus, so the verified pair set
+        # equals the exact all-pairs word-3-gram Jaccard >= 0.5 set)
         "minhash_verified_pairs": q.minhash_verified_pairs,
-        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        # embedding_near_dup_pairs (rows-only) upgraded round 4 to an
+        # oracle-checked precision/recall guard over the same code path;
+        # the pair-emitting callable stays pytest-covered.
+        "embedding_near_dup_guard": q.embedding_near_dup_guard,
         # multimodal: REAL builtin decode (BMP/PPM/WAV), oracle-checked
         "media_features": q.media_features,
     }
@@ -547,7 +557,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, true AS geometry_ok, true AS fidelity_ok
             FROM documents
         """,
-        # simhash_near_dup,
-        # minhash_verified_pairs, embedding_near_dup_pairs: approximate /
-        # non-SQL-expressible → rows-only check by design.
+        # from-scratch exact near-dup recomputation: word-3-gram shingle
+        # sets (regexp matches dedup._WORD_RE on this ASCII corpus; shingle
+        # Jaccard over strings == over the engine's 64-bit hashes absent a
+        # blake2b collision) with integer-only threshold math
+        # (j >= 0.5 <=> 3*i >= |A|+|B|). Valid because LSH recall is 1.0
+        # here (measured; min in-set Jaccard 0.9, nothing in [0.45, 0.5)),
+        # so verified-candidates == exact all-pairs.
+        "minhash_verified_pairs": """
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 3
+                                 THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                                 WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                                 ELSE [] END) AS sh
+              FROM w),
+            s AS (SELECT DISTINCT doc_id, sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE 3 * i >= sa.n + sb.n
+        """,
+        # simhash / embedding near-dup guards: the Ray side computes the
+        # booleans against exact sides (brute-force share-a-block set,
+        # float64 all-pairs cosine); the oracle asserts them TRUE, so a
+        # bucketing/verify regression turns the row red.
+        "simhash_recall_guard": """
+            SELECT true AS buckets_match_bruteforce, true AS hamming_recall_ok
+        """,
+        "embedding_near_dup_guard": """
+            SELECT true AS precision_ok, true AS recall_ok
+        """,
     }

@@ -1070,7 +1070,16 @@ def knn_ivf_recall_guard(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH candidates verified by exact n-gram Jaccard (rows-only).
+    """MinHash-LSH candidates verified by exact n-gram Jaccard.
+
+    Fully oracle-checked (round 4): on this corpus the LSH candidate set
+    contains every pair with exact word-3-gram Jaccard >= 0.5 (measured
+    recall 1.0, min in-set Jaccard 0.9, no pairs in [0.45, 0.5)), so the
+    verified pair set EQUALS the exact all-pairs Jaccard set — which the
+    DuckDB oracle recomputes from scratch with integer-only threshold math
+    (jaccard >= 0.5  <=>  3*|intersection| >= |A|+|B|; no floats cross the
+    compare boundary). A banding/signature/verify regression changes the
+    emitted set and hash-mismatches the row.
 
     ``verify`` is pinned to ``"exact"``: the registered driver query must
     emit the same pair set at every scale factor, and the ``"auto"``
@@ -1106,6 +1115,119 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     pairs["id_b"] = pairs["id_b"].astype("int64")
     return (
         pairs[["id_a", "id_b"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+
+
+def simhash_recall_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side exactness guard for the SimHash block-rotation path
+    (VERDICT r03 item 1): turns the rows-only ``simhash_near_dup`` into an
+    oracle-checked row.
+
+    Two booleans, both asserted TRUE by the oracle:
+
+    - ``buckets_match_bruteforce``: the distributed candidate buckets
+      (``dedup.simhash_candidates``, one groupby shuffle) reproduce the
+      operator's brute-force definition EXACTLY — the co-bucketed pair set
+      equals all pairs sharing >= 1 exact 16-bit signature block.
+    - ``hamming_recall_ok``: pigeonhole guarantee — every pair within
+      Hamming distance n_blocks-1 = 3 co-buckets (24 such pairs at
+      sf0.01; non-vacuous).
+
+    The exact side recomputes signatures sequentially on the driver —
+    guard scale only (the documents table is 500 rows at every sf); the
+    candidate side is the full distributed engine path."""
+    import itertools
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup.simhash_candidates(ds, "doc_id")
+    co: set[tuple[int, int]] = set()
+    for row in cand.take_all():
+        co.update(itertools.combinations(sorted(row["ids"]), 2))
+
+    ids: list[int] = []
+    sigs: list[int] = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for rid, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if t is None:
+                continue
+            ids.append(rid)
+            sigs.append(dedup.simhash64(t))
+    sig_arr = np.asarray(sigs, dtype=np.uint64)
+    id_arr = np.asarray(ids, dtype=np.int64)
+
+    n_blocks, bits = 4, 16
+    mask = np.uint64((1 << bits) - 1)
+    share: set[tuple[int, int]] = set()
+    for blk in range(n_blocks):
+        vals = (sig_arr >> np.uint64(blk * bits)) & mask
+        byval: dict[int, list[int]] = {}
+        for rid, v in zip(id_arr, vals):
+            byval.setdefault(int(v), []).append(int(rid))
+        for members in byval.values():
+            if len(members) > 1:
+                share.update(itertools.combinations(sorted(set(members)), 2))
+
+    xor = sig_arr[:, None] ^ sig_arr[None, :]
+    ham = np.unpackbits(
+        xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2
+    ).sum(axis=2)
+    iu, ju = np.triu_indices(len(ids), 1)
+    near_mask = ham[iu, ju] <= n_blocks - 1
+    near = {
+        (min(a, b), max(a, b))
+        for a, b in zip(id_arr[iu[near_mask]], id_arr[ju[near_mask]])
+    }
+    return pd.DataFrame(
+        [{
+            "buckets_match_bruteforce": bool(co == share),
+            "hamming_recall_ok": bool(near <= co),
+        }]
+    )
+
+
+EMB_RECALL_MIN = 0.7  # measured deterministic recall 0.746 (44/59) at sf0.01
+
+
+def embedding_near_dup_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side precision/recall guard for the embedding near-dup path
+    (VERDICT r03 item 1): turns the rows-only ``embedding_near_dup_pairs``
+    into an oracle-checked row.
+
+    - ``precision_ok``: every emitted pair's exact float64 cosine is
+      >= the 0.4 threshold (the engine verifies in-bucket with float64,
+      so a verify regression flips this).
+    - ``recall_ok``: emitted pairs cover >= EMB_RECALL_MIN of the exact
+      all-pairs cosine >= 0.4 set (59 pairs at sf0.01; the multi-table
+      LSH recovers 44 of them, deterministic under seed 42).
+
+    The exact side materializes the embedding matrix on the driver —
+    guard scale only (one float64 matmul); the candidate side is the full
+    distributed bucket/verify/dedup path."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = embedding_near_dup_pairs(sf_dir)
+    emitted = set(zip(got["id_a"], got["id_b"]))
+
+    ids_l: list[int] = []
+    rows: list[np.ndarray] = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids_l.extend(b.column("vec_id").to_pylist())
+        rows.append(np.stack(b.column("embedding").to_numpy(zero_copy_only=False)))
+    mat = np.concatenate(rows).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cos = mat @ mat.T
+    id_arr = np.asarray(ids_l, dtype=np.int64)
+    iu, ju = np.triu_indices(len(ids_l), 1)
+    hit = cos[iu, ju] >= 0.4
+    exact = {
+        (min(a, b), max(a, b))
+        for a, b in zip(id_arr[iu[hit]], id_arr[ju[hit]])
+    }
+    recall = len(emitted & exact) / len(exact) if exact else 1.0
+    return pd.DataFrame(
+        [{
+            "precision_ok": bool(emitted <= exact),
+            "recall_ok": bool(recall >= EMB_RECALL_MIN),
+        }]
     )
 
 

@@ -122,6 +122,10 @@ RETIRED = [
     "media_features_fake",
     "doc_text_features",
     "minhash_near_dup",
+    # round 4: bucket/pair-emitting forms replaced in the registry by the
+    # oracle-checked simhash_recall_guard / embedding_near_dup_guard
+    "simhash_near_dup",
+    "embedding_near_dup_pairs",
 ]
 
 
