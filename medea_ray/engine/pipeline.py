@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 
 from medea_ray.schema.compile import compile_schemata
 from medea_ray.schema.parser import parse_specification
+from medea_ray.validate.fastpath import compile_fast
 from medea_ray.validate.kernel import (
     MedeaValidationError,
     loads_json,
@@ -62,6 +63,12 @@ class ValidatorKernel:
 
     def __init__(self, schema_text: str, payload_col: str, id_col: str):
         self.graph = compile_schemata(parse_specification(schema_text))
+        # specialized bool-only DAG lowering (VERDICT r03 item 3): 3.4x the
+        # generic checker on the flagship flat-object shape; may only
+        # under-accept, so rejected rows re-run the generic kernel for the
+        # authoritative verdict + exact violation (byte-identical outputs,
+        # parity pinned against every conformance fixture)
+        self.fast = compile_fast(self.graph)
         self.payload_col = payload_col
         self.id_col = id_col
 
@@ -71,6 +78,7 @@ class ValidatorKernel:
         Row ids are resolved by the caller via Arrow take on the violation
         indices only — the common all-valid batch never materialises ids."""
         graph = self.graph
+        fast = self.fast
         validate, loads = validate_obj, loads_json
         valid = []
         append = valid.append
@@ -79,7 +87,19 @@ class ValidatorKernel:
             try:
                 if payload is None:
                     raise MedeaValidationError("not_json", None, "$", "null payload")
-                validate(graph, loads(payload))
+                obj = loads(payload)
+                try:
+                    ok = fast(obj)
+                except RecursionError:
+                    # deeper than the fast closures can walk — the generic
+                    # kernel (more frames per level) maps it to a
+                    # max_depth_exceeded violation below
+                    ok = False
+                if not ok:
+                    # authoritative re-check: produces the exact
+                    # (path, code, detail) violation, and decides any value
+                    # the fast path conservatively deferred on
+                    validate(graph, obj)
                 append(True)
             except MedeaValidationError as e:
                 append(False)

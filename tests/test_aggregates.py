@@ -360,3 +360,21 @@ def test_stats_integer_sums_exact_past_2_53(ray_session):
     got = column_stats(ds, ["v"])["v"]["sum"]
     assert isinstance(got, int)
     assert got == 9 * big  # float accumulation would drop the +1s
+
+
+def test_hll_guard_exchange_carries_digests_only(ray_session):
+    """VERDICT r03 item 2: hll_distinct_guard's exact side must never ship
+    the text column through the groupby exchange — the map-side projection
+    reduces rows to md5 digests before the shuffle, and its COUNT matches
+    the exact distinct count."""
+    import ray.data as rd
+
+    from medea_ray.engine.queries import _text_digests_only
+
+    ds = rd.from_items(
+        [{"text": t} for t in ["a", "b", "a", None, "c", "b", "d"]]
+    ).repartition(3)
+    digests = _text_digests_only(ds)
+    # the ONLY column entering the exchange is the 16-byte digest
+    assert digests.schema().names == ["content_md5"]
+    assert group_count(digests, "content_md5").count() == 4

@@ -185,3 +185,42 @@ def test_structural_errors_reported_before_value_errors():
     with pytest.raises(MedeaValidationError) as exc:
         validate(graph, json.dumps({"a": "not-a-number", "b": 1, "z": 0}))
     assert exc.value.code == "additional_prop_banned"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_fastpath_parity_on_fixtures(name):
+    """The specialized bool fast path (validate/fastpath.py) must agree
+    with the generic kernel on every conformance fixture's generated
+    corpus — in BOTH directions. Over-acceptance would silently corrupt
+    engine verdicts (the engine only re-checks fast-path rejections);
+    under-acceptance on parser-typed values would erase the speedup."""
+    from medea_ray.validate.fastpath import compile_fast
+    from medea_ray.validate.kernel import validate_obj
+
+    make_gen, _predicate = CASES[name]
+    gen = make_gen(JsonGen(SEED))
+    graph = compile_schema(f"{VAL_DIR}/{name}")
+    fast = compile_fast(graph)
+    for i in range(N_CASES):
+        doc = gen()
+        # round-trip through strict JSON so the fast path sees exactly the
+        # builtin types the engine's parser produces
+        doc = json.loads(json.dumps(doc))
+        try:
+            validate_obj(graph, doc)
+            generic = True
+        except MedeaValidationError:
+            generic = False
+        assert fast(doc) == generic, f"{name}: case {i}: {doc!r}"
+
+
+def test_fastpath_recursive_element_type_cycle():
+    """$element-type cycles are legal (Analysis.hs:115-121): the fast-path
+    compiler must terminate and agree with the generic kernel."""
+    from medea_ray.validate.fastpath import compile_fast
+
+    src = "$schema $start\n    $type\n        $array\n    $element-type\n        $start\n"
+    graph = compile_schema(src)
+    fast = compile_fast(graph)
+    assert fast([[], [[], [[]]]]) is True
+    assert fast([[], [1]]) is False
