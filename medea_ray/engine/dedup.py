@@ -142,25 +142,81 @@ def exact_dup_groups(ds, id_col: str, text_col: str = "text"):
     )
 
 
-def dedup_exact(ds, id_col: str, text_col: str = "text", concurrency=(1, 8)):
+# Per-worker-process cache of broadcast drop-id sets: the bucketed passes
+# run as STATELESS tasks (an actor pool per union branch needs one CPU per
+# branch just for pool minimums — 65 branches deadlock any cluster), so
+# each worker deserializes a given bucket's set once and reuses it across
+# the tasks it runs.
+_DROPSET_CACHE: dict = {}
+
+
+def _cached_set(ref) -> set:
+    if isinstance(ref, set):
+        return ref
+    key = ref.hex()
+    got = _DROPSET_CACHE.get(key)
+    if got is None:
+        import ray
+
+        if len(_DROPSET_CACHE) > 8:  # bounded: stale buckets from prior passes
+            _DROPSET_CACHE.clear()
+        got = _DROPSET_CACHE[key] = ray.get(ref)
+    return got
+
+
+def _make_bucket_pass(values_ref, col: str, bucket: int, n_buckets: int):
+    """One hash-bucket pass of the bucketed anti-filter: keep only the
+    batch rows whose ``col`` hashes to ``bucket`` (or the null-id rows for
+    bucket -1), then drop those in the (bucket-local) broadcast set."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        from medea_ray.engine.referential import bucket_of
+
+        b = bucket_of(t.column(col), n_buckets)
+        t = t.filter(pa.array(b == bucket))
+        if t.num_rows == 0:
+            return t
+        values = _cached_set(values_ref)
+        if not values:
+            return t
+        mask = pa.array(
+            [v not in values for v in t.column(col).to_pylist()], pa.bool_()
+        )
+        return t.filter(mask)
+
+    return fn
+
+
+def dedup_exact(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    concurrency=(1, 8),
+    drop_budget_rows: int = 1 << 22,
+    n_buckets: int | None = None,
+):
     """Keep one row per distinct text (min-``id_col`` survivor). Returns
     the deduplicated Dataset (all original columns).
 
-    Two passes, neither of which ever shuffles the text column (the
-    round-2 implementation ran one full-row groupby on the content hash —
-    the most expensive possible shape at corpus scale):
+    Passes, none of which ever shuffles the text column (the round-2
+    implementation ran one full-row groupby on the content hash — the
+    most expensive possible shape at corpus scale):
 
     1. project to (content_md5, id) and groupby the 16-byte hash; each
        duplicate group emits its NON-survivor ids (everything but the min).
-    2. broadcast that drop-id set once (``ray.put``) and anti-filter the
-       original dataset map-side (the ``decontam.filter_not_in`` shape).
+    2. anti-filter the original dataset map-side with that drop-id set:
+       broadcast once (``ray.put``, the ``decontam.filter_not_in`` shape)
+       while the set fits ``drop_budget_rows``; above the budget the
+       filter runs in ``n_buckets`` deterministic hash-bucket passes
+       (``referential.bucket_of``) — pass b broadcasts only bucket b's
+       drop ids and emits only the rows whose id hashes to b, so driver
+       and actor memory stay bounded at ~|drop set| / n_buckets while the
+       result is exactly the broadcast answer (each row lands in exactly
+       one bucket; null-id rows ride a dedicated -1 pass). The bucket
+       count is logged, never silent.
 
-    The broadcast set holds only ids of dropped duplicate rows — dup_rate
-    × corpus ids, not the corpus. For a corpus whose duplicate count
-    exceeds driver memory, run ``exact_dup_groups`` to parquet and
-    anti-join in hash-bucket passes instead (``referential.bucket_of``
-    shape). Rows with a null ``text_col`` have no content to compare and
-    are always kept.
+    Rows with a null ``text_col`` have no content to compare and are
+    always kept.
 
     ``id_col`` should be unique for exact keep-one semantics (the id IS
     the filter key). With duplicated ids the operator degrades safely
@@ -200,10 +256,71 @@ def dedup_exact(ds, id_col: str, text_col: str = "text", concurrency=(1, 8)):
         .groupby("content_md5")
         .map_groups(drop_ids, batch_format="pyarrow")
     )
-    drop_set = {r["drop_id"] for r in dropped.take_all()}
-    if not drop_set:
+    # materialized drop-id rows only — dup_rate × corpus ids, not the corpus
+    dropped = dropped.materialize()
+    n_drop = dropped.count()
+    if n_drop == 0:
         return ds
-    return filter_not_in(ds, id_col, drop_set, concurrency=concurrency)
+    if n_buckets is None:
+        # each bucket is one more streaming pass over the INPUT pipeline —
+        # the input should be a cheap re-read (parquet source); a wide op
+        # upstream (repartition/groupby) re-executes per branch and a
+        # many-branch union of wide plans can stall Ray 2.49's streaming
+        # executor (measured at 57 branches), hence the conservative cap
+        n_buckets = 1 if n_drop <= drop_budget_rows else min(
+            16, -(-n_drop // drop_budget_rows)
+        )
+    if n_buckets <= 1:
+        drop_set = {r["drop_id"] for r in dropped.take_all()}
+        return filter_not_in(ds, id_col, drop_set, concurrency=concurrency)
+
+    import ray
+
+    from medea_ray.engine.referential import bucket_of
+
+    _log.info(
+        "dedup_exact: drop set of %d ids exceeds budget %d -> %d bucketed "
+        "anti-join passes", n_drop, drop_budget_rows, n_buckets,
+    )
+
+    def bucket_slice(b: int) -> set:
+        def pick(t: pa.Table) -> pa.Table:
+            col = t.column("drop_id")
+            return t.filter(pa.array(bucket_of(col, n_buckets) == b))
+
+        return {
+            r["drop_id"]
+            for r in dropped.map_batches(pick, batch_format="pyarrow").take_all()
+        }
+
+    def null_drop_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([t.column("drop_id").null_count], pa.int64())}
+        )
+
+    has_null_drop = (
+        sum(
+            r["n"]
+            for r in dropped.map_batches(null_drop_count, batch_format="pyarrow").take_all()
+        )
+        > 0
+    )
+
+    # null drop ids land in bucket -1; the broadcast path would drop every
+    # null-id row iff null is in the drop set — mirror that exactly
+    parts = []
+    for b in list(range(n_buckets)) + [-1]:
+        values = bucket_slice(b) if b >= 0 else ({None} if has_null_drop else set())
+        parts.append(
+            ds.map_batches(
+                _make_bucket_pass(ray.put(values), id_col, b, n_buckets),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
 
 
 # -- MinHash + LSH -----------------------------------------------------------
