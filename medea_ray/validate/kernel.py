@@ -15,8 +15,18 @@ encoding (conformance only asserts pass/fail on both):
    else the first (sorted-order) custom candidate's error, else
    ``not_one_of_options``.
 2. Annotations: the reference's ``checkCustom`` fmaps ``UserDefined name``
-   over the *whole* subtree (Data/Medea.hs:401 ``($> ...) <$>``); we
-   annotate only the dispatched node itself.
+   over the *whole* subtree (Data/Medea.hs:401 ``($> ...) <$>``); the
+   default ``annotate=True`` ("node") mode annotates only the dispatched
+   node itself. ``annotate="subtree"`` reproduces the reference exactly:
+   a Cofree-shaped tree ``[label, kind, payload]`` per node, with every
+   custom dispatch relabelling its whole subtree — so, since the root
+   dispatch is always ``CustomNode $start`` (Data/Medea.hs:231-232), a
+   document validated through ``validate_obj`` carries ``("user",
+   "$start")`` on every node, which is the reference's observable
+   behavior (their own ``validAgainst`` comment calls it "a bit
+   useless"). Bare-array/object fast paths descend with the any-set in
+   this mode (Data/Medea.hs:329-336): children become ``AnythingF``
+   leaves labelled ``any`` before the enclosing relabel.
 
 Violation vocabulary (§2.4 of SURVEY.md; ValidationError at
 Data/Medea.hs:173-210): ``not_json, not_one_of_options,
@@ -121,19 +131,36 @@ def loads_json(payload):
 
 
 
+def _relabel(node: list, label) -> list:
+    """``($> label)`` over a subtree-mode annotation tree (the Cofree
+    Functor fmap, Data/Medea.hs:401): overwrite every node's label
+    in place. Iterative — document depth must not limit relabelling."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        n[0] = label
+        kind = n[1]
+        if kind == "array":
+            stack.extend(n[2])
+        elif kind == "object":
+            stack.extend(n[2].values())
+    return node
+
+
 class _Checker:
     """One validation pass over one document. Holds the schema map and a
     mutable path stack; per-document state is discarded (mirrors the RWST
     state discipline, Data/Medea.hs:260-276)."""
 
-    __slots__ = ("m", "path", "annotate")
+    __slots__ = ("m", "path", "annotate", "subtree")
 
-    def __init__(self, schema_map: Schema, annotate: bool):
+    def __init__(self, schema_map: Schema, annotate):
         self.m = schema_map
         # raw segments (str = property name, int = array index); formatted
         # lazily in _pathstr so the hot path never builds path strings
         self.path: list = []
-        self.annotate = annotate
+        self.annotate = bool(annotate)
+        self.subtree = annotate == "subtree"
 
     def _pathstr(self) -> str:
         return "$" + "".join(
@@ -167,6 +194,8 @@ class _Checker:
                 self.fail("implementation_error", name, "unknown schema")
             try:
                 r = self.check_schema_of(v, sub, name)
+                if self.subtree:
+                    return _relabel(r, ("user", name))
                 return ("user", name, r) if self.annotate else None
             except MedeaValidationError as e:
                 if err is None:
@@ -193,11 +222,15 @@ class _Checker:
         except KeyError:
             self.fail("implementation_error", name, "unknown schema")
         r = self.check_schema_of(v, scm, name)
+        if self.subtree:
+            return _relabel(r, ("user", name))
         return ("user", name, r) if self.annotate else None
 
     def check_prim(self, v, t: str, parent: str | None):
         # checkPrim (Data/Medea.hs:310-336).
         if t == "null" or t == "boolean" or t == "number":
+            if self.subtree:
+                return [t, t, v]
             return (t, v) if self.annotate else None
         if t == "string":
             if parent is not None:
@@ -205,15 +238,28 @@ class _Checker:
                 # Data/Medea.hs:318-328: empty enum accepts any string.
                 if sv and v not in sv:
                     self.fail("not_one_of_options", parent, f"string {v!r} not in enum")
+            if self.subtree:
+                return ["string", "string", v]
             return ("string", v) if self.annotate else None
         if t == "array":
             if parent is None:
                 # Bare-array fast path (Data/Medea.hs:329-336): children
-                # validate against {AnyNode} — unconditionally accepted.
+                # validate against {AnyNode} — unconditionally accepted;
+                # subtree mode materializes them as AnySchema AnythingF
+                # leaves, exactly the reference's `traverse checkTypes`
+                # under the any-set.
+                if self.subtree:
+                    return ["array", "array", [["any", "anything", el] for el in v]]
                 return ("array", v) if self.annotate else None
             return self.check_array(v, parent)
         # object
         if parent is None:
+            if self.subtree:
+                return [
+                    "object",
+                    "object",
+                    {k: ["any", "anything", val] for k, val in v.items()},
+                ]
             return ("object", v) if self.annotate else None
         return self.check_object(v, parent)
 
@@ -230,7 +276,8 @@ class _Checker:
         out = [] if self.annotate else None
         if kind is None:
             # Elements validate against {AnyNode} (pairValsWithTypes).
-            pass
+            if self.subtree:
+                out = [["any", "anything", el] for el in arr]
         elif kind == "list":
             node = scm.element_node
             push, pop = self.path.append, self.path.pop
@@ -252,6 +299,8 @@ class _Checker:
                     pop()
                 if out is not None:
                     out.append(r)
+        if self.subtree:
+            return ["array", "array", out]
         return ("array", out if self.annotate else arr) if self.annotate else None
 
     def check_object(self, obj: dict, parent: str):
@@ -288,9 +337,14 @@ class _Checker:
                 pop()
             if out is not None:
                 out[key] = r
+        if self.subtree:
+            return ["object", "object", out]
         return ("object", out if self.annotate else obj) if self.annotate else None
 
     def _ann(self, label: str, v):
+        if self.subtree:
+            # AnySchema :< AnythingF v (Data/Medea.hs:303-307)
+            return [label, "anything", v]
         return (label, v) if self.annotate else None
 
 
@@ -312,14 +366,23 @@ class ValidatedJSON:
         # the root annotation is always the UserDefined '$start' wrapper
         # (Data/Medea.hs:401) — a single check, no descent
         t = self._tree
+        if isinstance(t, list):  # subtree mode: [label, kind, payload]
+            label = t[0]
+            if isinstance(label, tuple) and label[0] == "user":
+                return ("user_defined", label[1])
+            return (label,)
         if isinstance(t, tuple) and t[0] == "user":
             return ("user_defined", t[1])
         return (t[0],) if isinstance(t, tuple) else ("any",)
 
 
-def validate_obj(schema_map: Schema, obj, annotate: bool = False):
+def validate_obj(schema_map: Schema, obj, annotate=False):
     """Validate an already-parsed JSON value. Returns the annotation tree
     (or None when annotate=False); raises MedeaValidationError.
+
+    ``annotate`` is ``False`` (no tree), ``True`` (dispatched-node
+    labels, the engine default) or ``"subtree"`` (reference-exact Cofree
+    relabelling — see module docstring deviation 2).
 
     Start state: candidates {CustomNode $start}, no parent
     (Data/Medea.hs:229-232)."""
@@ -335,12 +398,19 @@ def validate_obj(schema_map: Schema, obj, annotate: bool = False):
         raise MedeaValidationError(
             "max_depth_exceeded", None, "$", "document nesting exceeds validator depth limit"
         ) from None
-    return ("user", "$start", r) if annotate else None
+    if not annotate:
+        return None
+    if annotate == "subtree":
+        # the root dispatch IS CustomNode $start (Data/Medea.hs:231-232),
+        # so its fmap overwrites every inner custom label — reference-exact
+        return _relabel(r, ("user", "$start"))
+    return ("user", "$start", r)
 
 
-def validate(schema_map: Schema, payload) -> ValidatedJSON:
+def validate(schema_map: Schema, payload, annotate=True) -> ValidatedJSON:
     """validate (Data/Medea.hs:225-232): bytes/str → parse JSON → check.
-    Returns ValidatedJSON or raises MedeaValidationError."""
+    Returns ValidatedJSON or raises MedeaValidationError. Pass
+    ``annotate="subtree"`` for reference-exact whole-subtree annotations."""
     obj = loads_json(payload)
-    tree = validate_obj(schema_map, obj, annotate=True)
+    tree = validate_obj(schema_map, obj, annotate=annotate)
     return ValidatedJSON(obj, tree)

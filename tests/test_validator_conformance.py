@@ -224,3 +224,71 @@ def test_fastpath_recursive_element_type_cycle():
     fast = compile_fast(graph)
     assert fast([[], [[], [[]]]]) is True
     assert fast([[], [1]]) is False
+
+
+# -- subtree annotation fidelity (VERDICT r03 item 6) -------------------------
+
+
+def _tree_to_value(node):
+    """The reference's toValue (Data/Medea.hs:148-156) over a subtree-mode
+    annotation tree: AnythingF carries the raw value; ArrayF/ObjectF
+    recurse into annotated children."""
+    _label, kind, payload = node
+    if kind == "array":
+        return [_tree_to_value(c) for c in payload]
+    if kind == "object":
+        return {k: _tree_to_value(c) for k, c in payload.items()}
+    return payload  # anything / null / boolean / number / string leaf
+
+
+def _assert_uniform_start_labels(node):
+    stack = [node]
+    while stack:
+        label, kind, payload = stack.pop()
+        assert label == ("user", "$start"), f"non-start label {label!r}"
+        if kind == "array":
+            stack.extend(payload)
+        elif kind == "object":
+            stack.extend(payload.values())
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_subtree_annotation_parity(name):
+    """annotate="subtree" must reproduce the reference's Cofree semantics
+    (Data/Medea.hs:401 `($> UserDefined name) <$> checkTypes v`): the root
+    dispatch is always CustomNode $start (Data/Medea.hs:231-232), so its
+    fmap overwrites EVERY inner label — a valid document's whole tree
+    carries UserDefined "$start", the structure mirrors the document
+    (toValue round-trip), and the annotation mode never changes
+    acceptance."""
+    from medea_ray.validate.kernel import validate_obj
+
+    make_gen, predicate = CASES[name]
+    gen = make_gen(JsonGen(SEED))
+    graph = compile_schema(f"{VAL_DIR}/{name}")
+    checked = 0
+    for _ in range(N_CASES):
+        if checked >= 25:
+            break
+        doc = json.loads(json.dumps(gen()))
+        node_ok = _validates(graph, doc)
+        try:
+            tree = validate_obj(graph, doc, annotate="subtree")
+            subtree_ok = True
+        except MedeaValidationError:
+            subtree_ok = False
+        assert subtree_ok == node_ok, f"{name}: mode changed verdict: {doc!r}"
+        if not subtree_ok:
+            continue
+        checked += 1
+        _assert_uniform_start_labels(tree)
+        assert _tree_to_value(tree) == doc, f"{name}: structure mismatch: {doc!r}"
+    assert checked > 0, f"{name}: no valid docs exercised"
+
+
+def test_subtree_annotation_via_validate():
+    graph = compile_schema(f"{VAL_DIR}/2-tuple.medea")
+    doc = [{"a": 1}, "x"]
+    vj = validate(graph, json.dumps(doc), annotate="subtree")
+    assert vj.to_value() == doc
+    assert vj.valid_against() == ("user_defined", "$start")
