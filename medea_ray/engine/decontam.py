@@ -22,9 +22,12 @@ north rule's training-data engine scope.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_log = logging.getLogger(__name__)
 
 
 def _digest(text: str, prefix_len: int | None) -> bytes:
@@ -78,6 +81,148 @@ def filter_not_in(ds, col: str, values: set, concurrency=(1, 8)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# -- bucketed anti-filter (drop sets too large to broadcast) ------------------
+#
+# Per-worker-process cache of broadcast bucket value sets: the bucketed
+# passes run as STATELESS tasks (an actor pool per union branch needs one
+# CPU per branch just for pool minimums — dozens of branches would deadlock
+# any cluster), so each worker deserializes a given bucket's set once and
+# reuses it across the tasks it runs.
+_BUCKET_SET_CACHE: dict = {}
+
+
+def _cached_set(ref) -> set:
+    if isinstance(ref, set):
+        return ref
+    key = ref.hex()
+    got = _BUCKET_SET_CACHE.get(key)
+    if got is None:
+        import ray
+
+        if len(_BUCKET_SET_CACHE) > 8:  # bounded: stale buckets from prior passes
+            _BUCKET_SET_CACHE.clear()
+        got = _BUCKET_SET_CACHE[key] = ray.get(ref)
+    return got
+
+
+def _make_bucket_pass(values_ref, col: str, bucket: int, n_buckets: int):
+    """One hash-bucket pass of the bucketed anti-filter: keep only the
+    batch rows whose ``col`` hashes to ``bucket`` (or the null rows for
+    bucket -1), then drop those in the (bucket-local) broadcast set."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        from medea_ray.engine.referential import bucket_of
+
+        b = bucket_of(t.column(col), n_buckets)
+        t = t.filter(pa.array(b == bucket))
+        if t.num_rows == 0:
+            return t
+        values = _cached_set(values_ref)
+        if not values:
+            return t
+        mask = pa.array(
+            [v not in values for v in t.column(col).to_pylist()], pa.bool_()
+        )
+        return t.filter(mask)
+
+    return fn
+
+
+def anti_filter_bucketed(ds, col: str, values_ds, value_col: str, n_buckets: int):
+    """Drop rows of ``ds`` whose ``col`` appears in ``values_ds[value_col]``,
+    in ``n_buckets`` deterministic hash-bucket passes (``referential.
+    bucket_of``): pass b broadcasts only bucket b's values and emits only
+    the rows whose key hashes to b, so driver and actor memory stay bounded
+    at ~|values| / n_buckets while the result is exactly the broadcast
+    answer (each row lands in exactly one bucket; null-key rows ride a
+    dedicated -1 pass, dropped iff null is in the value set).
+
+    ``values_ds`` must be MATERIALIZED (it is re-scanned per bucket) and
+    small-schema (the value column only — digests/ids, never payloads).
+    Each bucket is one more streaming pass over ``ds``'s pipeline, which
+    should be a cheap re-read (parquet source): a wide op upstream
+    re-executes per branch, and a many-branch union of wide plans can
+    stall Ray 2.49's streaming executor (measured at 57 branches) — keep
+    ``n_buckets`` modest and budget-derived."""
+    import ray
+
+    from medea_ray.engine.referential import bucket_of
+
+    def bucket_slice(b: int) -> set:
+        def pick(t: pa.Table) -> pa.Table:
+            c = t.column(value_col)
+            return t.filter(pa.array(bucket_of(c, n_buckets) == b))
+
+        return {
+            r[value_col]
+            for r in values_ds.map_batches(pick, batch_format="pyarrow").take_all()
+        }
+
+    def null_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([t.column(value_col).null_count], pa.int64())}
+        )
+
+    has_null = (
+        sum(
+            r["n"]
+            for r in values_ds.map_batches(
+                null_count, batch_format="pyarrow"
+            ).take_all()
+        )
+        > 0
+    )
+
+    parts = []
+    for b in list(range(n_buckets)) + [-1]:
+        values = bucket_slice(b) if b >= 0 else ({None} if has_null else set())
+        parts.append(
+            ds.map_batches(
+                _make_bucket_pass(ray.put(values), col, b, n_buckets),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
+
+
+def filter_not_in_ds(
+    ds,
+    col: str,
+    values_ds,
+    value_col: str,
+    budget_rows: int = 1 << 22,
+    n_buckets: int | None = None,
+    concurrency=(1, 8),
+):
+    """Budget-aware anti-join: drop rows of ``ds`` whose ``col`` appears
+    in ``values_ds[value_col]``. While the value set fits ``budget_rows``
+    it is broadcast once (``filter_not_in``); above the budget the filter
+    runs in hash-bucket passes (``anti_filter_bucketed``). Cardinality and
+    bytes are always logged, never silent — the 100-TB guard the
+    broadcast-only path lacks."""
+    values_ds = values_ds.materialize()  # value column only — never payloads
+    n = values_ds.count()
+    _log.info(
+        "filter_not_in_ds: anti-join value set: %d rows, %d bytes (budget %d rows)",
+        n, values_ds.size_bytes() or 0, budget_rows,
+    )
+    if n == 0:
+        return ds
+    if n_buckets is None:
+        n_buckets = 1 if n <= budget_rows else min(16, -(-n // budget_rows))
+    if n_buckets <= 1:
+        values = {r[value_col] for r in values_ds.take_all()}
+        return filter_not_in(ds, col, values, concurrency=concurrency)
+    _log.info(
+        "filter_not_in_ds: value set exceeds budget -> %d bucketed passes",
+        n_buckets,
+    )
+    return anti_filter_bucketed(ds, col, values_ds, value_col, n_buckets)
 
 
 class _Decontaminator:

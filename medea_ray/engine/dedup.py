@@ -142,51 +142,6 @@ def exact_dup_groups(ds, id_col: str, text_col: str = "text"):
     )
 
 
-# Per-worker-process cache of broadcast drop-id sets: the bucketed passes
-# run as STATELESS tasks (an actor pool per union branch needs one CPU per
-# branch just for pool minimums — 65 branches deadlock any cluster), so
-# each worker deserializes a given bucket's set once and reuses it across
-# the tasks it runs.
-_DROPSET_CACHE: dict = {}
-
-
-def _cached_set(ref) -> set:
-    if isinstance(ref, set):
-        return ref
-    key = ref.hex()
-    got = _DROPSET_CACHE.get(key)
-    if got is None:
-        import ray
-
-        if len(_DROPSET_CACHE) > 8:  # bounded: stale buckets from prior passes
-            _DROPSET_CACHE.clear()
-        got = _DROPSET_CACHE[key] = ray.get(ref)
-    return got
-
-
-def _make_bucket_pass(values_ref, col: str, bucket: int, n_buckets: int):
-    """One hash-bucket pass of the bucketed anti-filter: keep only the
-    batch rows whose ``col`` hashes to ``bucket`` (or the null-id rows for
-    bucket -1), then drop those in the (bucket-local) broadcast set."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        from medea_ray.engine.referential import bucket_of
-
-        b = bucket_of(t.column(col), n_buckets)
-        t = t.filter(pa.array(b == bucket))
-        if t.num_rows == 0:
-            return t
-        values = _cached_set(values_ref)
-        if not values:
-            return t
-        mask = pa.array(
-            [v not in values for v in t.column(col).to_pylist()], pa.bool_()
-        )
-        return t.filter(mask)
-
-    return fn
-
-
 def dedup_exact(
     ds,
     id_col: str,
@@ -226,7 +181,7 @@ def dedup_exact(
     """
     import pyarrow.compute as pc
 
-    from medea_ray.engine.decontam import filter_not_in
+    from medea_ray.engine.decontam import anti_filter_bucketed, filter_not_in
 
     def to_key_id(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(text_col)))
@@ -274,53 +229,11 @@ def dedup_exact(
         drop_set = {r["drop_id"] for r in dropped.take_all()}
         return filter_not_in(ds, id_col, drop_set, concurrency=concurrency)
 
-    import ray
-
-    from medea_ray.engine.referential import bucket_of
-
     _log.info(
         "dedup_exact: drop set of %d ids exceeds budget %d -> %d bucketed "
         "anti-join passes", n_drop, drop_budget_rows, n_buckets,
     )
-
-    def bucket_slice(b: int) -> set:
-        def pick(t: pa.Table) -> pa.Table:
-            col = t.column("drop_id")
-            return t.filter(pa.array(bucket_of(col, n_buckets) == b))
-
-        return {
-            r["drop_id"]
-            for r in dropped.map_batches(pick, batch_format="pyarrow").take_all()
-        }
-
-    def null_drop_count(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"n": pa.array([t.column("drop_id").null_count], pa.int64())}
-        )
-
-    has_null_drop = (
-        sum(
-            r["n"]
-            for r in dropped.map_batches(null_drop_count, batch_format="pyarrow").take_all()
-        )
-        > 0
-    )
-
-    # null drop ids land in bucket -1; the broadcast path would drop every
-    # null-id row iff null is in the drop set — mirror that exactly
-    parts = []
-    for b in list(range(n_buckets)) + [-1]:
-        values = bucket_slice(b) if b >= 0 else ({None} if has_null_drop else set())
-        parts.append(
-            ds.map_batches(
-                _make_bucket_pass(ray.put(values), id_col, b, n_buckets),
-                batch_format="pyarrow",
-            )
-        )
-    out = parts[0]
-    for d in parts[1:]:
-        out = out.union(d)
-    return out
+    return anti_filter_bucketed(ds, id_col, dropped, "drop_id", n_buckets)
 
 
 # -- MinHash + LSH -----------------------------------------------------------

@@ -296,21 +296,28 @@ def events_by_type_daily(sf_dir: str):
 # -- composed corpus-prep pipeline (the training-data flagship) ---------------
 
 
-def corpus_prep(sf_dir: str):
+def corpus_prep(sf_dir: str, banned_budget_rows: int = 1 << 22):
     """End-to-end training-corpus preparation, each stage a streaming
     Ray transform: quality filter (length bounds, non-null text) → exact
     dedup on the prefix-40 content key (one shuffle, min-id survivor) →
-    benchmark decontamination (broadcast digest anti-join) → 50%
+    benchmark decontamination (budget-aware digest anti-join) → 50%
     deterministic hash sample. Output: surviving doc_ids.
 
     The only shuffle in the whole pipeline is the dedup groupby on the
     16-byte key; everything else is map-side. This is the composition a
-    real 100-TB corpus run would use, just with testdata thresholds."""
+    real 100-TB corpus run would use, just with testdata thresholds.
+
+    The banned set here is every-20th-doc — 5 % OF THE CORPUS by
+    construction, so unlike real benchmark suites (decontam.py contract:
+    ~1e4-1e6 rows) it grows with the input. ``filter_not_in_ds`` guards
+    that: cardinality and bytes are logged every run, and above
+    ``banned_budget_rows`` the anti-join switches to bucketed hash
+    passes instead of one driver-sized broadcast."""
     import hashlib
 
     from ray.data.aggregate import Min
 
-    from medea_ray.engine.decontam import filter_not_in
+    from medea_ray.engine.decontam import filter_not_in_ds
     from medea_ray.engine.sampling import hash_sample
 
     def prep(t: pa.Table) -> pa.Table:
@@ -348,11 +355,10 @@ def corpus_prep(sf_dir: str):
         ]
         return pa.table({"key": pa.array(keys, pa.string())})
 
-    banned = {
-        r["key"]
-        for r in docs.map_batches(benchmark_keys, batch_format="pyarrow").take_all()
-    }
-    clean = filter_not_in(deduped, "key", banned)
+    banned_ds = docs.map_batches(benchmark_keys, batch_format="pyarrow")
+    clean = filter_not_in_ds(
+        deduped, "key", banned_ds, "key", budget_rows=banned_budget_rows
+    )
     return hash_sample(clean, "doc_id", threshold_hex="8").select_columns(["doc_id"])
 
 

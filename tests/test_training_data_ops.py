@@ -1085,3 +1085,42 @@ def test_dedup_exact_bucketed_equals_broadcast(ray_session):
     # survivors: min doc_id per text group + null-text row + the unique row
     kept_texts = broadcast["text"].dropna().unique()
     assert len(broadcast) == 40 + 2 and len(kept_texts) == 41
+
+
+def test_corpus_prep_banned_budget_bucketed_equals_broadcast(ray_session):
+    """VERDICT r03 item 8: corpus_prep's banned set is 5% of the corpus by
+    construction, so above banned_budget_rows the anti-join must switch to
+    bucketed hash passes (filter_not_in_ds) — with exactly the broadcast
+    result. sf0.001: 500 docs -> ~25 banned keys; budget 4 forces ~7
+    bucket passes."""
+    from medea_ray.engine.queries import corpus_prep
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = sorted(r["doc_id"] for r in corpus_prep(sf).take_all())
+    bucketed = sorted(
+        r["doc_id"] for r in corpus_prep(sf, banned_budget_rows=4).take_all()
+    )
+    assert bucketed == broadcast and len(broadcast) > 0
+
+
+def test_filter_not_in_ds_logs_and_budgets(ray_session, caplog):
+    """filter_not_in_ds must log the value-set cardinality on every run
+    (never silent) and leave the input untouched for an empty value set."""
+    import logging
+
+    import ray.data as rd
+
+    from medea_ray.engine.decontam import filter_not_in_ds
+
+    ds = rd.from_items([{"k": i} for i in range(100)]).repartition(4)
+    vals = rd.from_items([{"k": i} for i in range(0, 100, 3)])
+    with caplog.at_level(logging.INFO, logger="medea_ray.engine.decontam"):
+        out = filter_not_in_ds(ds, "k", vals, "k", budget_rows=5)
+    assert any("anti-join value set" in r.message for r in caplog.records)
+    assert any("bucketed passes" in r.message for r in caplog.records)
+    kept = sorted(r["k"] for r in out.take_all())
+    assert kept == [i for i in range(100) if i % 3 != 0]
+
+    empty = rd.from_items([{"k": 1}]).filter(lambda r: False)
+    out2 = filter_not_in_ds(ds, "k", empty, "k")
+    assert out2.count() == 100
