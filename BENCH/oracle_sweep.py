@@ -55,6 +55,14 @@ for name, fn in qs.items():
                     av, bv = a[c].to_numpy(), b[c].to_numpy()
                     try:
                         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+                            # INTENTIONALLY exact (rtol=atol=0): every
+                            # registered query keeps accumulations
+                            # integer-only / bit-deterministic precisely so
+                            # the driver's hash compare passes — a float
+                            # mismatch here means that invariant broke, and
+                            # this diagnostic must be STRICTER than the
+                            # driver, never looser (ADVICE r03 noted the
+                            # strictness; it is the point)
                             col_ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
                         else:
                             col_ok = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all()

@@ -363,9 +363,18 @@ def decode_jpeg(p: bytes) -> dict | None:
     while pos + 4 <= len(p):
         if p[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(p) and p[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(p):
+            return None
         marker = p[pos + 1]
         if marker == 0xD9:
             return None  # EOI before SOS
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length segment
+            pos += 2
+            continue
         (length,) = struct.unpack_from(">H", p, pos + 2)
         seg_start, seg_end = pos + 4, pos + 2 + length
         if seg_end > len(p):

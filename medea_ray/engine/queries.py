@@ -973,8 +973,21 @@ def drift_guard(sf_dir: str) -> pd.DataFrame:
     eps semantics — to 1e-9. The oracle emits one TRUE per day present in
     events, so both a PSI regression and a day-bucketing regression turn
     this driver row red (the last E-operator family without a hard
-    oracle; VERDICT r02 item 4)."""
+    oracle; VERDICT r02 item 4).
+
+    The exact side MATERIALIZES the (ts, value) projection on the driver
+    by design — that is what makes it an independent recomputation. The
+    guard is registered for oracle scale factors only; a loud row-count
+    cap refuses bench-scale inputs rather than silently exhausting driver
+    memory (ADVICE r03)."""
     ds = _read(sf_dir, "events", columns=["ts", "value"])
+    n = ds.count()
+    if n > 5_000_000:
+        raise ValueError(
+            f"drift_guard is an oracle-scale accuracy check; refusing to "
+            f"materialize {n} rows on the driver — run drift_events_value "
+            f"for the distributed statistic"
+        )
     rep = drift.drift_report(ds, "value", ts_col="ts", numeric_bins=DRIFT_BINS)
 
     # exact side: one driver-side pass, deliberately NOT via engine.drift

@@ -122,3 +122,26 @@ def test_media_decode_fuzz_never_crashes():
             mut[i] ^= 1 << rng.randrange(8)
             r = builtin_decode(bytes(mut))
             assert isinstance(r, dict) and "ok" in r
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 permits 0xFF fill bytes before any marker (B.1.1.2) and
+    standalone TEM (0x01) / RSTn (0xD0-0xD7) markers with no length
+    segment; foreign baseline JPEGs using either must still decode
+    (ADVICE r03)."""
+    import numpy as np
+
+    from medea_ray.engine.jpeg import decode_jpeg, encode_jpeg, jpeg_fixture_image
+
+    img = jpeg_fixture_image(16, 16, 3)
+    plain = encode_jpeg(img)
+    base = decode_jpeg(plain)
+    assert base is not None
+
+    # splice fill bytes + TEM + stray RST right after SOI, before the
+    # first real segment
+    spliced = plain[:2] + b"\xff\xff\xff\x01\xff\xd3" + plain[2:]
+    got = decode_jpeg(spliced)
+    assert got is not None
+    assert got["width"] == base["width"] and got["height"] == base["height"]
+    assert np.array_equal(got["pixels"], base["pixels"])
