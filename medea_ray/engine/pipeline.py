@@ -324,18 +324,37 @@ def run_validation_pipeline(
     schema_version: str = "v1",
     actor_num_cpus: float = ACTOR_NUM_CPUS,
     input_format: str = "parquet",
+    partition_unit: str = "file",
+    fragment_rows: int = 1 << 20,
 ) -> dict:
     """Read → validate (actor pool) → one-pass tagged sink, in waves of
-    ``wave_size`` files with per-file manifest commits. Returns the report:
-    totals + per-partition verdicts. Ray must already be initialised.
+    ``wave_size`` partitions with per-partition manifest commits. Returns
+    the report: totals + per-partition verdicts. Ray must already be
+    initialised.
 
     ``input_format="jsonl"`` reads newline-delimited JSON instead of
     parquet (same wave/manifest semantics; the needed columns are
     projected right after parse — JSONL, being a row format, has no
     storage-level column pruning, which is the cost of the format, not of
-    the pipeline)."""
+    the pipeline).
+
+    ``partition_unit`` picks the resume granularity (VERDICT r03 item 9):
+    ``"file"`` (default) keys the manifest by input path; ``"fragment"``
+    keys it by consecutive row-group ranges of ~``fragment_rows`` rows
+    (``path#rgLO-HI``), so a resumed run over multi-GB files loses at most
+    one fragment of work, not a whole file. Fragment planning reads only
+    parquet footers (driver-side, one metadata fetch per file — for
+    million-file inputs shard the planning itself by calling the pipeline
+    per input directory). Parquet only: JSONL has no row groups. The
+    report's ``n_files``/``n_files_skipped`` then count fragments."""
     if input_format not in ("parquet", "jsonl"):
         raise ValueError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
+    if partition_unit not in ("file", "fragment"):
+        raise ValueError(
+            f"partition_unit must be 'file' or 'fragment', got {partition_unit!r}"
+        )
+    if partition_unit == "fragment" and input_format != "parquet":
+        raise ValueError("partition_unit='fragment' requires parquet input (row groups)")
     import ray.data as rd
 
     import hashlib
@@ -351,6 +370,23 @@ def run_validation_pipeline(
         concurrency = default_pool()
     t_start = time.time()
     input_files = sorted(input_files)
+    frag_of: dict[str, tuple[str, int, int]] = {}
+    if partition_unit == "fragment":
+        # one footer read per file; fragments are CONSECUTIVE row-group
+        # ranges so each read task does one contiguous scan
+        keys = []
+        for p in input_files:
+            md = pq.ParquetFile(p).metadata
+            lo, acc = 0, 0
+            for i in range(md.num_row_groups):
+                acc += md.row_group(i).num_rows
+                if acc >= fragment_rows or i == md.num_row_groups - 1:
+                    key = f"{p}#rg{lo}-{i}"
+                    frag_of[key] = (p, lo, i)
+                    keys.append(key)
+                    lo, acc = i + 1, 0
+    else:
+        keys = input_files
     if resume:
         done = load_manifest(out_dir)
         # The manifest stores schema_digest per record precisely so a
@@ -367,6 +403,21 @@ def run_validation_pipeline(
                 f"schema (digest {stale[0][:12]}… vs current "
                 f"{schema_digest[:12]}…) — rerun with resume=False or a "
                 f"fresh out_dir"
+            )
+        # same refusal for a partition-unit switch: file-keyed and
+        # fragment-keyed records never match each other's keys, so a mixed
+        # out_dir would re-validate everything and double-count in
+        # read_verdicts/read_violations
+        mixed = sorted({
+            rec["partition_unit"] for rec in done.values()
+            if rec.get("partition_unit", "file") != partition_unit
+        })
+        if mixed:
+            raise ValueError(
+                f"resume=True but {out_dir!r} holds {mixed[0]!r}-keyed "
+                f"partitions and this run uses partition_unit="
+                f"{partition_unit!r} — rerun with resume=False or a fresh "
+                f"out_dir"
             )
     else:
         # a fresh (resume=False) run into a previously-used out_dir must
@@ -385,11 +436,11 @@ def run_validation_pipeline(
     # violation/manifest outputs.)
     pid_of = {p: rec["partition_id"] for p, rec in done.items()}
     next_pid = max(pid_of.values(), default=-1) + 1
-    for p in input_files:
+    for p in keys:
         if p not in pid_of:
             pid_of[p] = next_pid
             next_pid += 1
-    todo = [p for p in input_files if p not in done]
+    todo = [p for p in keys if p not in done]
 
     # Sweep ALL uncommitted wave dirs (no manifest record → a killed or
     # abandoned attempt), not just the one this run is about to reuse:
@@ -409,7 +460,42 @@ def run_validation_pipeline(
     for w0 in range(0, len(todo), wave_size):
         wave_files = todo[w0 : w0 + wave_size]
         wave_started = time.time()
-        if input_format == "jsonl":
+        if partition_unit == "fragment":
+            items = [
+                {
+                    "path": frag_of[k][0],
+                    "rg_lo": frag_of[k][1],
+                    "rg_hi": frag_of[k][2],
+                    "key": k,
+                }
+                for k in wave_files
+            ]
+
+            def read_fragments(t: pa.Table) -> pa.Table:
+                outs = []
+                for path, lo, hi, key in zip(
+                    t.column("path").to_pylist(),
+                    t.column("rg_lo").to_pylist(),
+                    t.column("rg_hi").to_pylist(),
+                    t.column("key").to_pylist(),
+                ):
+                    tb = pq.ParquetFile(path).read_row_groups(
+                        list(range(lo, hi + 1)), columns=[id_col, payload_col]
+                    )
+                    outs.append(
+                        tb.append_column(
+                            "path", pa.array([key] * tb.num_rows, pa.string())
+                        )
+                    )
+                return pa.concat_tables(outs)
+
+            # one block per fragment: each read task scans exactly its
+            # contiguous row-group range (the fragment key rides along as
+            # the "path" column, so pid mapping/manifests work unchanged)
+            ds = rd.from_items(
+                items, override_num_blocks=max(1, len(items))
+            ).map_batches(read_fragments, batch_format="pyarrow", num_cpus=0.5)
+        elif input_format == "jsonl":
             ds = rd.read_json(
                 wave_files,
                 include_paths=True,
@@ -483,6 +569,7 @@ def run_validation_pipeline(
                     "n_invalid": int(r["n_rows_sum"] - r["n_valid_sum"]),
                     "schema_version": schema_version,
                     "schema_digest": schema_digest,
+                    "partition_unit": partition_unit,
                     "started_at": wave_started,
                     "finished_at": now,
                     "wall_s": round(now - wave_started, 3),
@@ -497,12 +584,12 @@ def run_validation_pipeline(
     # and summing those would claim totals for inputs this run was never
     # given. (read_verdicts/read_violations still span the whole out_dir —
     # that is their documented cross-run contract.)
-    run_records = [manifest[p] for p in input_files if p in manifest]
+    run_records = [manifest[p] for p in keys if p in manifest]
     n_rows = sum(r["n_rows"] for r in run_records)
     n_valid = sum(r["n_valid"] for r in run_records)
     return {
-        "n_files": len(input_files),
-        "n_files_skipped": sum(1 for p in input_files if p in done),
+        "n_files": len(keys),
+        "n_files_skipped": sum(1 for p in keys if p in done),
         "n_rows": n_rows,
         "n_valid": n_valid,
         "n_invalid": n_rows - n_valid,

@@ -386,3 +386,114 @@ def test_report_scoped_to_this_runs_inputs(ray_session, pages_dir, tmp_path):
     assert sub["n_rows"] == load_manifest(out)[files[0]]["n_rows"]
     assert sub["n_rows"] < full["n_rows"]
     assert [r["input_path"] for r in sub["partitions"]] == [files[0]]
+
+
+# -- fragment-level partitions (VERDICT r03 item 9) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def big_file_dir(tmp_path_factory, pages_dir):
+    """All N_ROWS pages in ONE parquet file with 250-row row groups — the
+    multi-GB-file shape partition_unit="fragment" exists for (file mode
+    makes the whole file one partition, so a kill loses all of it)."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("bigfile")
+    files = sorted(
+        os.path.join(pages_dir, f) for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    pq.write_table(t, os.path.join(str(d), "big.parquet"), row_group_size=250)
+    return str(d)
+
+
+def test_fragment_mode_matches_file_mode(ray_session, big_file_dir, tmp_path):
+    big = [os.path.join(big_file_dir, "big.parquet")]
+    out_file = str(tmp_path / "by_file")
+    out_frag = str(tmp_path / "by_frag")
+    rep_file = run_validation_pipeline(
+        big, flagship_schema_text(), out_file, wave_size=2, concurrency=2
+    )
+    rep_frag = run_validation_pipeline(
+        big, flagship_schema_text(), out_frag, wave_size=4, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    # 4000 rows in 250-row groups, 500 rows/fragment -> 8 fragments
+    assert rep_file["n_files"] == 1 and rep_frag["n_files"] == 8
+    assert rep_frag["n_rows"] == rep_file["n_rows"] == N_ROWS
+    assert rep_frag["n_invalid"] == rep_file["n_invalid"]
+
+    def viol_set(out):
+        got = read_violations(out)
+        return set(
+            zip(
+                got["url"].to_pylist(),
+                got["schema_path"].to_pylist(),
+                got["failed_specifier"].to_pylist(),
+            )
+        )
+
+    assert viol_set(out_frag) == viol_set(out_file) == _expected_violation_set()
+    man = load_manifest(out_frag)
+    assert all("#rg" in k for k in man)
+    assert sorted(r["partition_id"] for r in man.values()) == list(range(8))
+    assert sum(r["n_rows"] for r in man.values()) == N_ROWS
+
+
+def test_fragment_resume_bounds_lost_work(ray_session, big_file_dir, tmp_path):
+    """A driver killed before a wave commit loses only that wave's
+    FRAGMENTS of the big file, never the whole file: the resumed run skips
+    every committed fragment and the combined outputs stay exact."""
+    big = [os.path.join(big_file_dir, "big.parquet")]
+    out = str(tmp_path / "frag_kill")
+    run_validation_pipeline(
+        big, flagship_schema_text(), out, wave_size=3, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    # simulate the kill: the LAST wave (2 of 8 fragments) never committed —
+    # drop its manifest record, leave its now-uncommitted results behind
+    mdir = os.path.join(out, "_manifest")
+    waves = sorted(os.listdir(mdir))
+    os.remove(os.path.join(mdir, waves[-1]))
+    rep = run_validation_pipeline(
+        big, flagship_schema_text(), out, wave_size=3, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    assert rep["n_files_skipped"] == 6  # one wave of fragments lost, not the file
+    assert rep["n_rows"] == N_ROWS
+    got = read_violations(out)
+    got_set = set(
+        zip(
+            got["url"].to_pylist(),
+            got["schema_path"].to_pylist(),
+            got["failed_specifier"].to_pylist(),
+        )
+    )
+    assert got_set == _expected_violation_set()
+    assert got.num_rows == len(got_set)  # no double-counted rows
+    verdicts = read_verdicts(out)
+    assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
+
+
+def test_fragment_mode_guards(ray_session, big_file_dir, tmp_path):
+    big = [os.path.join(big_file_dir, "big.parquet")]
+    with pytest.raises(ValueError, match="requires parquet"):
+        run_validation_pipeline(
+            big, flagship_schema_text(), str(tmp_path / "x"),
+            partition_unit="fragment", input_format="jsonl",
+        )
+    with pytest.raises(ValueError, match="partition_unit"):
+        run_validation_pipeline(
+            big, flagship_schema_text(), str(tmp_path / "y"),
+            partition_unit="rowgroup",
+        )
+    # switching units on a populated out_dir is refused, not mixed
+    out = str(tmp_path / "mixed")
+    run_validation_pipeline(
+        big, flagship_schema_text(), out, wave_size=2, concurrency=2
+    )
+    with pytest.raises(ValueError, match="partition_unit"):
+        run_validation_pipeline(
+            big, flagship_schema_text(), out, wave_size=2, concurrency=2,
+            partition_unit="fragment",
+        )
