@@ -292,3 +292,36 @@ def test_subtree_annotation_via_validate():
     vj = validate(graph, json.dumps(doc), annotate="subtree")
     assert vj.to_value() == doc
     assert vj.valid_against() == ("user_defined", "$start")
+
+
+# hypothesis differential: arbitrary JSON docs (independent of the fixture
+# generators) against every fixture schema — the fast path must agree with
+# the generic kernel in BOTH directions on parser-representable values
+# (its only sanctioned under-accepts are non-builtin subclasses and
+# recursion-depth edges, neither of which hypothesis' builtin strategies
+# produce at max_leaves=10)
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _fixture_graph_and_fast(name):
+    from medea_ray.validate.fastpath import compile_fast
+
+    graph = compile_schema(f"{VAL_DIR}/{name}")
+    return graph, compile_fast(graph)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(sorted(CASES)), _json_vals)
+def test_fastpath_differential_hypothesis(name, v):
+    from medea_ray.validate.kernel import validate_obj
+
+    graph, fast = _fixture_graph_and_fast(name)
+    v = json.loads(json.dumps(v))  # exactly the parser's builtin types
+    try:
+        validate_obj(graph, v)
+        generic = True
+    except MedeaValidationError:
+        generic = False
+    assert fast(v) == generic, f"{name}: fast!=generic for {v!r}"
