@@ -109,17 +109,25 @@ def _cmd_run(args) -> int:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
     from medea_ray.engine.pipeline import run_validation_pipeline
 
-    report = run_validation_pipeline(
-        files,
-        schema_text,
-        args.out,
-        payload_col=args.payload_col,
-        id_col=args.id_col,
-        batch_size=args.batch_size,
-        wave_size=args.wave_size,
-        resume=not args.no_resume,
-        input_format=fmt,
-    )
+    try:
+        report = run_validation_pipeline(
+            files,
+            schema_text,
+            args.out,
+            payload_col=args.payload_col,
+            id_col=args.id_col,
+            batch_size=args.batch_size,
+            wave_size=args.wave_size,
+            resume=not args.no_resume,
+            input_format=fmt,
+            partition_unit=args.partition_unit,
+            fragment_rows=args.fragment_rows,
+        )
+    except ValueError as e:
+        # driver-side contract errors (fragment×jsonl, unit/schema switch
+        # on a populated out_dir) — clean exit 2, no Ray traceback
+        print(str(e), file=sys.stderr)
+        return 2
     report.pop("partitions", None)
     print(json.dumps(report))
     return 0
@@ -195,7 +203,7 @@ def _cmd_gen_pages(args) -> int:
 
     paths = write_pages(
         args.out, args.rows, rows_per_file=args.rows_per_file, workers=args.workers,
-        fmt=args.format,
+        fmt=args.format, row_group_rows=args.row_group_rows,
     )
     print(json.dumps({"files": len(paths), "rows": args.rows, "out": args.out}))
     return 0
@@ -219,6 +227,15 @@ def main(argv=None) -> int:
     r.add_argument("--batch-size", type=int, default=2048)
     r.add_argument("--wave-size", type=int, default=64)
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument(
+        "--partition-unit", choices=("file", "fragment"), default="file",
+        help="resume granularity: manifest keyed per input file (default) "
+        "or per parquet row-group range (bounds lost work on huge files)",
+    )
+    r.add_argument(
+        "--fragment-rows", type=int, default=1 << 20,
+        help="target rows per fragment when --partition-unit fragment",
+    )
     r.set_defaults(fn=_cmd_run)
 
     s = sub.add_parser("stats", help="column stats / sketches over parquet")
@@ -242,6 +259,11 @@ def main(argv=None) -> int:
     g.add_argument("--rows-per-file", type=int, default=50_000)
     g.add_argument("--workers", type=int, default=1)
     g.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    g.add_argument(
+        "--row-group-rows", type=int, default=None,
+        help="parquet row-group size cap (multi-row-group files exercise "
+        "run --partition-unit fragment)",
+    )
     g.set_defaults(fn=_cmd_gen_pages)
 
     args = p.parse_args(argv)

@@ -228,14 +228,14 @@ JSONL_COLUMNS = ["url", "warc_ts", "text", "lang", "payload"]
 
 
 def _write_chunk(args) -> str:
-    out_dir, c, start, n, seed, fmt = args
+    out_dir, c, start, n, seed, fmt, row_group_rows = args
     ext = "parquet" if fmt == "parquet" else "jsonl"
     path = os.path.join(out_dir, f"pages_{c:05d}.{ext}")
     if not os.path.exists(path):
         tmp = path + f".tmp{os.getpid()}"
         t = gen_pages_chunk(start, n, seed)
         if fmt == "parquet":
-            pq.write_table(t, tmp)
+            pq.write_table(t, tmp, row_group_size=row_group_rows)
         else:
             import orjson
 
@@ -253,18 +253,24 @@ def write_pages(
     rows_per_file: int = 50_000,
     workers: int = 1,
     fmt: str = "parquet",
+    row_group_rows: int | None = None,
 ) -> list[str]:
     """Write the pages table as one parquet (or JSONL, ``fmt="jsonl"``)
-    file per chunk (the file is the engine's checkpoint partition unit).
-    Returns the file list. Idempotent: existing complete files are kept
-    (same bytes — generation is pure in (seed, index), which is also what
-    lets ``workers > 1`` shard freely)."""
+    file per chunk (the file is the engine's default checkpoint partition
+    unit; ``row_group_rows`` caps parquet row-group size for exercising
+    ``partition_unit="fragment"``). Returns the file list. Idempotent:
+    existing complete files are kept (same bytes — generation is pure in
+    (seed, index), which is also what lets ``workers > 1`` shard
+    freely)."""
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     jobs = []
     for c, start in enumerate(range(0, n_rows, rows_per_file)):
-        jobs.append((out_dir, c, start, min(rows_per_file, n_rows - start), seed, fmt))
+        jobs.append(
+            (out_dir, c, start, min(rows_per_file, n_rows - start), seed, fmt,
+             row_group_rows)
+        )
     if workers > 1 and len(jobs) > 1:
         from concurrent.futures import ProcessPoolExecutor
 

@@ -195,3 +195,43 @@ def test_cli_missing_or_bad_schema_exits_2(tmp_path):
     r = _run("validate-file", str(bad), str(doc))
     assert r.returncode == 2
     assert "invalid schema" in r.stderr and "Traceback" not in r.stderr
+
+
+def test_cli_run_fragment_partition_unit(tmp_path):
+    """run --partition-unit fragment over multi-row-group files: fragment
+    counts in the report, resume skips fragments, and the fragment×jsonl
+    contract error exits 2 driver-side."""
+    pages = tmp_path / "pages"
+    r = _run(
+        "gen-pages", "--out", str(pages), "--rows", "2000",
+        "--rows-per-file", "1000", "--row-group-rows", "250",
+    )
+    assert r.returncode == 0, r.stderr
+
+    out = tmp_path / "out"
+    args = (
+        "run", "--input", str(pages), "--schema", FLAGSHIP_SCHEMA_PATH,
+        "--out", str(out), "--wave-size", "3",
+        "--partition-unit", "fragment", "--fragment-rows", "500",
+    )
+    r = _run(*args, env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    # 2 files x 4 row groups, 500 rows/fragment -> 4 fragments
+    assert report["n_files"] == 4
+    assert report["n_rows"] == 2000
+    assert report["n_invalid"] == 100  # 5% seeded defects
+
+    r = _run(*args, env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["n_files_skipped"] == 4 and report["n_rows"] == 2000
+
+    # contract error (unit switch on a populated out_dir): clean exit 2,
+    # message on stderr, no worker traceback
+    r = _run(
+        "run", "--input", str(pages), "--schema", FLAGSHIP_SCHEMA_PATH,
+        "--out", str(out), "--wave-size", "3",
+    )
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    assert "partition_unit" in r.stderr and "Traceback" not in r.stderr
