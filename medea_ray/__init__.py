@@ -52,17 +52,18 @@ __all__ = [
 ]
 
 
-def validate_from_file(schema_map, path) -> "ValidatedJSON":
+def validate_from_file(schema_map, path, annotate=True) -> "ValidatedJSON":
     """Mirror of the reference's validateFromFile (Data/Medea.hs:239-244):
-    read the document bytes, then validate."""
+    read the document bytes, then validate. ``annotate="subtree"`` gives
+    reference-exact whole-subtree annotations (kernel deviation 2)."""
     with open(path, "rb") as f:
-        return validate(schema_map, f.read())
+        return validate(schema_map, f.read(), annotate=annotate)
 
 
-def validate_from_handle(schema_map, handle) -> "ValidatedJSON":
+def validate_from_handle(schema_map, handle, annotate=True) -> "ValidatedJSON":
     """Mirror of the reference's validateFromHandle (Data/Medea.hs:251-256):
     read the rest of an open (binary or text) file object, then validate."""
-    return validate(schema_map, handle.read())
+    return validate(schema_map, handle.read(), annotate=annotate)
 
 
 def compile_schema_from_handle(handle) -> "Schema":
