@@ -138,3 +138,11 @@ def test_retired_query_callables_still_run(ray_session, name):
     df = _to_df(getattr(q, name)(SF))
     assert len(df.columns) > 0
     assert len(df) > 0, name
+
+
+def test_every_query_has_an_oracle(entry_mod):
+    """Since round 4 every registered query is oracle-checked — the
+    rows-only parametrization above is INTENTIONALLY empty (pytest shows
+    it as 1 skipped). A new rows-only query should be a deliberate,
+    documented choice, not an accident."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
