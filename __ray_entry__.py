@@ -117,10 +117,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby / aggregate / sort / filter engine ops
         "lang_histogram": q.lang_histogram,
         "source_counts_salted": q.source_counts_salted,
-        "orders_by_status": q.orders_by_status,
+        # orders_by_status retired round 4 (plain single-key groupby-sum;
+        # the op family stays oracle-green via lang_histogram /
+        # source_counts_salted / orders_by_nation) in favour of the
+        # compressed-audio codec guard; callable stays pytest-covered.
         "orders_by_nation": q.orders_by_nation,
         "events_daily": q.events_daily,
-        "events_by_type_daily": q.events_by_type_daily,
+        # events_by_type_daily retired round 4 (two-key daily groupby; the
+        # family stays oracle-green via events_daily / events_tumbling_6h /
+        # user_event_pivot) in favour of the MJPEG AVI video guard;
+        # callable stays pytest-covered.
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
         "text_len_histogram": q.text_len_histogram,
@@ -189,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_guard": q.embedding_near_dup_guard,
         # multimodal: REAL builtin decode (BMP/PPM/WAV), oracle-checked
         "media_features": q.media_features,
+        # compressed audio (G.711 mu/A-law exact amp sums + IMA ADPCM
+        # round-trip bounds) and entropy-coded MJPEG AVI video
+        "audio_codec_guard": q.audio_codec_guard,
+        "mjpeg_avi_guard": q.mjpeg_avi_guard,
     }
 
 
@@ -220,12 +230,6 @@ def oracle_sql() -> dict[str, str]:
         "source_counts_salted": """
             SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
         """,
-        "orders_by_status": """
-            SELECT o_orderstatus,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-            FROM orders GROUP BY o_orderstatus
-        """,
         "orders_by_nation": """
             SELECT n.n_name,
                    CAST(count(*) AS BIGINT) AS n,
@@ -240,13 +244,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1
-        """,
-        "events_by_type_daily": """
-            SELECT event_type,
-                   strftime(ts, '%Y-%m-%d') AS day,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
-            FROM events GROUP BY 1, 2
         """,
         "top_users_by_events": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n
@@ -554,6 +551,36 @@ def oracle_sql() -> dict[str, str]:
         # (exact geometry, RMSE < 6 under the uniform quantizer); every
         # row must be TRUE — see engine/jpeg.py
         "jpeg_codec_guard": """
+            SELECT doc_id, true AS geometry_ok, true AS fidelity_ok
+            FROM documents
+        """,
+        # compressed-audio guard: DuckDB re-expands the SAME deterministic
+        # byte pattern ((i*37 + doc_id*13) % 256) through the public G.711
+        # segment formulas — mu-law |sample| = ((((~b)&15)*8+132) <<
+        # (((~b)>>4)&7)) - 132, A-law via the xor-0x55 segmented case —
+        # and sums exactly (integer-only, CAST to BIGINT; see
+        # multimodal.mulaw_decode_bytes / alaw_decode_bytes). ADPCM is
+        # predictor-adaptive, guarded as an all-TRUE boolean.
+        "audio_codec_guard": """
+            SELECT d.doc_id,
+                   CAST(SUM(((((255 - (t.i*37 + d.doc_id*13) % 256) & 15) * 8 + 132)
+                             << (((255 - (t.i*37 + d.doc_id*13) % 256) >> 4) & 7))
+                            - 132) AS BIGINT) AS mulaw_amp_sum,
+                   CAST(SUM(CASE ((xor((t.i*37 + d.doc_id*13) % 256, 85) >> 4) & 7)
+                            WHEN 0 THEN (xor((t.i*37 + d.doc_id*13) % 256, 85) & 15) * 16 + 8
+                            WHEN 1 THEN (xor((t.i*37 + d.doc_id*13) % 256, 85) & 15) * 16 + 264
+                            ELSE ((xor((t.i*37 + d.doc_id*13) % 256, 85) & 15) * 16 + 264)
+                                 << (((xor((t.i*37 + d.doc_id*13) % 256, 85) >> 4) & 7) - 1)
+                            END) AS BIGINT) AS alaw_amp_sum,
+                   true AS adpcm_ok
+            FROM documents d
+            JOIN generate_series(0, 339) AS t(i) ON t.i < 300 + d.doc_id % 40
+            GROUP BY d.doc_id
+        """,
+        # MJPEG AVI video guard: container walk + per-frame baseline-JPEG
+        # entropy decode round-trip booleans (exact geometry/frame
+        # count/fps, per-frame RMSE < 6); every row must be TRUE
+        "mjpeg_avi_guard": """
             SELECT doc_id, true AS geometry_ok, true AS fidelity_ok
             FROM documents
         """,

@@ -8,9 +8,16 @@ formats in pure Python/numpy — no media libraries needed:
   4-byte-padded row stride, mean-RGB feature over the pixel grid.
 - **PPM** (binary P6, maxval 255): whitespace/comment-tolerant header
   tokenizer, mean-RGB feature.
-- **WAV** (RIFF PCM16): chunk walk to ``fmt ``/``data``, frames ×
-  channels from block_align, (sample_rate, bits, mean |amplitude|)
-  feature.
+- **WAV** (RIFF; PCM16 + three real compressed-audio codecs): chunk walk
+  to ``fmt ``/``fact``/``data``; format 1 PCM16, formats 6/7 G.711
+  A-law/mu-law (vectorized LUT expansion), format 0x11 mono IMA ADPCM
+  (predictor + step-index nibble decode). Feature is (sample_rate,
+  bits, mean |amplitude|).
+- **AVI / MJPEG** (RIFF 'AVI '): hdrl/strl/movi walk, 'vids'/'MJPG'
+  stream header (fps = rate/scale), every '00dc' frame decoded through
+  the in-repo baseline JPEG codec — real entropy-coded video without
+  media libraries. ``decode_avi_frames`` returns the RGB frame list for
+  frame-sampling stages.
 - **PNG** (8-bit gray/RGB/RGBA, non-interlaced): CRC-verified chunk
   walk, full DEFLATE inflate of the concatenated IDAT stream (stdlib
   ``zlib``), and per-scanline unfiltering of all five PNG filter types
@@ -29,8 +36,8 @@ formats in pure Python/numpy — no media libraries needed:
   bit-equality.
 
 Anything unrecognized or malformed decodes to ``media_ok=false`` — a
-corrupt payload is a row verdict, never a stage crash. Entropy-coded
-formats (JPEG/MP3/H.264) still need real codecs: ``decoder="pil"``/
+corrupt payload is a row verdict, never a stage crash. Perceptual-model
+codecs (MP3/AAC/H.264) still need real libraries: ``decoder="pil"``/
 "ffmpeg" raise NotImplementedError until the corresponding library is
 installed, and ``decoder="fake"`` remains the deterministic hash-derived
 stand-in for plumbing tests.
@@ -120,6 +127,327 @@ def make_wav(n_frames: int, n_channels: int = 1, sample_rate: int = 8000,
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
         + b"data" + struct.pack("<I", len(d)) + d
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# -- G.711 companded + IMA ADPCM audio (entropy-reduced WAV codecs) ----------
+#
+# Real compressed-audio decode paths for the WAV container (audio formats
+# 6 = A-law, 7 = mu-law, 0x11 = IMA ADPCM) implemented from the public
+# G.711 / IMA specifications — no media libraries. The companded codecs
+# decode as vectorized numpy LUT expansions; ADPCM is inherently
+# sequential per block (predictor + step-index state), so it loops per
+# nibble inside the actor stage over SMALL fixture-scale payloads.
+
+_ULAW_BIAS = 0x84  # G.711 mu-law bias
+
+
+def mulaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    """Expand mu-law bytes to int16 PCM (G.711, vectorized LUT formula)."""
+    u = (~b.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u >> 4) & 7)
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """Compress int16 PCM to mu-law bytes (G.711 segmented quantizer)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + _ULAW_BIAS
+    # segment = msb(mag) - 7; frexp's exponent is msb+1, exact for ints
+    seg = np.frexp(mag.astype(np.float64))[1] - 8
+    mant = (mag >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    """Expand A-law bytes to int16 PCM (G.711; sign bit SET == positive)."""
+    a = b.astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """Compress int16 PCM to A-law bytes (G.711 13-bit segmented)."""
+    x = x.astype(np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    v = np.where(x >= 0, x >> 3, (-x - 1) >> 3)
+    v = np.minimum(v, 0xFFF)
+    # segment = first i with v <= 0x1F << i  (msb-based, exact via frexp)
+    seg = np.maximum(np.frexp(np.maximum(v, 1).astype(np.float64))[1] - 5, 0)
+    mant = np.where(seg < 2, (v >> 1) & 0x0F, (v >> seg) & 0x0F)
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int) -> list[int]:
+    """Sequential IMA ADPCM inner loop (public IMA/DVI algorithm)."""
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred = min(32767, max(-32768, pred + diff))
+        index = min(88, max(0, index + int(_IMA_INDEX_ADJ[n & 7])))
+        out.append(pred)
+    return out
+
+
+def ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray | None:
+    """Decode mono IMA ADPCM WAV data chunk to int16 PCM. Each block:
+    4-byte header (int16 predictor, uint8 step index, reserved) then
+    2 nibbles/byte, low nibble first."""
+    if block_align < 5:
+        return None
+    out: list[int] = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        pred, index = struct.unpack_from("<hB", data, off)
+        if index > 88:
+            return None
+        out.append(pred)
+        body = np.frombuffer(data, np.uint8, block_align - 4, off + 4)
+        nibbles = np.empty(2 * len(body), np.uint8)
+        nibbles[0::2] = body & 0x0F
+        nibbles[1::2] = body >> 4
+        out.extend(_ima_decode_nibbles(nibbles, pred, index))
+    return np.array(out, np.int16)
+
+
+def ima_adpcm_encode(x: np.ndarray, block_align: int = 256) -> bytes:
+    """Encode mono int16 PCM as IMA ADPCM blocks (fixture encoder)."""
+    samples_per_block = (block_align - 4) * 2 + 1
+    out = bytearray()
+    pos = 0
+    x = x.astype(np.int64)
+    # seed the step index from the opening slope (the block header carries
+    # it, so any start index is decodable) — avoids the ramp-up error a
+    # cold index=0 start would put on the first few samples
+    index = (
+        int(np.abs(_IMA_STEPS - abs(int(x[1]) - int(x[0]))).argmin())
+        if len(x) > 1 else 0
+    )
+    while pos < len(x):
+        chunk = x[pos : pos + samples_per_block]
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            # reconstruct exactly as the decoder will
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            if n & 8:
+                diff = -diff
+            pred = min(32767, max(-32768, pred + diff))
+            index = min(88, max(0, index + int(_IMA_INDEX_ADJ[n & 7])))
+            nibbles.append(n)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = np.asarray(nibbles, np.uint8)
+        out += (packed[0::2] | (packed[1::2] << 4)).tobytes()
+        pad = (block_align - 4) - len(packed) // 2
+        out += b"\x00" * pad  # final short block zero-padded to block_align
+        pos += samples_per_block
+    return bytes(out)
+
+
+def _wav_container(fmt_tag: int, n_channels: int, sample_rate: int,
+                   block_align: int, bits: int, data: bytes,
+                   n_frames: int | None = None) -> bytes:
+    """RIFF/WAVE wrapper; compressed formats carry a ``fact`` chunk with
+    the true frame count (RIFF spec requires it for fmt != PCM)."""
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    if fmt_tag == 0x11:
+        fmt += struct.pack("<HH", 2, (block_align - 4) * 2 + 1)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if n_frames is not None:
+        body += b"fact" + struct.pack("<II", 4, n_frames)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def fixture_pcm(n_frames: int, seed: int = 0) -> np.ndarray:
+    """Deterministic mono int16 signal, pure function of (seed, index) —
+    the same modular pattern family as make_wav."""
+    return (
+        (np.arange(n_frames, dtype=np.int64) * 37 + seed * 13) % 20001 - 10000
+    ).astype(np.int16)
+
+
+def mulaw_fixture_bytes(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic mu-law byte pattern (SQL-recomputable: the driver
+    oracle re-expands the same bytes with the G.711 formula in DuckDB)."""
+    return ((np.arange(n, dtype=np.int64) * 37 + seed * 13) % 256).astype(np.uint8)
+
+
+def make_wav_mulaw(n_frames: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Mono mu-law (format 7) WAV whose data bytes are the deterministic
+    ``mulaw_fixture_bytes`` pattern."""
+    d = mulaw_fixture_bytes(n_frames, seed).tobytes()
+    return _wav_container(7, 1, sample_rate, 1, 8, d, n_frames)
+
+
+def make_wav_alaw(n_frames: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
+    """Mono A-law (format 6) WAV over the same deterministic byte pattern."""
+    d = mulaw_fixture_bytes(n_frames, seed).tobytes()
+    return _wav_container(6, 1, sample_rate, 1, 8, d, n_frames)
+
+
+def adpcm_fixture_pcm(n_frames: int, seed: int = 0) -> np.ndarray:
+    """Smooth triangle-ish int16 signal (bounded per-sample delta) so the
+    IMA predictor tracks it and round-trip error stays small."""
+    t = np.arange(n_frames, dtype=np.int64) * 96 + seed * 17
+    tri = np.abs((t % 16384) - 8192) - 4096  # triangle in [-4096, 4096]
+    return tri.astype(np.int16)
+
+
+def make_wav_adpcm(n_frames: int, sample_rate: int = 8000, seed: int = 0,
+                   block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM (format 0x11) WAV encoding ``adpcm_fixture_pcm``."""
+    d = ima_adpcm_encode(adpcm_fixture_pcm(n_frames, seed), block_align)
+    return _wav_container(0x11, 1, sample_rate, block_align, 4, d, n_frames)
+
+
+# -- AVI / MJPEG video (RIFF container over the in-repo baseline JPEG) -------
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(payload)) + kind + payload
+
+
+def make_avi_mjpeg(width: int, height: int, n_frames: int = 4,
+                   fps: int = 12, seed: int = 0) -> bytes:
+    """Deterministic MJPEG AVI: a minimal RIFF 'AVI ' container (avih +
+    one 'vids'/'MJPG' stream) whose '00dc' chunks are baseline JPEGs from
+    the in-repo encoder over ``jpeg_fixture_image(width, height,
+    seed*31 + frame)`` — an entropy-coded video fixture with no media
+    libraries."""
+    from medea_ray.engine.jpeg import encode_jpeg, jpeg_fixture_image
+
+    frames = [
+        encode_jpeg(jpeg_fixture_image(width, height, seed=seed * 31 + f))
+        for f in range(n_frames)
+    ]
+    avih = b"avih" + struct.pack(
+        "<I14I", 56, 1_000_000 // fps, 0, 0, 0x10, n_frames, 0, 1,
+        max(len(f) for f in frames), width, height, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack(
+        "<I", 56) + b"vidsMJPG" + struct.pack(
+        "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, n_frames,
+        max(len(f) for f in frames), 0xFFFFFFFF & -1, 0, 0, 0, width, height)
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, width, height, 1, 24,
+        0x47504A4D, width * height * 3, 0, 0, 0, 0)  # 'MJPG' fourcc
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = b""
+    for f in frames:
+        movi += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            movi += b"\x00"
+    body = b"AVI " + hdrl + _riff_list(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(p: bytes) -> dict | None:
+    """Parse a RIFF 'AVI ' container and decode every MJPEG frame with the
+    in-repo baseline JPEG decoder. Returns dims, fps (rate/scale from
+    strh), declared frame count, and the decoded RGB frame list; None on
+    any malformed structure (never raises on untrusted bytes)."""
+    from medea_ray.engine.jpeg import decode_jpeg
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    width = height = n_declared = None
+    scale = rate = None
+    payloads: list[bytes] = []
+
+    def walk(lo: int, hi: int, depth: int = 0) -> bool:
+        nonlocal width, height, n_declared, scale, rate
+        if depth > 8:
+            return False
+        pos = lo
+        while pos + 8 <= hi:
+            cid = p[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", p, pos + 4)
+            if pos + 8 + size > hi:
+                return False
+            if cid == b"LIST":
+                if size < 4 or not walk(pos + 12, pos + 8 + size, depth + 1):
+                    return False
+            elif cid == b"avih" and size >= 56:
+                vals = struct.unpack_from("<14I", p, pos + 8)
+                n_declared, width, height = vals[4], vals[8], vals[9]
+            elif cid == b"strh" and size >= 48:
+                if p[pos + 8 : pos + 16] == b"vidsMJPG":
+                    scale, rate = struct.unpack_from("<II", p, pos + 28)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                payloads.append(p[pos + 8 : pos + 8 + size])
+            pos += 8 + size + (size & 1)
+        return True
+
+    if not walk(12, min(len(p), 8 + struct.unpack_from("<I", p, 4)[0])):
+        return None
+    if width is None or not payloads or not scale or not rate:
+        return None
+    frames = []
+    for raw in payloads:
+        d = decode_jpeg(raw)
+        if d is None or d["width"] != width or d["height"] != height:
+            return None
+        frames.append(d["pixels"])
+    return {
+        "width": int(width), "height": int(height),
+        "fps": float(rate) / float(scale),
+        "n_declared": int(n_declared) if n_declared is not None else len(frames),
+        "frames": frames,
+    }
+
+
+def _decode_avi_features(p: bytes) -> dict | None:
+    d = decode_avi_frames(p)
+    if d is None or not d["frames"]:
+        return None
+    luma = float(np.mean([f.astype(np.float64).mean() for f in d["frames"]])) / 255.0
+    return {"ok": True, "format": "avi", "width": d["width"], "height": d["height"],
+            "feature": [d["fps"], float(len(d["frames"])), luma]}
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -469,9 +797,14 @@ def _decode_ppm(p: bytes) -> dict | None:
 
 
 def _decode_wav(p: bytes) -> dict | None:
+    """RIFF/WAVE decode: PCM16 (format 1) plus three real compressed-audio
+    codecs — A-law 6 / mu-law 7 (G.711 companded, vectorized LUT expand)
+    and mono IMA ADPCM 0x11 (predictor + step-index nibble decode). The
+    ``fact`` chunk's frame count truncates ADPCM's final zero-padded
+    block, per the RIFF spec for non-PCM formats."""
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
         (size,) = struct.unpack_from("<I", p, pos + 4)
@@ -481,14 +814,38 @@ def _decode_wav(p: bytes) -> dict | None:
             fmt = p[pos + 8 : pos + 8 + size]
         elif cid == b"data":
             data = p[pos + 8 : pos + 8 + size]
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", p, pos + 8)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None or len(fmt) < 16:
         return None
     audio_fmt, n_ch, rate, _brate, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1 or bits != 16 or n_ch < 1 or block_align != n_ch * 2:
+    if n_ch < 1:
         return None
-    n_frames = len(data) // block_align
-    x = np.frombuffer(data, np.int16, n_frames * n_ch).astype(np.float64)
+    if audio_fmt == 1:
+        if bits != 16 or block_align != n_ch * 2:
+            return None
+        n_frames = len(data) // block_align
+        x = np.frombuffer(data, np.int16, n_frames * n_ch).astype(np.float64)
+    elif audio_fmt in (6, 7):
+        if bits != 8 or block_align != n_ch:
+            return None
+        n_frames = len(data) // block_align
+        raw = np.frombuffer(data, np.uint8, n_frames * n_ch)
+        expand = alaw_decode_bytes if audio_fmt == 6 else mulaw_decode_bytes
+        x = expand(raw).astype(np.float64)
+    elif audio_fmt == 0x11:
+        if bits != 4 or n_ch != 1:
+            return None  # mono-only ADPCM path (fixture contract)
+        pcm = ima_adpcm_decode(data, block_align)
+        if pcm is None:
+            return None
+        if fact_frames is not None:
+            pcm = pcm[:fact_frames]
+        n_frames = len(pcm)
+        x = pcm.astype(np.float64)
+    else:
+        return None
     mean_amp = float(np.abs(x).mean() / 32768.0) if len(x) else 0.0
     return {"ok": True, "format": "wav", "width": n_frames, "height": n_ch,
             "feature": [float(rate), float(bits), mean_amp]}
@@ -584,7 +941,7 @@ def builtin_decode(p: bytes) -> dict:
     elif p[:2] == b"P6":
         d = _decode_ppm(p)
     elif p[:4] == b"RIFF":
-        d = _decode_wav(p)
+        d = _decode_avi_features(p) if p[8:12] == b"AVI " else _decode_wav(p)
     elif p[:8] == b"\x89PNG\r\n\x1a\n":
         d = _decode_png(p)
     elif p[:4] == b"GIF8":

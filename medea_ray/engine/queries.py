@@ -1373,6 +1373,106 @@ def jpeg_codec_guard(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def audio_codec_guard(sf_dir: str) -> pd.DataFrame:
+    """Compressed-audio WAV codecs, oracle-checked EXACTLY: each document
+    synthesizes mu-law (format 7) and A-law (format 6) WAVs whose data
+    bytes are the deterministic pattern ``(i*37 + doc_id*13) % 256``; the
+    engine decodes them through the real G.711 expansion and emits the
+    integer sum of |sample| — which DuckDB recomputes bit-exactly from
+    the public G.711 segment formulas over ``generate_series`` (for both
+    companded codecs |decoded| is a closed form of the byte). IMA ADPCM
+    (format 0x11) is predictor-adaptive, so it is guarded as booleans:
+    decoded frame count exact (via the ``fact`` chunk truncating the
+    zero-padded final block) and round-trip RMSE/max-error bounds on a
+    bounded-slope fixture signal the predictor must track."""
+    import numpy as np
+
+    from medea_ray.engine.multimodal import (
+        adpcm_fixture_pcm, alaw_decode_bytes, ima_adpcm_decode,
+        ima_adpcm_encode, mulaw_decode_bytes, mulaw_fixture_bytes)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def guard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        mu, al, ok = [], [], []
+        for i in ids:
+            n = 300 + i % 40
+            raw = mulaw_fixture_bytes(n, seed=i)
+            mu.append(int(np.abs(mulaw_decode_bytes(raw).astype(np.int64)).sum()))
+            al.append(int(np.abs(alaw_decode_bytes(raw).astype(np.int64)).sum()))
+            src = adpcm_fixture_pcm(n, seed=i)
+            dec = ima_adpcm_decode(ima_adpcm_encode(src, 256), 256)
+            good = dec is not None and len(dec) >= n
+            if good:
+                dec = dec[:n]
+                err = dec.astype(np.float64) - src.astype(np.float64)
+                good = (
+                    float(np.sqrt((err ** 2).mean())) < 24.0
+                    and float(np.abs(err).max()) < 512.0
+                )
+            ok.append(bool(good))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mulaw_amp_sum": pa.array(mu, pa.int64()),
+            "alaw_amp_sum": pa.array(al, pa.int64()),
+            "adpcm_ok": pa.array(ok, pa.bool_()),
+        })
+
+    out = ds.map_batches(guard, batch_format="pyarrow", batch_size=256)
+    df = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def mjpeg_avi_guard(sf_dir: str) -> pd.DataFrame:
+    """Entropy-coded VIDEO, oracle-checked as per-doc boolean guards: each
+    document synthesizes an MJPEG AVI (RIFF container, 'vids'/'MJPG'
+    stream, 2 + doc_id % 4 frames of 16+doc_id%7 × 12+(doc_id//7)%5,
+    every frame a real baseline JPEG), the engine walks the container and
+    entropy-decodes every frame. geometry_ok asserts exact dims, frame
+    count (payloads AND the avih/strh declared counts) and fps from
+    rate/scale; fidelity_ok bounds per-frame reconstruction RMSE < 6 vs
+    the source fixture image (JPEG is lossy — bit-equality is the wrong
+    check). The DuckDB oracle expects every row TRUE."""
+    import numpy as np
+
+    from medea_ray.engine.jpeg import jpeg_fixture_image
+    from medea_ray.engine.multimodal import decode_avi_frames, make_avi_mjpeg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        geom, fid = [], []
+        for i in ids:
+            w, h, nf = 16 + i % 7, 12 + (i // 7) % 5, 2 + i % 4
+            d = decode_avi_frames(make_avi_mjpeg(w, h, n_frames=nf, fps=12, seed=i))
+            ok = (
+                d is not None and d["width"] == w and d["height"] == h
+                and len(d["frames"]) == nf and d["n_declared"] == nf
+                and d["fps"] == 12.0
+            )
+            geom.append(bool(ok))
+            good = ok
+            if ok:
+                for f, fr in enumerate(d["frames"]):
+                    img = jpeg_fixture_image(w, h, seed=i * 31 + f)
+                    err = fr.astype(np.float64) - img.astype(np.float64)
+                    if float(np.sqrt((err ** 2).mean())) >= 6.0:
+                        good = False
+                        break
+            fid.append(bool(good))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "geometry_ok": pa.array(geom, pa.bool_()),
+            "fidelity_ok": pa.array(fid, pa.bool_()),
+        })
+
+    out = ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=64)
+    df = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def gif_frame_stats(sf_dir: str) -> pd.DataFrame:
     """Video-style frame sampling, oracle-checked end-to-end: each
     document synthesizes an ANIMATED GIF (15×13, 2 + doc_id % 5 frames,

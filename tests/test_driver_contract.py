@@ -126,6 +126,13 @@ RETIRED = [
     # oracle-checked simhash_recall_guard / embedding_near_dup_guard
     "simhash_near_dup",
     "embedding_near_dup_pairs",
+    # round 4: redundant single/two-key groupby-sum entries replaced by the
+    # compressed-audio and MJPEG-AVI codec guards; their op families stay
+    # oracle-green via lang_histogram / source_counts_salted /
+    # orders_by_nation and events_daily / events_tumbling_6h /
+    # user_event_pivot
+    "orders_by_status",
+    "events_by_type_daily",
 ]
 
 

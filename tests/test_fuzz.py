@@ -89,7 +89,8 @@ def test_media_decode_fuzz_never_crashes():
     garbage, truncations and single-byte mutations of valid payloads must
     return ok=False (or a valid decode), never raise."""
     from medea_ray.engine.multimodal import (
-        builtin_decode, make_bmp, make_gif, make_ppm, make_wav, make_png,
+        builtin_decode, make_avi_mjpeg, make_bmp, make_gif, make_ppm,
+        make_wav, make_wav_adpcm, make_wav_alaw, make_wav_mulaw, make_png,
     )
     from medea_ray.engine.jpeg import encode_jpeg, jpeg_fixture_image
 
@@ -98,6 +99,8 @@ def test_media_decode_fuzz_never_crashes():
         make_bmp(9, 7, 1), make_ppm(8, 6, 2), make_wav(300, 3),
         make_png(10, 5, 4), make_gif(7, 7, 2, 5),
         encode_jpeg(jpeg_fixture_image(16, 16, 6)),
+        make_wav_mulaw(150, seed=7), make_wav_alaw(151, seed=8),
+        make_wav_adpcm(300, seed=9), make_avi_mjpeg(10, 8, 2, 12, 10),
     ]
     # random garbage, with and without magic prefixes
     for i in range(200):

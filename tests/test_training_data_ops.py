@@ -1124,3 +1124,117 @@ def test_filter_not_in_ds_logs_and_budgets(ray_session, caplog):
     empty = rd.from_items([{"k": 1}]).filter(lambda r: False)
     out2 = filter_not_in_ds(ds, "k", empty, "k")
     assert out2.count() == 100
+
+
+# -- compressed audio (G.711 / IMA ADPCM) and MJPEG AVI video ----------------
+
+
+def test_g711_decode_matches_reference_formula():
+    """Vectorized mu-law/A-law expansion equals the public G.711 scalar
+    formulas (Sun g711.c semantics) for every one of the 256 codes."""
+    import numpy as np
+
+    from medea_ray.engine.multimodal import alaw_decode_bytes, mulaw_decode_bytes
+
+    def ulaw2lin(u):
+        u = ~u & 0xFF
+        t = (((u & 0xF) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2lin(a):
+        a ^= 0x55
+        t = (a & 0xF) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    b = np.arange(256, dtype=np.uint8)
+    assert (mulaw_decode_bytes(b) == np.array([ulaw2lin(int(x)) for x in b], np.int16)).all()
+    assert (alaw_decode_bytes(b) == np.array([alaw2lin(int(x)) for x in b], np.int16)).all()
+
+
+def test_g711_roundtrip_bounds_and_idempotence():
+    """Compress→expand error stays within the top-segment quantization
+    step over the whole int16 range, and expand→compress reproduces the
+    code byte (mu-law's redundant -0 code is the single exception)."""
+    import numpy as np
+
+    from medea_ray.engine.multimodal import (
+        alaw_decode_bytes, alaw_encode, mulaw_decode_bytes, mulaw_encode)
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    eu = np.abs(mulaw_decode_bytes(mulaw_encode(x)).astype(np.int32) - x.astype(np.int32))
+    ea = np.abs(alaw_decode_bytes(alaw_encode(x)).astype(np.int32) - x.astype(np.int32))
+    assert eu.max() <= 644 and ea.max() <= 512
+    b = np.arange(256, dtype=np.uint8)
+    assert (mulaw_encode(mulaw_decode_bytes(b)) == b).sum() == 255  # 0x7F == -0
+    assert (alaw_encode(alaw_decode_bytes(b)) == b).all()
+
+
+def test_ima_adpcm_roundtrip_and_fact_truncation():
+    """IMA ADPCM predictor tracks the bounded-slope fixture signal within
+    tight bounds, and the WAV fact chunk truncates the zero-padded final
+    block to the true frame count."""
+    import numpy as np
+
+    from medea_ray.engine.multimodal import (
+        _decode_wav, adpcm_fixture_pcm, ima_adpcm_decode, ima_adpcm_encode,
+        make_wav_adpcm)
+
+    for n, seed in [(37, 0), (505, 3), (1000, 9)]:
+        src = adpcm_fixture_pcm(n, seed)
+        dec = ima_adpcm_decode(ima_adpcm_encode(src, 256), 256)[:n]
+        err = np.abs(dec.astype(np.int32) - src.astype(np.int32))
+        assert err.max() < 512 and float(np.sqrt((err.astype(float) ** 2).mean())) < 24.0
+        d = _decode_wav(make_wav_adpcm(n, seed=seed))
+        assert d is not None and d["ok"] and (d["width"], d["height"]) == (n, 1)
+        assert d["feature"][:2] == [8000.0, 4.0]
+
+
+def test_compressed_wav_decode_features():
+    """builtin_decode handles all three compressed WAV formats; the
+    companded amp means match a direct LUT expansion of the same bytes."""
+    import numpy as np
+
+    from medea_ray.engine.multimodal import (
+        alaw_decode_bytes, builtin_decode, make_wav_alaw, make_wav_mulaw,
+        mulaw_decode_bytes, mulaw_fixture_bytes)
+
+    n = 421
+    raw = mulaw_fixture_bytes(n, seed=5)
+    for make, expand in ((make_wav_mulaw, mulaw_decode_bytes),
+                         (make_wav_alaw, alaw_decode_bytes)):
+        d = builtin_decode(make(n, seed=5))
+        assert d["ok"] and d["format"] == "wav" and (d["width"], d["height"]) == (n, 1)
+        want = float(np.abs(expand(raw).astype(np.float64)).mean() / 32768.0)
+        assert abs(d["feature"][2] - want) < 1e-12
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """MJPEG AVI: container geometry/fps/frame counts decode exactly and
+    every entropy-coded frame reconstructs its fixture image (RMSE < 6,
+    JPEG is lossy). builtin_decode routes RIFF 'AVI ' to the video path."""
+    import numpy as np
+
+    from medea_ray.engine.jpeg import jpeg_fixture_image
+    from medea_ray.engine.multimodal import (
+        builtin_decode, decode_avi_frames, make_avi_mjpeg)
+
+    for w, h, nf, fps, seed in [(16, 12, 1, 25, 0), (18, 14, 5, 12, 3), (21, 16, 3, 30, 8)]:
+        p = make_avi_mjpeg(w, h, n_frames=nf, fps=fps, seed=seed)
+        d = decode_avi_frames(p)
+        assert d is not None and (d["width"], d["height"]) == (w, h)
+        assert len(d["frames"]) == nf and d["n_declared"] == nf
+        assert d["fps"] == float(fps)
+        for f, fr in enumerate(d["frames"]):
+            img = jpeg_fixture_image(w, h, seed=seed * 31 + f)
+            err = fr.astype(np.float64) - img.astype(np.float64)
+            assert float(np.sqrt((err ** 2).mean())) < 6.0
+        feat = builtin_decode(p)
+        assert feat["ok"] and feat["format"] == "avi"
+        assert feat["feature"][0] == float(fps) and feat["feature"][1] == float(nf)
