@@ -304,14 +304,6 @@ def _wav_container(fmt_tag: int, n_channels: int, sample_rate: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def fixture_pcm(n_frames: int, seed: int = 0) -> np.ndarray:
-    """Deterministic mono int16 signal, pure function of (seed, index) —
-    the same modular pattern family as make_wav."""
-    return (
-        (np.arange(n_frames, dtype=np.int64) * 37 + seed * 13) % 20001 - 10000
-    ).astype(np.int16)
-
-
 def mulaw_fixture_bytes(n: int, seed: int = 0) -> np.ndarray:
     """Deterministic mu-law byte pattern (SQL-recomputable: the driver
     oracle re-expands the same bytes with the G.711 formula in DuckDB)."""
@@ -975,16 +967,17 @@ FRAME_STATS_SCHEMA = pa.schema(
 
 
 class FrameSampler:
-    """Video-style frame sampling over an animated-GIF binary column:
-    decode every frame, keep every ``every``-th (frames 0, every,
-    2*every, …), and emit small typed per-document stats — the decode /
-    frame-sample / feature-extract shape the north rule asks of video
-    columns, with GIF as the in-repo codec (no media libraries).
+    """Video-style frame sampling over a binary column of animated GIFs
+    or MJPEG AVIs: decode every frame, keep every ``every``-th (frames 0,
+    every, 2*every, …), and emit small typed per-document stats — the
+    decode / frame-sample / feature-extract shape the north rule asks of
+    video columns, with both in-repo codecs (no media libraries).
 
     ``px_sum`` is the integer sum of the sampled frames' red-channel
-    values (== palette indices under the fixture's grayscale-identity
-    palette), so the whole decode → sample → reduce path is
-    SQL-recomputable for the driver oracle."""
+    values. For GIF (== palette indices under the fixture's
+    grayscale-identity palette) the whole decode → sample → reduce path
+    is SQL-recomputable for the driver oracle; for AVI the frames are
+    lossy JPEG, so exactness is guarded by ``mjpeg_avi_guard`` instead."""
 
     def __init__(self, payload_col: str = "blob", every: int = 2):
         if every < 1:
@@ -992,11 +985,28 @@ class FrameSampler:
         self.payload_col = payload_col
         self.every = every
 
+    @staticmethod
+    def _decode(p: bytes):
+        """(n_frames, width, height, sampled-red-channel grids) or None."""
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            d = decode_avi_frames(p)
+            if d is None:
+                return None
+            return len(d["frames"]), d["width"], d["height"], [
+                f[:, :, 0] for f in d["frames"]
+            ]
+        g = decode_gif_frames(p)
+        if g is None:
+            return None
+        return len(g["frames"]), g["width"], g["height"], [
+            pal[grid, 0] for grid, pal in zip(g["frames"], g["palettes"])
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ok, nf, ns, fw, fh, px = [], [], [], [], [], []
         for p in batch.column(self.payload_col).to_pylist():
-            g = decode_gif_frames(p) if p is not None else None
-            if g is None:
+            d = self._decode(p) if p is not None else None
+            if d is None:
                 ok.append(False)
                 nf.append(None)
                 ns.append(None)
@@ -1004,16 +1014,14 @@ class FrameSampler:
                 fh.append(None)
                 px.append(None)
                 continue
-            sampled = g["frames"][:: self.every]
-            pals = g["palettes"][:: self.every]
-            total = 0
-            for grid, pal in zip(sampled, pals):
-                total += int(pal[grid, 0].astype(np.int64).sum())
+            n, w, h, reds = d
+            sampled = reds[:: self.every]
+            total = sum(int(r.astype(np.int64).sum()) for r in sampled)
             ok.append(True)
-            nf.append(len(g["frames"]))
+            nf.append(n)
             ns.append(len(sampled))
-            fw.append(g["width"])
-            fh.append(g["height"])
+            fw.append(w)
+            fh.append(h)
             px.append(total)
         out = batch.drop_columns([self.payload_col])
         for (name, typ), vals in zip(

@@ -809,6 +809,33 @@ def test_gif_container_and_frame_sampler(ray_session):
         assert int(df.loc[i, "px_sum"]) == px
 
 
+def test_frame_sampler_handles_mjpeg_avi(ray_session):
+    """The frame-sampling stage dispatches on container magic: a mixed
+    GIF + MJPEG-AVI column samples both, with AVI px_sum equal to the
+    decoded red-channel sum of every 2nd frame."""
+    import numpy as np
+    import ray.data as rd
+
+    from medea_ray.engine.multimodal import (
+        decode_avi_frames, make_avi_mjpeg, make_gif, sample_frames)
+
+    rows = [{"doc_id": i, "blob": make_avi_mjpeg(12, 10, n_frames=2 + i % 3, seed=i)}
+            for i in range(6)]
+    rows += [{"doc_id": 6 + j, "blob": make_gif(15, 13, 3, seed=j)} for j in range(2)]
+    out = sample_frames(rd.from_items(rows), payload_col="blob", every=2,
+                        concurrency=(1, 2))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["frames_ok"].all()
+    avi = df[df["doc_id"] < 6]
+    assert (avi["n_frames"] == 2 + avi["doc_id"] % 3).all()
+    assert (avi["n_sampled"] == (avi["n_frames"] + 1) // 2).all()
+    assert (avi["frame_width"] == 12).all() and (avi["frame_height"] == 10).all()
+    for i in range(6):
+        d = decode_avi_frames(rows[i]["blob"])
+        px = sum(int(f[:, :, 0].astype(np.int64).sum()) for f in d["frames"][::2])
+        assert int(df.loc[i, "px_sum"]) == px
+
+
 def test_jpeg_codec_roundtrip_fidelity():
     """Baseline JPEG in pure numpy: full entropy pipeline both ways.
     Lossy, so the contract is exact geometry + bounded RMSE — plus the
