@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from medea_ray.engine.drift import drift_report, ks_binned, psi
@@ -13,7 +14,12 @@ from medea_ray.engine.stats import (
     hash_column,
     quantiles,
 )
-from medea_ray.engine.uniqueness import duplicates, group_count, salted_group_count
+from medea_ray.engine.uniqueness import (
+    duplicates,
+    duplicates_hashed,
+    group_count,
+    salted_group_count,
+)
 from medea_ray.fixtures.gen import write_pages
 
 N_ROWS = 4000
@@ -143,6 +149,50 @@ def test_duplicates_vs_duckdb(pages_ds, pages_dir):
     salted = {r["url"]: r["n"] for r in salted_group_count(pages_ds, "url").take_all()}
     full = dict(_duck(pages_dir, "SELECT url, count(*) FROM PAGES GROUP BY url"))
     assert salted == full
+
+
+def test_duplicates_hashed_matches_string_shuffle(pages_ds, pages_dir):
+    got = {r["url"]: r["n"] for r in duplicates_hashed(pages_ds, "url").take_all()}
+    exp = dict(
+        _duck(pages_dir, "SELECT url, count(*) FROM PAGES GROUP BY url HAVING count(*)>1")
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_duplicates_hashed_filters_collision_false_positives(pages_ds, pages_dir):
+    # A deliberately coarse 8-bucket hash makes every digest collide with
+    # ~N/8 other keys: phase 2 emits a huge candidate set full of false
+    # positives, and the phase-3 exact per-key recount must still produce
+    # exactly the true duplicate set.
+    import polars as pl
+
+    def coarse(col):
+        return pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=0).to_numpy() % 8
+
+    got = {
+        r["url"]: r["n"]
+        for r in duplicates_hashed(pages_ds, "url", _hash_fn=coarse).take_all()
+    }
+    exp = dict(
+        _duck(pages_dir, "SELECT url, count(*) FROM PAGES GROUP BY url HAVING count(*)>1")
+    )
+    assert got == exp
+
+
+def test_duplicates_hashed_empty_and_budget_fallback(ray_session):
+    import ray.data as rd
+
+    # no duplicates at all -> typed empty (key, n) result
+    ds = rd.from_arrow(pa.table({"k": [f"u{i}" for i in range(100)]}))
+    out = duplicates_hashed(ds, "k")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "n"}
+
+    # candidate set over budget -> falls back to the exact string shuffle
+    dup = rd.from_arrow(pa.table({"k": ["a", "a", "b", "b", "c"]}))
+    got = {r["k"]: r["n"] for r in duplicates_hashed(dup, "k", candidate_budget=1).take_all()}
+    assert got == {"a": 2, "b": 2}
 
 
 def test_group_count_total(pages_ds):
