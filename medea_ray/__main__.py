@@ -122,6 +122,7 @@ def _cmd_run(args) -> int:
             input_format=fmt,
             partition_unit=args.partition_unit,
             fragment_rows=args.fragment_rows,
+            on_corrupt=args.on_corrupt,
         )
     except ValueError as e:
         # driver-side contract errors (fragment×jsonl, unit/schema switch
@@ -235,6 +236,13 @@ def main(argv=None) -> int:
     r.add_argument(
         "--fragment-rows", type=int, default=1 << 20,
         help="target rows per fragment when --partition-unit fragment",
+    )
+    r.add_argument(
+        "--on-corrupt", choices=("fail", "skip"), default="fail",
+        help="bad-shard policy: fail (abort on first unreadable partition) "
+        "or skip (commit healthy partitions, log failures to "
+        "failures.jsonl, leave failed ones unmanifested so resume retries "
+        "them)",
     )
     r.set_defaults(fn=_cmd_run)
 

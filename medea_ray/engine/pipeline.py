@@ -25,6 +25,7 @@ Ray-Data-first design:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -41,6 +42,8 @@ from medea_ray.validate.kernel import (
     loads_json,
     validate_obj,
 )
+
+logger = logging.getLogger(__name__)
 
 # Unified output schema for the one-pass tagged stream.
 RESULT_SCHEMA = pa.schema(
@@ -326,6 +329,7 @@ def run_validation_pipeline(
     input_format: str = "parquet",
     partition_unit: str = "file",
     fragment_rows: int = 1 << 20,
+    on_corrupt: str = "fail",
 ) -> dict:
     """Read → validate (actor pool) → one-pass tagged sink, in waves of
     ``wave_size`` partitions with per-partition manifest commits. Returns
@@ -346,9 +350,24 @@ def run_validation_pipeline(
     parquet footers (driver-side, one metadata fetch per file — for
     million-file inputs shard the planning itself by calling the pipeline
     per input directory). Parquet only: JSONL has no row groups. The
-    report's ``n_files``/``n_files_skipped`` then count fragments."""
+    report's ``n_files``/``n_files_skipped`` then count fragments.
+
+    ``on_corrupt`` picks the bad-shard policy. ``"fail"`` (default)
+    surfaces the first read/decode error and aborts — nothing is committed
+    for the failing wave. ``"skip"`` keeps the run going at web scale,
+    where some shards of a 10^12-doc corpus WILL be unreadable: a failed
+    wave is retried one partition at a time, healthy partitions commit
+    normally, and each failing partition is logged, appended to
+    ``<out_dir>/failures.jsonl``, reported under ``failed`` /
+    ``n_failed``, and — deliberately — left OUT of the manifest, so a
+    later resume (after the shard is repaired or replaced) retries exactly
+    the failed partitions and nothing else. Any per-partition error is
+    treated as "corrupt" under this policy, including transient ones; rerun
+    with resume=True to retry the failures."""
     if input_format not in ("parquet", "jsonl"):
         raise ValueError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     if partition_unit not in ("file", "fragment"):
         raise ValueError(
             f"partition_unit must be 'file' or 'fragment', got {partition_unit!r}"
@@ -370,13 +389,34 @@ def run_validation_pipeline(
         concurrency = default_pool()
     t_start = time.time()
     input_files = sorted(input_files)
+    failed: dict[str, str] = {}
+
+    def _record_failure(key: str, err: Exception):
+        failed[key] = f"{type(err).__name__}: {err}"[:500]
+        logger.error("on_corrupt=skip: partition %s failed: %s", key, failed[key])
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "failures.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {"when": time.time(), "input_path": key, "error": failed[key]}
+                )
+                + "\n"
+            )
+
     frag_of: dict[str, tuple[str, int, int]] = {}
     if partition_unit == "fragment":
         # one footer read per file; fragments are CONSECUTIVE row-group
         # ranges so each read task does one contiguous scan
         keys = []
         for p in input_files:
-            md = pq.ParquetFile(p).metadata
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception as e:
+                # a footer so broken the file can't even be planned
+                if on_corrupt != "skip":
+                    raise
+                _record_failure(p, e)
+                continue
             lo, acc = 0, 0
             for i in range(md.num_row_groups):
                 acc += md.row_group(i).num_rows
@@ -457,8 +497,7 @@ def run_validation_pipeline(
     wave_id = max(
         (rec["wave_id"] for rec in done.values()), default=-1
     ) + 1
-    for w0 in range(0, len(todo), wave_size):
-        wave_files = todo[w0 : w0 + wave_size]
+    def _run_wave(wave_files: list[str], wave_id: int) -> None:
         wave_started = time.time()
         if partition_unit == "fragment":
             items = [
@@ -576,7 +615,41 @@ def run_validation_pipeline(
                 }
             )
         _commit_manifest(out_dir, wave_id, records)
-        wave_id += 1
+
+    for w0 in range(0, len(todo), wave_size):
+        wave_files = todo[w0 : w0 + wave_size]
+        if on_corrupt != "skip":
+            _run_wave(wave_files, wave_id)
+            wave_id += 1
+            continue
+        try:
+            _run_wave(wave_files, wave_id)
+            wave_id += 1
+        except Exception as e:
+            # retry-bisect: zero cost on the happy path; a poisoned wave
+            # re-runs one partition at a time so every healthy partition
+            # still commits, and only the truly bad ones are skipped
+            logger.warning(
+                "on_corrupt=skip: wave %d failed (%s) — retrying its %d "
+                "partition(s) individually",
+                wave_id,
+                f"{type(e).__name__}: {e}"[:200],
+                len(wave_files),
+            )
+            for p in wave_files:
+                try:
+                    _run_wave([p], wave_id)
+                    wave_id += 1
+                except Exception as e2:
+                    _record_failure(p, e2)
+                    # the failed attempt's uncommitted wave dir must not
+                    # leak rows into read_violations/read_verdicts before
+                    # the next run's sweep cleans it
+                    bad_dir = os.path.join(
+                        out_dir, "results", f"wave_{wave_id:06d}"
+                    )
+                    if os.path.isdir(bad_dir):
+                        shutil.rmtree(bad_dir)
 
     manifest = load_manifest(out_dir)
     # Report over THIS run's input set only: a reused out_dir may hold
@@ -590,11 +663,15 @@ def run_validation_pipeline(
     return {
         "n_files": len(keys),
         "n_files_skipped": sum(1 for p in keys if p in done),
+        "n_failed": len(failed),
         "n_rows": n_rows,
         "n_valid": n_valid,
         "n_invalid": n_rows - n_valid,
         "wall_s": time.time() - t_start,
         "partitions": sorted(run_records, key=lambda r: r["partition_id"]),
+        "failed": [
+            {"input_path": k, "error": failed[k]} for k in sorted(failed)
+        ],
     }
 
 

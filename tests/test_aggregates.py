@@ -195,6 +195,18 @@ def test_duplicates_hashed_empty_and_budget_fallback(ray_session):
     assert got == {"a": 2, "b": 2}
 
 
+def test_duplicates_hashed_int_and_null_keys(ray_session):
+    import ray.data as rd
+
+    # non-string keys hash fine; null keys all share one digest and come
+    # out as one group, matching the string-shuffle path
+    t = pa.table({"k": pa.array([7, 7, None, None, 3, 8], pa.int64())})
+    ds = rd.from_arrow(t)
+    got = {r["k"]: r["n"] for r in duplicates_hashed(ds, "k").take_all()}
+    exp = {r["k"]: r["n"] for r in duplicates(ds, "k").take_all()}
+    assert got == exp == {7: 2, None: 2}
+
+
 def test_group_count_total(pages_ds):
     total = sum(r["n"] for r in group_count(pages_ds, "lang").take_all())
     # nulls are dropped by the in-batch group_by? No: Arrow group_by keeps

@@ -279,6 +279,72 @@ def test_actor_death_mid_run_recovers(ray_session, pages_dir):
     assert sum(not r["valid"] for r in rows) == len(_expected_violation_set())
 
 
+def _copy_pages(pages_dir, dest) -> list[str]:
+    shutil.copytree(pages_dir, dest)
+    return sorted(
+        os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+
+def test_on_corrupt_skip_commits_healthy_and_resume_retries(
+    ray_session, pages_dir, tmp_path
+):
+    files = _copy_pages(pages_dir, str(tmp_path / "pages_bad"))
+    bad = files[1]
+    good_bytes = open(bad, "rb").read()
+    with open(bad, "wb") as f:
+        f.write(good_bytes[: len(good_bytes) // 2])  # truncated: no footer
+
+    # default policy surfaces the error
+    with pytest.raises(Exception):
+        run_validation_pipeline(
+            files, flagship_schema_text(), str(tmp_path / "out_fail"),
+            wave_size=len(files), concurrency=2,
+        )
+
+    # skip policy: the poisoned wave bisects, healthy partitions commit
+    out = str(tmp_path / "out_skip")
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out,
+        wave_size=len(files), concurrency=2, on_corrupt="skip",
+    )
+    assert report["n_failed"] == 1
+    assert report["failed"][0]["input_path"] == bad
+    assert report["n_rows"] == N_ROWS - ROWS_PER_FILE
+    assert len(load_manifest(out)) == len(files) - 1
+    assert os.path.exists(os.path.join(out, "failures.jsonl"))
+    # no phantom rows from the failed attempt
+    assert sum(read_verdicts(out)["n_rows"].to_pylist()) == N_ROWS - ROWS_PER_FILE
+
+    # repair the shard; resume retries EXACTLY the failed partition
+    with open(bad, "wb") as f:
+        f.write(good_bytes)
+    report2 = run_validation_pipeline(
+        files, flagship_schema_text(), out,
+        wave_size=len(files), concurrency=2, on_corrupt="skip",
+    )
+    assert report2["n_failed"] == 0
+    assert report2["n_files_skipped"] == len(files) - 1
+    assert report2["n_rows"] == N_ROWS
+    assert sum(read_verdicts(out)["n_rows"].to_pylist()) == N_ROWS
+
+
+def test_on_corrupt_skip_fragment_planning_failure(ray_session, pages_dir, tmp_path):
+    files = _copy_pages(pages_dir, str(tmp_path / "pages_bad_frag"))
+    bad = files[0]
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 not really parquet")  # footer unreadable at planning
+    out = str(tmp_path / "out_frag_skip")
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out,
+        wave_size=8, concurrency=2,
+        partition_unit="fragment", fragment_rows=500, on_corrupt="skip",
+    )
+    assert report["n_failed"] == 1
+    assert report["failed"][0]["input_path"] == bad
+    assert report["n_rows"] == N_ROWS - ROWS_PER_FILE
+
+
 def test_jsonl_input_format_matches_parquet(ray_session, tmp_path):
     """The JSONL source path produces byte-identical verdicts and violation
     rows to the parquet path over the same generated rows."""
