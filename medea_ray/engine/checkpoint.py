@@ -14,6 +14,7 @@ the stable import surface for the checkpoint layer:
 
 from medea_ray.engine.pipeline import (  # noqa: F401
     load_manifest,
+    read_failures,
     read_verdicts,
     read_violations,
     run_validation_pipeline,

@@ -497,6 +497,7 @@ def run_validation_pipeline(
     wave_id = max(
         (rec["wave_id"] for rec in done.values()), default=-1
     ) + 1
+
     def _run_wave(wave_files: list[str], wave_id: int) -> None:
         wave_started = time.time()
         if partition_unit == "fragment":
@@ -673,6 +674,18 @@ def run_validation_pipeline(
             {"input_path": k, "error": failed[k]} for k in sorted(failed)
         ],
     }
+
+
+def read_failures(out_dir: str) -> list[dict]:
+    """Partitions skipped by ``on_corrupt="skip"`` across every run into
+    ``out_dir`` (append-only ``failures.jsonl``; a partition later
+    validated on resume still keeps its historical failure lines — check
+    the manifest for current state)."""
+    path = os.path.join(out_dir, "failures.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
 
 
 def read_violations(out_dir: str) -> pa.Table:

@@ -313,6 +313,10 @@ def test_on_corrupt_skip_commits_healthy_and_resume_retries(
     assert report["n_rows"] == N_ROWS - ROWS_PER_FILE
     assert len(load_manifest(out)) == len(files) - 1
     assert os.path.exists(os.path.join(out, "failures.jsonl"))
+    from medea_ray.engine.checkpoint import read_failures
+
+    fails = read_failures(out)
+    assert len(fails) == 1 and fails[0]["input_path"] == bad and fails[0]["error"]
     # no phantom rows from the failed attempt
     assert sum(read_verdicts(out)["n_rows"].to_pylist()) == N_ROWS - ROWS_PER_FILE
 
