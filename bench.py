@@ -322,6 +322,11 @@ def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
       cluster nodes do — the directly-measured stand-in (no post-hoc
       factor). With the default 8/32 pairing only the 8-arm needs the
       background; a 4/16 pairing loads both arms.
+    - pipeline-load: same shape but the background is the REAL pipeline
+      looping in its own pinned Ray cluster (stack, sinks and shuffles
+      included) on every core the measured arm leaves free — the
+      strongest cluster-node stand-in. Every arm below the core count
+      gets the background; a full-core arm is its own load.
 
     The 4/16 pairing (``--scaling 4 16``) is the sanctioned N-vs-4N
     alternative whose large arm does NOT saturate the box's memory
@@ -338,8 +343,12 @@ def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
         arms.append((f"{s}_loaded", small))
         if large < n_cores:
             arms.append((f"{l}_loaded", large))
-        if (small, large) == (8, 32):
-            arms.append((f"{s}_pipeline", small))
+        # pipeline-load arms: every arm below the core count measures while
+        # the REAL pipeline loops on the remaining cores (a full-core arm
+        # is its own load) — the strongest cluster-node stand-in
+        arms.append((f"{s}_pipeline", small))
+        if large < n_cores:
+            arms.append((f"{l}_pipeline", large))
     # without taskset, the background load would wander onto the measured
     # arm's cores and the "equal-load" figure would measure scheduler
     # luck — skip those arms rather than record a fiction
@@ -429,11 +438,16 @@ def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
             result["docs_per_sec_large_loaded"] = big["docs_per_sec"]
         result["scaling_efficiency_equal_load"] = round(eff_eq, 3)
     if f"{s}_pipeline" in best:
-        eff_pl = (best[l]["docs_per_sec"] / best[f"{s}_pipeline"]["docs_per_sec"]) / ratio
+        # both-arms-loaded when the large arm leaves cores free, else the
+        # unloaded full-core large arm is its own loaded measurement
+        big_pl = best.get(f"{l}_pipeline", best[l])
+        eff_pl = (big_pl["docs_per_sec"] / best[f"{s}_pipeline"]["docs_per_sec"]) / ratio
         result["queries"][f"validate_pages_{s}_pipeline"] = (
             best[f"{s}_pipeline"]["queries"]["validate_pages"]
         )
         result["docs_per_sec_small_pipeline"] = best[f"{s}_pipeline"]["docs_per_sec"]
+        if f"{l}_pipeline" in best:
+            result["docs_per_sec_large_pipeline"] = big_pl["docs_per_sec"]
         result["scaling_efficiency_pipeline_load"] = round(eff_pl, 3)
     _append_scaling_md(result)
     _append_scaling_jsonl(result)
@@ -480,10 +494,17 @@ def scaling_report() -> dict:
     for rec in samples:
         p = pairings.setdefault(
             rec["pairing"],
-            {"equal_load_samples": [], "raw_samples": [], "membw_ceiling_samples": []},
+            {
+                "equal_load_samples": [],
+                "pipeline_load_samples": [],
+                "raw_samples": [],
+                "membw_ceiling_samples": [],
+            },
         )
         if rec.get("equal_load") is not None:
             p["equal_load_samples"].append(rec["equal_load"])
+        if rec.get("pipeline_load") is not None:
+            p["pipeline_load_samples"].append(rec["pipeline_load"])
         if rec.get("raw") is not None:
             p["raw_samples"].append(rec["raw"])
         if rec.get("membw_ceiling") is not None:
@@ -496,6 +517,9 @@ def scaling_report() -> dict:
             p["n_equal_load"] > 0
             and p["n_equal_load_ge_bar"] * 2 > p["n_equal_load"]
         )
+        pl = p["pipeline_load_samples"]
+        p["n_pipeline_load"] = len(pl)
+        p["n_pipeline_load_ge_bar"] = sum(1 for v in pl if v >= SCALING_BAR)
         if p["raw_samples"]:
             p["raw_best"] = max(p["raw_samples"])
         if p["membw_ceiling_samples"]:
