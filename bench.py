@@ -334,6 +334,7 @@ def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
     measures engine-coordination efficiency with the hardware ceiling
     lifted."""
     ratio = large / small
+    load_before = round(os.getloadavg()[0], 2)  # window-noise annotation
     ensure_pages(SF_DIR, multiplier=16)  # warm the cache outside the timed runs
     have_taskset = os.path.exists("/usr/bin/taskset")
     n_cores = os.cpu_count() or 32
@@ -424,6 +425,11 @@ def run_scaling(repeats: int = 4, small: int = 8, large: int = 32) -> dict:
         "scaling_efficiency_freq_normalized": round(eff_norm, 3),
         "membw_ceiling": membw_ceiling,
         "n_pages": best[l]["n_pages"],
+        # 1-min loadavg at run start/end: our own arms contribute, but a
+        # start value well above 0 (or an end value far above the last
+        # arm's core count) flags external co-tenant noise in the window
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }
     if f"{s}_loaded" in best:
         # equal-load: both arms under all-core contention (the large arm
@@ -472,6 +478,8 @@ def _append_scaling_jsonl(r: dict):
         "docs_per_sec_large": r["docs_per_sec_large"],
         "membw_ceiling": r.get("membw_ceiling"),
         "n_pages": r["n_pages"],
+        "loadavg_before": r.get("loadavg_before"),
+        "loadavg_after": r.get("loadavg_after"),
         "source": "live",
     }
     os.makedirs(os.path.dirname(SCALING_JSONL), exist_ok=True)
