@@ -1,0 +1,144 @@
+"""Unit tests for the source-codegen fast path (validate/codegen.py) on
+schema shapes beyond the conformance fixtures: tuples, additional-property
+schemas, $any tops, enum-only tops, custom-candidate chains, non-ASCII
+enums, and the deep-document defer path through ValidatorKernel.
+
+The heavy parity nets live in test_validator_conformance.py (fixture
+corpus + hypothesis differential, both compilers); this file pins the
+generator's structural edges directly."""
+
+import json
+
+import pytest
+
+from medea_ray import compile_schema
+from medea_ray.validate.codegen import compile_fast_codegen, generate_source
+from medea_ray.validate.kernel import MedeaValidationError, validate_obj
+
+
+def _agree(graph, docs):
+    fast = compile_fast_codegen(graph)
+    for doc in docs:
+        doc = json.loads(json.dumps(doc))
+        try:
+            validate_obj(graph, doc)
+            generic = True
+        except MedeaValidationError:
+            generic = False
+        assert fast(doc) == generic, f"{doc!r}: fast={fast(doc)} generic={generic}"
+
+
+def test_any_start_is_constant_true():
+    # a schema with no $type section is the "any" node (Analysis.hs:241-244)
+    graph = compile_schema("$schema $start\n")
+    src, ns, start = generate_source(graph)
+    assert start is None and ns["_const"] is True
+    fast = compile_fast_codegen(graph)
+    assert fast({"x": [1, None]}) is True and fast(None) is True
+
+
+def test_simple_enum_start_compiles_to_expression():
+    src_schema = (
+        "$schema $start\n    $type\n        $string\n        $null\n"
+        '    $string-values\n        "a"\n        "b"\n'
+    )
+    graph = compile_schema(src_schema)
+    src, _ns, start = generate_source(graph)
+    assert start == "_f_start" and "def _f_start" in src
+    _agree(graph, ["a", "b", "c", None, 1, True, [], {}])
+
+
+def test_tuple_spec_positions_unrolled():
+    src_schema = (
+        "$schema $start\n    $type\n        $array\n    $tuple\n"
+        "        $number\n        $string\n"
+    )
+    graph = compile_schema(src_schema)
+    _agree(
+        graph,
+        [[1, "x"], ["x", 1], [1], [1, "x", 2], [], [1.5, ""], [True, "x"], [1, None]],
+    )
+
+
+def test_additional_property_schema_checked():
+    src_schema = (
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        '        $property-name "a"\n        $property-schema $number\n'
+        "        $additional-properties-allowed\n"
+        "        $additional-property-schema $string\n"
+    )
+    graph = compile_schema(src_schema)
+    _agree(
+        graph,
+        [
+            {"a": 1},
+            {"a": 1, "z": "ok"},
+            {"a": 1, "z": 2},
+            {"a": "bad"},
+            {"z": "only"},
+            {},
+        ],
+    )
+
+
+def test_custom_candidate_chain_and_union():
+    src_schema = (
+        "$schema $start\n    $type\n        $number\n        other\n\n"
+        "$schema other\n    $type\n        $string\n"
+        '    $string-values\n        "yes"\n'
+    )
+    graph = compile_schema(src_schema)
+    _agree(graph, [1, 1.5, "yes", "no", None, True, [], {}])
+
+
+def test_custom_any_candidate_makes_schema_constant_true():
+    src_schema = (
+        "$schema $start\n    $type\n        $number\n        wild\n\n"
+        "$schema wild\n"
+    )
+    graph = compile_schema(src_schema)
+    src, ns, start = generate_source(graph)
+    assert start is None and ns["_const"] is True
+
+
+def test_non_ascii_and_quote_heavy_names_and_enums():
+    src_schema = (
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        '        $property-name "é\'k"\n        $property-schema tag\n\n'
+        "$schema tag\n    $type\n        $string\n"
+        '    $string-values\n        "naïve"\n        "\'q\'"\n'
+    )
+    graph = compile_schema(src_schema)
+    _agree(
+        graph,
+        [
+            {"é'k": "naïve"},
+            {"é'k": "'q'"},
+            {"é'k": "plain"},
+            {"other": "naïve"},
+            {},
+        ],
+    )
+
+
+def test_deep_document_defers_to_generic_max_depth():
+    """A document deep enough to exhaust the generated functions' own
+    recursion must surface as the generic kernel's max_depth_exceeded
+    violation, never a crash (same defer contract as fastpath.py)."""
+    from medea_ray.engine.pipeline import ValidatorKernel
+
+    src_schema = "$schema $start\n    $type\n        $array\n    $element-type\n        $start\n"
+    kernel = ValidatorKernel(src_schema, "payload", "id")
+    deep = "[" * 5000 + "]" * 5000
+    valid, violations = kernel.validate_payloads([deep, "[]"])
+    assert valid == [False, True]
+    assert violations[0][2] in ("max_depth_exceeded", "not_json")
+
+
+def test_kernel_uses_codegen_fastpath():
+    from medea_ray.engine.pipeline import ValidatorKernel
+
+    kernel = ValidatorKernel(
+        open("medea_ray/fixtures/pages.medea").read(), "payload", "url"
+    )
+    assert kernel.fast.__code__.co_filename == "<medea-fastpath-codegen>"

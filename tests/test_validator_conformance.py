@@ -189,11 +189,13 @@ def test_structural_errors_reported_before_value_errors():
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_fastpath_parity_on_fixtures(name):
-    """The specialized bool fast path (validate/fastpath.py) must agree
+    """BOTH specialized bool fast paths (validate/fastpath.py closures and
+    validate/codegen.py generated source — the engine default) must agree
     with the generic kernel on every conformance fixture's generated
     corpus — in BOTH directions. Over-acceptance would silently corrupt
     engine verdicts (the engine only re-checks fast-path rejections);
     under-acceptance on parser-typed values would erase the speedup."""
+    from medea_ray.validate.codegen import compile_fast_codegen
     from medea_ray.validate.fastpath import compile_fast
     from medea_ray.validate.kernel import validate_obj
 
@@ -201,6 +203,7 @@ def test_fastpath_parity_on_fixtures(name):
     gen = make_gen(JsonGen(SEED))
     graph = compile_schema(f"{VAL_DIR}/{name}")
     fast = compile_fast(graph)
+    fast_cg = compile_fast_codegen(graph)
     for i in range(N_CASES):
         doc = gen()
         # round-trip through strict JSON so the fast path sees exactly the
@@ -212,18 +215,20 @@ def test_fastpath_parity_on_fixtures(name):
         except MedeaValidationError:
             generic = False
         assert fast(doc) == generic, f"{name}: case {i}: {doc!r}"
+        assert fast_cg(doc) == generic, f"{name}: codegen case {i}: {doc!r}"
 
 
 def test_fastpath_recursive_element_type_cycle():
-    """$element-type cycles are legal (Analysis.hs:115-121): the fast-path
-    compiler must terminate and agree with the generic kernel."""
+    """$element-type cycles are legal (Analysis.hs:115-121): both fast-path
+    compilers must terminate and agree with the generic kernel."""
+    from medea_ray.validate.codegen import compile_fast_codegen
     from medea_ray.validate.fastpath import compile_fast
 
     src = "$schema $start\n    $type\n        $array\n    $element-type\n        $start\n"
     graph = compile_schema(src)
-    fast = compile_fast(graph)
-    assert fast([[], [[], [[]]]]) is True
-    assert fast([[], [1]]) is False
+    for fast in (compile_fast(graph), compile_fast_codegen(graph)):
+        assert fast([[], [[], [[]]]]) is True
+        assert fast([[], [1]]) is False
 
 
 # -- subtree annotation fidelity (VERDICT r03 item 6) -------------------------
@@ -306,10 +311,11 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _fixture_graph_and_fast(name):
+    from medea_ray.validate.codegen import compile_fast_codegen
     from medea_ray.validate.fastpath import compile_fast
 
     graph = compile_schema(f"{VAL_DIR}/{name}")
-    return graph, compile_fast(graph)
+    return graph, compile_fast(graph), compile_fast_codegen(graph)
 
 
 @settings(max_examples=300, deadline=None)
@@ -317,7 +323,7 @@ def _fixture_graph_and_fast(name):
 def test_fastpath_differential_hypothesis(name, v):
     from medea_ray.validate.kernel import validate_obj
 
-    graph, fast = _fixture_graph_and_fast(name)
+    graph, fast, fast_cg = _fixture_graph_and_fast(name)
     v = json.loads(json.dumps(v))  # exactly the parser's builtin types
     try:
         validate_obj(graph, v)
@@ -325,3 +331,4 @@ def test_fastpath_differential_hypothesis(name, v):
     except MedeaValidationError:
         generic = False
     assert fast(v) == generic, f"{name}: fast!=generic for {v!r}"
+    assert fast_cg(v) == generic, f"{name}: codegen!=generic for {v!r}"
