@@ -12,6 +12,7 @@ import json
 import pytest
 
 from medea_ray import compile_schema
+from medea_ray.schema.errors import MedeaError
 from medea_ray.validate.codegen import compile_fast_codegen, generate_source
 from medea_ray.validate.kernel import MedeaValidationError, validate_obj
 
@@ -133,6 +134,112 @@ def test_deep_document_defers_to_generic_max_depth():
     valid, violations = kernel.validate_payloads([deep, "[]"])
     assert valid == [False, True]
     assert violations[0][2] in ("max_depth_exceeded", "not_json")
+
+
+def _random_schema_text(rng):
+    """Random-but-grammatical schema source: random prim subsets, enums,
+    list/tuple arrays with bounds, object property tables with
+    optional/additional knobs, custom candidates restricted to
+    later-indexed schemas (the $type relation must be acyclic, C6) while
+    element/property refs may point anywhere (cycles legal)."""
+    prim_idents = ["$null", "$boolean", "$number", "$string", "$object", "$array"]
+    enum_pool = ["en", "de", "naïve", "x y", ""]
+    names = ["$start"] + [f"s{i}" for i in range(1, rng.randint(1, 4))]
+    blocks = []
+    for i, nm in enumerate(names):
+        lines = [f"$schema {nm}"]
+        if i > 0 and rng.random() < 0.08:
+            blocks.append("\n".join(lines))  # "any" schema: no $type section
+            continue
+        prims = [p for p in prim_idents if rng.random() < 0.45]
+        customs = [c for c in names[i + 1 :] if rng.random() < 0.5]
+        if prims or customs:
+            lines.append("    $type")
+            lines.extend(f"        {t}" for t in prims + customs)
+        if "$string" in prims and rng.random() < 0.6:
+            lines.append("    $string-values")
+            lines.extend(
+                f'        "{v}"' for v in rng.sample(enum_pool, rng.randint(1, 3))
+            )
+        if "$array" in prims and rng.random() < 0.8:
+            if rng.random() < 0.5:
+                if rng.random() < 0.5:
+                    # naturals reject a leading zero, so 0 is ungrammatical
+                    lines.append(f"    $min-length {rng.randint(1, 2)}")
+                if rng.random() < 0.5:
+                    lines.append(f"    $max-length {rng.randint(2, 5)}")
+                if rng.random() < 0.7:
+                    lines.append("    $element-type")
+                    lines.append(f"        {rng.choice(prim_idents[:4] + names)}")
+            else:
+                lines.append("    $tuple")
+                lines.extend(
+                    f"        {rng.choice(prim_idents + names)}"
+                    for _ in range(rng.randint(1, 3))
+                )
+        if "$object" in prims and rng.random() < 0.9:
+            lines.append("    $properties")
+            for j in range(rng.randint(0, 3)):
+                lines.append(
+                    f'        $property-name "{rng.choice(["a", "b", "cé", "d d"])}{j}"'
+                )
+                if rng.random() < 0.8:
+                    lines.append(
+                        f"        $property-schema {rng.choice(prim_idents + names)}"
+                    )
+                if rng.random() < 0.4:
+                    lines.append("        $optional-property")
+            if rng.random() < 0.5:
+                lines.append("        $additional-properties-allowed")
+                if rng.random() < 0.5:
+                    lines.append(
+                        f"        $additional-property-schema {rng.choice(prim_idents + names)}"
+                    )
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks) + "\n"
+
+
+def test_random_schema_differential():
+    """Both fast-path compilers vs the generic kernel over random schema
+    GRAPHS (not just random documents against fixed fixtures): the
+    compiler pair must agree with the generic verdict on every
+    parser-typed doc, for every schema the reference grammar accepts."""
+    from random import Random
+
+    from medea_ray.fixtures.jsongen import JsonGen
+    from medea_ray.validate.fastpath import compile_fast
+
+    rng = Random(20260818)
+    jg = JsonGen(7)
+    archetypes = [
+        None, True, False, 0, 1, -2.5, "", "en", "de", "naïve", "x y",
+        [], ["en"], ["en", "de", "en"], [1, "en"], [None], [[]],
+        {}, {"a0": 1}, {"a0": "en", "b1": None}, {"cé0": []},
+        {"a0": {"a0": 1}}, {"zz": True},
+    ]
+    n_compiled = 0
+    for _ in range(120):
+        src = _random_schema_text(rng)
+        try:
+            graph = compile_schema(src)
+        except MedeaError:
+            continue  # random text tripped a parse/compile check — expected
+        n_compiled += 1
+        fast = compile_fast(graph)
+        fast_cg = compile_fast_codegen(graph)
+        docs = archetypes + [jg.value(3) for _ in range(40)]
+        for doc in docs:
+            doc = json.loads(json.dumps(doc))
+            try:
+                validate_obj(graph, doc)
+                generic = True
+            except MedeaValidationError:
+                generic = False
+            assert fast(doc) == generic, f"closure!=generic: {src!r} {doc!r}"
+            assert fast_cg(doc) == generic, f"codegen!=generic: {src!r} {doc!r}"
+    # the generator must actually exercise the compilers, not just the
+    # compile-error paths
+    assert n_compiled >= 30, f"only {n_compiled}/120 random schemata compiled"
 
 
 def test_kernel_uses_codegen_fastpath():
