@@ -152,7 +152,7 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             pages_files,
             flagship_schema_text(),
             out_dir,
-            batch_size=2048,
+            batch_size=8192,
             concurrency=pool,
             wave_size=len(pages_files),
         )

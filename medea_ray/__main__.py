@@ -225,7 +225,7 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--payload-col", default="payload")
     r.add_argument("--id-col", default="url")
-    r.add_argument("--batch-size", type=int, default=2048)
+    r.add_argument("--batch-size", type=int, default=8192)
     r.add_argument("--wave-size", type=int, default=64)
     r.add_argument("--no-resume", action="store_true")
     r.add_argument(

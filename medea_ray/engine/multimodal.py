@@ -43,7 +43,7 @@ installed, and ``decoder="fake"`` remains the deterministic hash-derived
 stand-in for plumbing tests.
 
 Scale notes: binary payloads are large → run with a SMALL batch_size (the
-default 64 here vs 2048 for text stages) so batch × concurrency fits the
+default 64 here vs 8192 for text stages) so batch × concurrency fits the
 worker heap; payload columns are dropped right after feature extraction so
 only small typed features cross downstream stages.
 """

@@ -265,7 +265,7 @@ def validate_dataset(
     schema_text: str,
     payload_col: str = "payload",
     id_col: str = "url",
-    batch_size: int = 2048,
+    batch_size: int = 8192,
     concurrency=None,
     actor_num_cpus: float = ACTOR_NUM_CPUS,
 ):
@@ -328,7 +328,7 @@ def run_validation_pipeline(
     *,
     payload_col: str = "payload",
     id_col: str = "url",
-    batch_size: int = 2048,
+    batch_size: int = 8192,
     concurrency=None,
     wave_size: int = 64,
     resume: bool = True,
