@@ -244,8 +244,75 @@ def test_random_schema_differential():
 
 def test_kernel_uses_codegen_fastpath():
     from medea_ray.engine.pipeline import ValidatorKernel
+    from medea_ray.fixtures.gen import flagship_schema_text
 
-    kernel = ValidatorKernel(
-        open("medea_ray/fixtures/pages.medea").read(), "payload", "url"
-    )
+    kernel = ValidatorKernel(flagship_schema_text(), "payload", "url")
     assert kernel.fast.__code__.co_filename == "<medea-fastpath-codegen>"
+
+
+def test_wide_object_dict_dispatch():
+    """Objects past the property-count threshold compile to dict dispatch
+    (the if/elif chain is O(P) per key) with identical semantics."""
+    n_props = 40
+    prop_lines = []
+    for j in range(n_props):
+        prop_lines.append(f'        $property-name "p{j}"')
+        prop_lines.append("        $property-schema $number")
+        if j % 3 == 0:
+            prop_lines.append("        $optional-property")
+    src_schema = (
+        "$schema $start\n    $type\n        $object\n    $properties\n"
+        + "\n".join(prop_lines)
+        + "\n"
+    )
+    graph = compile_schema(src_schema)
+    src, _ns, _start = generate_source(graph)
+    assert "_pd0" in src and "_rq0" in src
+    full = {f"p{j}": j for j in range(n_props)}
+    missing_req = dict(full)
+    del missing_req["p1"]  # required (1 % 3 != 0)
+    missing_opt = dict(full)
+    del missing_opt["p0"]  # optional
+    bad_type = dict(full, p7="nope")
+    extra = dict(full, zz=1)
+    _agree(graph, [full, missing_req, missing_opt, bad_type, extra, {}])
+
+
+def _diamond_schema(depth: int) -> str:
+    """d_i -> {x_i, y_i} -> d_(i+1): 2^depth root-to-leaf paths, one DAG."""
+    blocks = []
+    for i in range(depth):
+        name = "$start" if i == 0 else f"d{i}"
+        if i == depth - 1:
+            blocks.append(f"$schema {name}\n    $type\n        $number")
+        else:
+            blocks.append(
+                f"$schema {name}\n    $type\n        x{i}\n        y{i}"
+            )
+            blocks.append(f"$schema x{i}\n    $type\n        $string\n        d{i + 1}")
+            blocks.append(f"$schema y{i}\n    $type\n        $boolean\n        d{i + 1}")
+    return "\n\n".join(blocks) + "\n"
+
+
+def test_always_true_diamond_dag_compiles_fast():
+    """A diamond-shaped custom-candidate DAG (two candidates per schema
+    converging on shared children — legal under C6 acyclicity) must
+    compile in linear time: the always-true walk is memoized. The compiled
+    checker must also EVALUATE rejecting docs in linear time (candidate
+    dispatch is flattened to an OR over the dedup'd closure), where the
+    generic kernel's DFS is 2^depth — so parity vs the generic kernel is
+    pinned at a small depth and only the codegen path runs at depth 25."""
+    import time
+
+    graph = compile_schema(_diamond_schema(25))
+    t0 = time.perf_counter()
+    fast = compile_fast_codegen(graph)
+    compile_s = time.perf_counter() - t0
+    assert compile_s < 1.0, f"diamond DAG compile took {compile_s:.2f}s"
+    t0 = time.perf_counter()
+    assert fast(1) is True and fast("x") is True and fast(True) is True
+    assert fast(None) is False and fast([]) is False and fast({}) is False
+    eval_s = time.perf_counter() - t0
+    assert eval_s < 1.0, f"diamond DAG eval took {eval_s:.2f}s"
+    # parity vs the (exponential-on-reject) generic kernel at depth 8
+    _agree(compile_schema(_diamond_schema(8)), [1, "x", True, None, [], {}])
