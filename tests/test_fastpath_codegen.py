@@ -179,7 +179,10 @@ def _random_schema_text(rng):
                 )
         if "$object" in prims and rng.random() < 0.9:
             lines.append("    $properties")
-            for j in range(rng.randint(0, 3)):
+            # ~1 in 8 property tables is wide (>16 props) so the codegen
+            # dict-dispatch object path sees random structure too
+            n_props = rng.randint(0, 3) if rng.random() < 0.875 else rng.randint(17, 22)
+            for j in range(n_props):
                 lines.append(
                     f'        $property-name "{rng.choice(["a", "b", "cé", "d d"])}{j}"'
                 )
@@ -216,6 +219,11 @@ def test_random_schema_differential():
         [], ["en"], ["en", "de", "en"], [1, "en"], [None], [[]],
         {}, {"a0": 1}, {"a0": "en", "b1": None}, {"cé0": []},
         {"a0": {"a0": 1}}, {"zz": True},
+        # wide docs for the >16-property dict-dispatch object path
+        {f"a{j}": 1 for j in range(20)},
+        {f"{n}{j}": v for j, (n, v) in enumerate(
+            zip(["a", "b", "cé", "d d"] * 6, [1, "en", None, True] * 6)
+        )},
     ]
     n_compiled = 0
     for _ in range(120):
