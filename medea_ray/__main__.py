@@ -107,7 +107,7 @@ def _cmd_run(args) -> int:
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
-    from medea_ray.engine.pipeline import run_validation_pipeline
+    from medea_ray.engine.pipeline import PipelineUsageError, run_validation_pipeline
 
     try:
         report = run_validation_pipeline(
@@ -124,9 +124,12 @@ def _cmd_run(args) -> int:
             fragment_rows=args.fragment_rows,
             on_corrupt=args.on_corrupt,
         )
-    except ValueError as e:
-        # driver-side contract errors (fragment×jsonl, unit/schema switch
-        # on a populated out_dir) — clean exit 2, no Ray traceback
+    except PipelineUsageError as e:
+        # driver-side contract errors only (fragment×jsonl, unit/schema
+        # switch on a populated out_dir) — clean exit 2, no Ray traceback.
+        # Worker-side errors (e.g. ArrowInvalid under on_corrupt="fail",
+        # which subclasses ValueError and arrives wrapped in RayTaskError)
+        # deliberately propagate with their full traceback.
         print(str(e), file=sys.stderr)
         return 2
     report.pop("partitions", None)

@@ -181,7 +181,7 @@ def dedup_exact(
     """
     import pyarrow.compute as pc
 
-    from medea_ray.engine.decontam import anti_filter_bucketed, filter_not_in
+    from medea_ray.engine.decontam import filter_not_in_ds
 
     def to_key_id(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(text_col)))
@@ -211,29 +211,20 @@ def dedup_exact(
         .groupby("content_md5")
         .map_groups(drop_ids, batch_format="pyarrow")
     )
-    # materialized drop-id rows only — dup_rate × corpus ids, not the corpus
-    dropped = dropped.materialize()
-    n_drop = dropped.count()
-    if n_drop == 0:
-        return ds
-    if n_buckets is None:
-        # each bucket is one more streaming pass over the INPUT pipeline —
-        # the input should be a cheap re-read (parquet source); a wide op
-        # upstream (repartition/groupby) re-executes per branch and a
-        # many-branch union of wide plans can stall Ray 2.49's streaming
-        # executor (measured at 57 branches), hence the conservative cap
-        n_buckets = 1 if n_drop <= drop_budget_rows else min(
-            16, -(-n_drop // drop_budget_rows)
-        )
-    if n_buckets <= 1:
-        drop_set = {r["drop_id"] for r in dropped.take_all()}
-        return filter_not_in(ds, id_col, drop_set, concurrency=concurrency)
-
-    _log.info(
-        "dedup_exact: drop set of %d ids exceeds budget %d -> %d bucketed "
-        "anti-join passes", n_drop, drop_budget_rows, n_buckets,
+    # budget-aware anti-join (decontam.filter_not_in_ds): materializes the
+    # drop-id rows only — dup_rate × corpus ids, never the corpus — logs
+    # cardinality/bytes, broadcasts within budget, else hash-bucket passes
+    # (each bucket is one more streaming pass over the INPUT pipeline; the
+    # bucket cap and the Ray-2.49 union-stall rationale live there)
+    return filter_not_in_ds(
+        ds,
+        id_col,
+        dropped,
+        "drop_id",
+        budget_rows=drop_budget_rows,
+        n_buckets=n_buckets,
+        concurrency=concurrency,
     )
-    return anti_filter_bucketed(ds, id_col, dropped, "drop_id", n_buckets)
 
 
 # -- MinHash + LSH -----------------------------------------------------------

@@ -985,21 +985,27 @@ class FrameSampler:
         self.payload_col = payload_col
         self.every = every
 
-    @staticmethod
-    def _decode(p: bytes):
-        """(n_frames, width, height, sampled-red-channel grids) or None."""
+    def _decode(self, p: bytes):
+        """(n_frames, width, height, SAMPLED red-channel grids) or None.
+
+        The every-th slice happens before the per-frame red-channel
+        materialization (palette fancy-index / channel slice-copy), so
+        skipped frames never allocate a full-size array."""
         if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
             d = decode_avi_frames(p)
             if d is None:
                 return None
             return len(d["frames"]), d["width"], d["height"], [
-                f[:, :, 0] for f in d["frames"]
+                f[:, :, 0] for f in d["frames"][:: self.every]
             ]
         g = decode_gif_frames(p)
         if g is None:
             return None
         return len(g["frames"]), g["width"], g["height"], [
-            pal[grid, 0] for grid, pal in zip(g["frames"], g["palettes"])
+            pal[grid, 0]
+            for grid, pal in zip(
+                g["frames"][:: self.every], g["palettes"][:: self.every]
+            )
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1014,8 +1020,7 @@ class FrameSampler:
                 fh.append(None)
                 px.append(None)
                 continue
-            n, w, h, reds = d
-            sampled = reds[:: self.every]
+            n, w, h, sampled = d
             total = sum(int(r.astype(np.int64).sum()) for r in sampled)
             ok.append(True)
             nf.append(n)

@@ -46,6 +46,14 @@ from medea_ray.validate.kernel import (
 
 logger = logging.getLogger(__name__)
 
+
+class PipelineUsageError(ValueError):
+    """Driver-side contract violation raised BEFORE any Ray work runs
+    (bad option combination, resume into an incompatible out_dir). The
+    CLI maps exactly this to a clean one-line exit 2; anything else —
+    including worker-side errors like pyarrow's ArrowInvalid (a ValueError
+    subclass) wrapped in RayTaskError — keeps its full traceback."""
+
 # Unified output schema for the one-pass tagged stream.
 RESULT_SCHEMA = pa.schema(
     [
@@ -101,10 +109,9 @@ class ValidatorKernel:
                 obj = loads(payload)
                 try:
                     ok = fast(obj)
-                except RecursionError:
-                    # deeper than the fast closures can walk — the generic
-                    # kernel (more frames per level) maps it to a
-                    # max_depth_exceeded violation below
+                except RecursionError:  # pragma: no cover - backstop only:
+                    # fast paths defer deterministically at kernel.MAX_DEPTH
+                    # before any stack could overflow
                     ok = False
                 if not ok:
                     # authoritative re-check: produces the exact
@@ -373,15 +380,15 @@ def run_validation_pipeline(
     treated as "corrupt" under this policy, including transient ones; rerun
     with resume=True to retry the failures."""
     if input_format not in ("parquet", "jsonl"):
-        raise ValueError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
+        raise PipelineUsageError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
     if on_corrupt not in ("fail", "skip"):
-        raise ValueError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
+        raise PipelineUsageError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     if partition_unit not in ("file", "fragment"):
-        raise ValueError(
+        raise PipelineUsageError(
             f"partition_unit must be 'file' or 'fragment', got {partition_unit!r}"
         )
     if partition_unit == "fragment" and input_format != "parquet":
-        raise ValueError("partition_unit='fragment' requires parquet input (row groups)")
+        raise PipelineUsageError("partition_unit='fragment' requires parquet input (row groups)")
     import ray.data as rd
 
     import hashlib
@@ -425,6 +432,16 @@ def run_validation_pipeline(
                     raise
                 _record_failure(p, e)
                 continue
+            if md.num_row_groups == 0:
+                # zero-row-group shard (external writers emit these): give
+                # it an empty-range fragment so it is still validated (as 0
+                # rows), manifested, and counted — exactly like file mode —
+                # instead of silently vanishing from every resumed plan.
+                # read_row_groups([]) yields the typed empty table.
+                key = f"{p}#rg0--1"
+                frag_of[key] = (p, 0, -1)
+                keys.append(key)
+                continue
             lo, acc = 0, 0
             for i in range(md.num_row_groups):
                 acc += md.row_group(i).num_rows
@@ -446,7 +463,7 @@ def run_validation_pipeline(
             if rec.get("schema_digest") not in (None, schema_digest)
         })
         if stale:
-            raise ValueError(
+            raise PipelineUsageError(
                 f"resume=True but {out_dir!r} holds verdicts for a different "
                 f"schema (digest {stale[0][:12]}… vs current "
                 f"{schema_digest[:12]}…) — rerun with resume=False or a "
@@ -461,7 +478,7 @@ def run_validation_pipeline(
             if rec.get("partition_unit", "file") != partition_unit
         })
         if mixed:
-            raise ValueError(
+            raise PipelineUsageError(
                 f"resume=True but {out_dir!r} holds {mixed[0]!r}-keyed "
                 f"partitions and this run uses partition_unit="
                 f"{partition_unit!r} — rerun with resume=False or a fresh "

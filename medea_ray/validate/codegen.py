@@ -26,10 +26,12 @@ The contract is the same as ``fastpath.py``:
 
 i.e. under-accept only; it never over-accepts a document the reference
 semantics reject. The two under-accept classes match fastpath.py: values
-whose type is a non-builtin subclass, and documents deep enough to
-exhaust this path's own recursion (nested complex schemas recurse one
-frame per level; ``RecursionError`` is caught by the caller and the row
-defers to the generic kernel).
+whose type is a non-builtin subclass, and values at container depth >=
+``kernel.MAX_DEPTH`` (every generated function threads a ``_d`` depth
+counter and returns False past the bound, so the generic kernel — which
+fails structural checks at the SAME bound deterministically — stays the
+authority on deep documents; the verdict never depends on which kernel's
+Python stack would have overflowed first).
 
 Reference semantics mirrored (cited, not copied):
 - dispatch is ``checkAny <|> checkPrim <|> checkCustoms``
@@ -48,6 +50,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+from medea_ray.validate.kernel import MAX_DEPTH
 
 __all__ = ["compile_fast_codegen", "generate_source"]
 
@@ -164,8 +168,13 @@ class _Gen:
             return "False"
         return " or ".join(terms)
 
-    def node_expr(self, node, var: str) -> str | None:
+    def node_expr(self, node, var: str, depth: str = "_d + 1") -> str | None:
         """Check expression for a parentless TypeNode (None == no check).
+
+        ``depth`` is the Python expression giving VAR's own container
+        depth — ``"_d + 1"`` from a function body (var is a child of the
+        function's value), ``"_d"`` inside a wide-object checker lambda
+        (the lambda receives the child's depth directly).
 
         Mirrors fastpath.node_check / Data/Medea.hs:352-356,378-380."""
         if node is None or node[0] == "any":
@@ -188,7 +197,7 @@ class _Gen:
         if st == _SIMPLE:
             return self.simple_expr(name, var)
         self.emit_fn(name)
-        return f"{self.fn(name)}({var})"
+        return f"{self.fn(name)}({var}, {depth})"
 
     # ---- function emission -------------------------------------------
     def fn(self, name: str) -> str:
@@ -272,7 +281,9 @@ class _Gen:
         self.sname[name] = f
         self._stack.append([])
         L = self.lines.append
-        L(f"def {f}(v):")
+        # no depth guard: _s fns are only called from an _f body that
+        # already passed its own guard at the same depth
+        L(f"def {f}(v, _d=0):")
         self._emit_selfcheck_body(self.schema_map[name])
         L(f"    return ok")
         L("")
@@ -287,7 +298,12 @@ class _Gen:
         scm = self.schema_map[name]
         self._stack.append([])
         L = self.lines.append
-        L(f"def {fn}(v):")
+        L(f"def {fn}(v, _d=0):")
+        # deterministic depth bound (kernel.MAX_DEPTH): past it, defer —
+        # the generic kernel fails structural checks at the same depth
+        # with max_depth_exceeded, so the verdict is kernel-independent
+        L(f"    if _d >= _MAXD:")
+        L(f"        return False")
         self._emit_selfcheck_body(scm)
         L(f"    if ok:")
         L(f"        return True")
@@ -305,7 +321,8 @@ class _Gen:
             if st == _SIMPLE:
                 L(f"    if {self.simple_expr(c, 'v')}:")
             else:
-                L(f"    if {self.emit_selfcheck(c)}(v):")
+                # same value, same depth: candidate dispatch is not descent
+                L(f"    if {self.emit_selfcheck(c)}(v, _d):")
             L(f"        return True")
         L(f"    return False")
         L("")
@@ -350,15 +367,17 @@ class _Gen:
             L(f"{ind2}ok = True")
 
     def node_callable_src(self, node) -> str:
-        """Source text for a 1-arg callable checking ``node`` (or "None"
-        for no-check) — used by the wide-object dict dispatch."""
-        expr = self.node_expr(node, "v")
+        """Source text for a ``(child_value, child_depth)`` callable
+        checking ``node`` (or "None" for no-check) — used by the
+        wide-object dict dispatch."""
+        expr = self.node_expr(node, "v", "_d")
         if expr is None:
             return "None"
         # a bare complex-schema call compiles to the function itself
-        if expr.startswith("_f") and expr.endswith("(v)") and expr[2:-3].isdigit():
-            return expr[:-3]
-        return f"(lambda v: {expr})"
+        # (same (v, _d) signature as the lambdas)
+        if expr.startswith("_f") and expr.endswith("(v, _d)") and expr[2:-7].isdigit():
+            return expr[:-7]
+        return f"(lambda v, _d: {expr})"
 
     # properties above this count dispatch through a dict of checkers:
     # the inline if/elif chain is O(P) per document key (measured 3x
@@ -387,12 +406,12 @@ class _Gen:
             L(f"{ind}        ok = False")
             L(f"{ind}        break")
         elif add_src != "None":
-            L(f"{ind}        if not {ad}(_x):")
+            L(f"{ind}        if not {ad}(_x, _d + 1):")
             L(f"{ind}            ok = False")
             L(f"{ind}            break")
         else:
             L(f"{ind}        pass")
-        L(f"{ind}    elif _c is not None and not _c(_x):")
+        L(f"{ind}    elif _c is not None and not _c(_x, _d + 1):")
         L(f"{ind}        ok = False")
         L(f"{ind}        break")
         L(f"{ind}if ok:")
@@ -480,6 +499,7 @@ def generate_source(schema_map) -> tuple[str, dict, str | None]:
         ns[f"_e{i}"] = e
     ns.update(g.consts)
     ns["_MISS"] = _MISS
+    ns["_MAXD"] = MAX_DEPTH
     src = "\n".join(g.funcs)
     if g.tail_stmts:
         # dict-dispatch tables reference the generated functions, so they

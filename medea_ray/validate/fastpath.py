@@ -14,9 +14,11 @@ engine's verdicts and violation rows stay byte-identical to the generic
 kernel's (parity is pinned against every reference conformance fixture in
 tests/test_validator_conformance.py). It under-accepts in exactly two
 places: values whose type is a non-builtin subclass (cannot come out of a
-strict JSON parser) and documents deep enough to exhaust the fast path's
-own recursion (fewer frames per level than the generic kernel, so any
-document that overflows here overflows there too).
+strict JSON parser) and values at container depth >= ``kernel.MAX_DEPTH``
+(every schema closure threads a depth counter and defers past the bound;
+the generic kernel fails structural checks at the SAME bound with
+``max_depth_exceeded``, so deep-document verdicts are deterministic and
+kernel-independent rather than an artifact of Python stack exhaustion).
 
 Validity semantics mirror the reference dispatch
 (/root/reference/src/Data/Medea.hs:297-298 ``checkAny <|> checkPrim <|>
@@ -31,6 +33,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+from medea_ray.validate.kernel import MAX_DEPTH
 
 __all__ = ["compile_fast"]
 
@@ -49,9 +53,9 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
             return got
         cell = cells.get(name)
         if cell is not None:
-            def fwd(v, _c=cell):
+            def fwd(v, _d=0, _c=cell):
                 f = _c[0]
-                return True if f is None else f(v)
+                return True if f is None else f(v, _d)
 
             return fwd
         _build(name)
@@ -66,18 +70,20 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
         if kind == "prim":
             t = node[1]
             # exact builtin types only (strict JSON parser output); bool
-            # precedes int on purpose — json_type_of parity
+            # precedes int on purpose — json_type_of parity. Leaf checks
+            # take (and ignore) the depth arg for signature uniformity:
+            # the generic kernel never depth-fails leaves either.
             if t == "null":
-                return lambda v: v is None
+                return lambda v, _d=0: v is None
             if t == "boolean":
-                return lambda v: v is True or v is False
+                return lambda v, _d=0: v is True or v is False
             if t == "number":
-                return lambda v: type(v) is int or type(v) is float
+                return lambda v, _d=0: type(v) is int or type(v) is float
             if t == "string":
-                return lambda v: type(v) is str
+                return lambda v, _d=0: type(v) is str
             if t == "array":
-                return lambda v: type(v) is list
-            return lambda v: type(v) is dict  # object
+                return lambda v, _d=0: type(v) is list
+            return lambda v, _d=0: type(v) is dict  # object
         return ref(node[1])  # custom
 
     def _build(name: str) -> None:
@@ -94,7 +100,7 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
         scm = schema_map.get(name)
         if scm is None:
             # generic kernel raises implementation_error — always defer
-            return lambda v: False
+            return lambda v, _d=0: False
         if scm.has_any:
             return None
         prim = scm.prim_types
@@ -114,7 +120,7 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
             elif kind == "tuple":
                 els = tuple(node_check(n) for n in scm.tuple_nodes)
 
-            def arr_h(v, lo=lo, hi=hi, kind=kind):
+            def arr_h(v, _d, lo=lo, hi=hi, kind=kind):
                 n = len(v)
                 if lo is not None and n < lo:
                     return False
@@ -123,12 +129,12 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
                 if kind == "list":
                     if el is not None:
                         for x in v:
-                            if not el(x):
+                            if not el(x, _d + 1):
                                 return False
                 elif kind == "tuple":
                     # tuple arity is lowered to min==max bounds upstream
                     for x, c in zip(v, els):
-                        if c is not None and not c(x):
+                        if c is not None and not c(x, _d + 1):
                             return False
                 return True
 
@@ -139,15 +145,15 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
             add_ok = scm.additional_allowed
             add_chk = node_check(scm.additional_node) if add_ok else None
 
-            def obj_h(o, get=prop_checks.get):
+            def obj_h(o, _d, get=prop_checks.get):
                 for k, v in o.items():
                     c = get(k, _MISS)
                     if c is _MISS:
                         if not add_ok:
                             return False
-                        if add_chk is not None and not add_chk(v):
+                        if add_chk is not None and not add_chk(v, _d + 1):
                             return False
-                    elif c is not None and not c(v):
+                    elif c is not None and not c(v, _d + 1):
                         return False
                 for k in required:
                     if k not in o:
@@ -161,7 +167,11 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
         if any(c is None for c in customs):
             return None
 
-        def check(v):
+        def check(v, _d=0):
+            if _d >= MAX_DEPTH:
+                # deterministic depth bound: defer — the generic kernel
+                # fails structural checks at the same depth
+                return False
             if v is None:
                 ok = has_null
             elif v is True or v is False:
@@ -173,15 +183,15 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
                 elif tv is str:
                     ok = has_str and (enum is None or v in enum)
                 elif tv is list:
-                    ok = arr_h is not None and arr_h(v)
+                    ok = arr_h is not None and arr_h(v, _d)
                 elif tv is dict:
-                    ok = obj_h is not None and obj_h(v)
+                    ok = obj_h is not None and obj_h(v, _d)
                 else:
                     return False  # non-parser type — defer to generic
             if ok:
                 return True
             for c in customs:
-                if c(v):
+                if c(v, _d):
                     return True
             return False
 
@@ -189,5 +199,5 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
 
     start = ref("$start")
     if start is None:
-        return lambda v: True
+        return lambda v, _d=0: True
     return start

@@ -31,18 +31,24 @@ encoding (conformance only asserts pass/fail on both):
 Violation vocabulary (§2.4 of SURVEY.md; ValidationError at
 Data/Medea.hs:173-210): ``not_json, not_one_of_options,
 additional_prop_banned, required_prop_missing, out_of_bounds_array_length,
-implementation_error`` plus ``max_depth_exceeded`` (adversarially deep
-documents become violations instead of RecursionErrors that would kill the
-worker task).
+implementation_error`` plus ``max_depth_exceeded``: a structural
+array/object check at container depth >= ``MAX_DEPTH`` fails with that
+code DETERMINISTICALLY — the verdict on adversarially deep documents is a
+fixed engine contract, not an artifact of whichever kernel's Python stack
+ran out first (the fast paths defer at the same bound, so fast-vs-generic
+parity holds at every depth). A ``RecursionError`` backstop remains for
+pathological same-level custom chains.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 
 from medea_ray.schema.compile import CompiledSchema, Schema
 
 __all__ = [
+    "MAX_DEPTH",
     "MedeaValidationError",
     "ValidatedJSON",
     "json_type_of",
@@ -50,6 +56,21 @@ __all__ = [
     "validate",
     "validate_obj",
 ]
+
+# Deterministic container-nesting bound: an array/object needing a
+# structural check at depth >= MAX_DEPTH is a max_depth_exceeded violation
+# (leaves and $any subtrees below it are unaffected — they are never
+# walked). 200 covers any real web-page payload by orders of magnitude
+# while staying far from Python frame limits for every kernel.
+MAX_DEPTH = 200
+
+# The generic kernel spends several Python frames per container level
+# (check_array/_check_node/check_schema_of/check_prim, plus one frame per
+# same-level custom-candidate dispatch). Guarantee it can reach MAX_DEPTH
+# under deep custom chains without tripping CPython's default 1000-frame
+# limit; only ever raises, never lowers.
+if sys.getrecursionlimit() < 10_000:  # pragma: no branch
+    sys.setrecursionlimit(10_000)
 
 
 class MedeaValidationError(Exception):
@@ -265,6 +286,11 @@ class _Checker:
 
     def check_array(self, arr: list, parent: str):
         # checkArray (Data/Medea.hs:339-359).
+        if len(self.path) >= MAX_DEPTH:
+            self.fail(
+                "max_depth_exceeded", parent,
+                f"container nesting exceeds {MAX_DEPTH} levels",
+            )
         scm = self.m[parent]
         n = len(arr)
         lo, hi = scm.min_array_len, scm.max_array_len
@@ -311,6 +337,11 @@ class _Checker:
         # with both a banned/missing property and an invalid value reports
         # the structural error. (Within a phase we use document order
         # where the reference has nondeterministic HashMap order — V12.)
+        if len(self.path) >= MAX_DEPTH:
+            self.fail(
+                "max_depth_exceeded", parent,
+                f"container nesting exceeds {MAX_DEPTH} levels",
+            )
         scm = self.m[parent]
         props = scm.props
         additional_ok = scm.additional_allowed
@@ -366,6 +397,11 @@ class ValidatedJSON:
         # the root annotation is always the UserDefined '$start' wrapper
         # (Data/Medea.hs:401) — a single check, no descent
         t = self._tree
+        if t is None:
+            # annotate=False: no tree was built, but this object only
+            # exists for a document validate() accepted, and the root
+            # dispatch is always CustomNode $start (Data/Medea.hs:229-232)
+            return ("user_defined", "$start")
         if isinstance(t, list):  # subtree mode: [label, kind, payload]
             label = t[0]
             if isinstance(label, tuple) and label[0] == "user":
@@ -393,8 +429,9 @@ def validate_obj(schema_map: Schema, obj, annotate=False):
     try:
         r = chk.check_schema_of(obj, start, "$start")
     except RecursionError:
-        # adversarially deep documents must yield a violation, not kill the
-        # worker task (the reference is equally depth-bounded by its stack)
+        # backstop only: container depth is bounded deterministically at
+        # MAX_DEPTH above; this catches pathological same-level custom
+        # chains so they yield a violation, never kill the worker task
         raise MedeaValidationError(
             "max_depth_exceeded", None, "$", "document nesting exceeds validator depth limit"
         ) from None

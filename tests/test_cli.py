@@ -106,6 +106,29 @@ def test_cli_gen_and_run(tmp_path):
     assert "not a file, directory or glob" in r4.stderr
 
 
+def test_cli_run_worker_error_keeps_traceback(tmp_path):
+    """A corrupt shard under the default on_corrupt=fail must surface the
+    read error WITH its traceback: pyarrow's ArrowInvalid subclasses
+    ValueError (and arrives wrapped in RayTaskError), so a broad
+    `except ValueError` would swallow it into the same one-line exit 2 as
+    a usage error — only PipelineUsageError gets that treatment."""
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "garbage.parquet").write_bytes(b"PAR1 this is not parquet")
+    r = _run(
+        "run",
+        "--input",
+        str(bad_dir),
+        "--schema",
+        FLAGSHIP_SCHEMA_PATH,
+        "--out",
+        str(tmp_path / "out"),
+        env={"RAY_ADDRESS": "local"},
+    )
+    assert r.returncode not in (0, 2), r.stderr
+    assert "Traceback" in r.stderr
+
+
 def test_cli_export_partitioned(tmp_path):
     out = str(tmp_path / "by_lang")
     r = _run(

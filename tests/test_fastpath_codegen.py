@@ -136,6 +136,55 @@ def test_deep_document_defers_to_generic_max_depth():
     assert violations[0][2] in ("max_depth_exceeded", "not_json")
 
 
+_RECURSIVE_SCHEMA = (
+    "$schema $start\n    $type\n        $array\n        $string\n"
+    "    $element-type\n        $start\n"
+)
+
+
+def _nest(depth, leaf="x"):
+    v = leaf
+    for _ in range(depth):
+        v = [v]
+    return v
+
+
+def test_depth_verdict_is_deterministic_across_kernels():
+    """The verdict on deep documents is the fixed MAX_DEPTH contract, not
+    an artifact of whichever kernel's Python stack ran out first: the
+    generic kernel fails structural checks at container depth >= MAX_DEPTH
+    deterministically, and BOTH fast paths defer at the same bound —
+    neither may accept a document the generic kernel rejects, at any
+    depth (the old stack-based defer had a window around ~300-900 where
+    the 1-frame-per-level codegen path accepted documents the
+    ~4-frames-per-level generic kernel could no longer walk)."""
+    from medea_ray.validate.fastpath import compile_fast
+    from medea_ray.validate.kernel import MAX_DEPTH
+
+    graph = compile_schema(_RECURSIVE_SCHEMA)
+    fasts = {"codegen": compile_fast_codegen(graph), "closure": compile_fast(graph)}
+    for depth in (0, 1, 50, MAX_DEPTH - 1, MAX_DEPTH, MAX_DEPTH + 1,
+                  MAX_DEPTH + 50, 300, 400, 900, 1500):
+        obj = _nest(depth)
+        try:
+            validate_obj(graph, obj)
+            generic_ok, code = True, None
+        except MedeaValidationError as e:
+            generic_ok, code = False, e.code
+        # the contract itself: <= MAX_DEPTH container levels valid,
+        # deeper is max_depth_exceeded — deterministically
+        assert generic_ok == (depth <= MAX_DEPTH), (depth, code)
+        if not generic_ok:
+            assert code == "max_depth_exceeded", (depth, code)
+        for name, fast in fasts.items():
+            got = fast(obj)
+            # under-accept only: True must imply the generic kernel accepts
+            assert not (got and not generic_ok), (name, depth)
+            # and well below the bound the fast paths actually accept
+            if depth < MAX_DEPTH - 1:
+                assert got is True, (name, depth)
+
+
 def _random_schema_text(rng):
     """Random-but-grammatical schema source: random prim subsets, enums,
     list/tuple arrays with bounds, object property tables with

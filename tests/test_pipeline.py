@@ -545,14 +545,56 @@ def test_fragment_resume_bounds_lost_work(ray_session, big_file_dir, tmp_path):
     assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
 
 
+def test_fragment_mode_includes_zero_row_group_files(
+    ray_session, big_file_dir, tmp_path
+):
+    """A shard whose footer reports 0 row groups (external writers emit
+    these; pyarrow's ParquetWriter does when closed without writing) must
+    not vanish from the fragment plan: it gets an empty-range fragment,
+    validates as 0 rows, and is manifested + counted exactly like file
+    mode — so a resumed run never silently re-plans it to nothing."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(big_file_dir, "big.parquet"), os.path.join(d, "big.parquet")
+    )
+    sch = pa.schema([("url", pa.string()), ("payload", pa.string())])
+    pq.ParquetWriter(os.path.join(d, "empty.parquet"), sch).close()
+    assert pq.ParquetFile(os.path.join(d, "empty.parquet")).metadata.num_row_groups == 0
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    out = str(tmp_path / "out")
+    rep = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=16, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    assert rep["n_files"] == 9  # 8 fragments of big + the empty shard
+    assert rep["n_rows"] == N_ROWS
+    man = load_manifest(out)
+    empty_keys = [k for k in man if "empty.parquet" in k]
+    assert len(empty_keys) == 1
+    assert man[empty_keys[0]]["n_rows"] == 0
+    # resume: the empty shard is a committed partition, skipped not re-planned
+    rep2 = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=16, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    assert rep2["n_files"] == 9 and rep2["n_files_skipped"] == 9
+
+
 def test_fragment_mode_guards(ray_session, big_file_dir, tmp_path):
+    from medea_ray.engine.pipeline import PipelineUsageError
+
     big = [os.path.join(big_file_dir, "big.parquet")]
-    with pytest.raises(ValueError, match="requires parquet"):
+    # usage errors are the dedicated subclass (the CLI maps exactly it to
+    # exit 2; worker-side ValueErrors like ArrowInvalid keep tracebacks)
+    with pytest.raises(PipelineUsageError, match="requires parquet"):
         run_validation_pipeline(
             big, flagship_schema_text(), str(tmp_path / "x"),
             partition_unit="fragment", input_format="jsonl",
         )
-    with pytest.raises(ValueError, match="partition_unit"):
+    with pytest.raises(PipelineUsageError, match="partition_unit"):
         run_validation_pipeline(
             big, flagship_schema_text(), str(tmp_path / "y"),
             partition_unit="rowgroup",
@@ -562,7 +604,7 @@ def test_fragment_mode_guards(ray_session, big_file_dir, tmp_path):
     run_validation_pipeline(
         big, flagship_schema_text(), out, wave_size=2, concurrency=2
     )
-    with pytest.raises(ValueError, match="partition_unit"):
+    with pytest.raises(PipelineUsageError, match="partition_unit"):
         run_validation_pipeline(
             big, flagship_schema_text(), out, wave_size=2, concurrency=2,
             partition_unit="fragment",

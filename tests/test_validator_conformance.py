@@ -147,6 +147,12 @@ def test_annotations_roundtrip():
     vj = validate(graph, json.dumps(doc))
     assert vj.to_value() == doc
     assert vj.valid_against() == ("user_defined", "$start")
+    # annotate=False builds no tree, but the root dispatch is still always
+    # CustomNode $start (Data/Medea.hs:229-232) — valid_against must not
+    # misreport ('any',) for the missing tree
+    vj2 = validate(graph, json.dumps(doc), annotate=False)
+    assert vj2.valid_against() == ("user_defined", "$start")
+    assert vj2.to_value() == doc
 
 
 def test_recursive_schema_via_element_type():
