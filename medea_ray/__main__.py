@@ -3,6 +3,7 @@
     python -m medea_ray validate-file schema.medea doc.json
     python -m medea_ray run --input 'data/*.parquet' --schema schema.medea \
         --out /out [--payload-col payload --id-col url --wave-size 64]
+    python -m medea_ray report --out /out [--partitions]
     python -m medea_ray gen-pages --out /tmp/pages --rows 100000
 
 ``run`` is the distributed pipeline: on a cluster, submit with
@@ -137,6 +138,25 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_report(args) -> int:
+    """Summarize a run directory from its committed manifests — no Ray
+    session, safe to call while a run is in flight elsewhere."""
+    from medea_ray.engine.pipeline import summarize_run
+
+    s = summarize_run(args.out)
+    if s["n_partitions"] == 0 and not s["failed_unresolved"]:
+        print(f"no committed partitions under {args.out!r}", file=sys.stderr)
+        return 2
+    if args.partitions:
+        from medea_ray.engine.pipeline import load_manifest
+
+        s["partitions"] = sorted(
+            load_manifest(args.out).values(), key=lambda r: r["partition_id"]
+        )
+    print(json.dumps(s))
+    return 0
+
+
 def _cmd_stats(args) -> int:
     files, fmt = _resolve_inputs(args.input)
     if files is None:
@@ -248,6 +268,15 @@ def main(argv=None) -> int:
         "them)",
     )
     r.set_defaults(fn=_cmd_run)
+
+    rp = sub.add_parser(
+        "report", help="summarize a run dir from its committed manifests (no Ray)"
+    )
+    rp.add_argument("--out", required=True, help="the run's output directory")
+    rp.add_argument(
+        "--partitions", action="store_true", help="include per-partition lineage rows"
+    )
+    rp.set_defaults(fn=_cmd_report)
 
     s = sub.add_parser("stats", help="column stats / sketches over parquet")
     s.add_argument("--input", required=True, help="parquet dir or glob")

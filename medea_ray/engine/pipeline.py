@@ -701,6 +701,45 @@ def run_validation_pipeline(
     }
 
 
+def summarize_run(out_dir: str) -> dict:
+    """Driver-side summary of everything COMMITTED into ``out_dir`` so
+    far — pure manifest/failures reads, no Ray session. This is the
+    surface an operator polls between (or after) invocations of a long
+    resumable run: totals span every run into the out_dir, unlike the
+    per-run report ``run_validation_pipeline`` returns.
+
+    ``failed_unresolved`` lists partitions with a failure record
+    (``on_corrupt="skip"``) and still no manifest record — exactly the
+    set a resume would retry."""
+    manifest = load_manifest(out_dir)
+    records = sorted(manifest.values(), key=lambda r: r["partition_id"])
+    n_rows = sum(r["n_rows"] for r in records)
+    n_valid = sum(r["n_valid"] for r in records)
+    # wall_s is recorded per wave (duplicated on each of the wave's
+    # records) — sum each wave once
+    wave_wall = {r["wave_id"]: r.get("wall_s", 0.0) for r in records}
+    failed_unresolved = sorted(
+        {f["input_path"] for f in read_failures(out_dir)} - set(manifest)
+    )
+    return {
+        "out_dir": out_dir,
+        "n_partitions": len(records),
+        "n_rows": n_rows,
+        "n_valid": n_valid,
+        "n_invalid": n_rows - n_valid,
+        "n_waves": len(wave_wall),
+        "wall_s_committed": round(sum(wave_wall.values()), 3),
+        "schema_digests": sorted(
+            {r["schema_digest"] for r in records if r.get("schema_digest")}
+        ),
+        "partition_units": sorted(
+            {r.get("partition_unit", "file") for r in records}
+        ),
+        "n_failed_unresolved": len(failed_unresolved),
+        "failed_unresolved": failed_unresolved,
+    }
+
+
 def read_failures(out_dir: str) -> list[dict]:
     """Partitions skipped by ``on_corrupt="skip"`` across every run into
     ``out_dir`` (append-only ``failures.jsonl``; a partition later

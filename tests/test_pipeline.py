@@ -545,6 +545,54 @@ def test_fragment_resume_bounds_lost_work(ray_session, big_file_dir, tmp_path):
     assert sum(verdicts["n_rows"].to_pylist()) == N_ROWS
 
 
+def test_summarize_run_and_report_cli(ray_session, pages_dir, tmp_path):
+    """summarize_run reads only committed manifests (cross-run totals,
+    no Ray session) and the `report` CLI wraps it — an operator can poll
+    a long resumable run without touching Ray or re-running anything."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from medea_ray.engine.pipeline import summarize_run
+
+    out = str(tmp_path / "out")
+    rep = run_validation_pipeline(
+        pages_dir_files(pages_dir), flagship_schema_text(), out,
+        wave_size=2, concurrency=2,
+    )
+    s = summarize_run(out)
+    assert s["n_partitions"] == 4
+    assert s["n_rows"] == rep["n_rows"] == N_ROWS
+    assert s["n_invalid"] == rep["n_invalid"]
+    assert s["n_waves"] == 2
+    assert s["partition_units"] == ["file"]
+    assert len(s["schema_digests"]) == 1
+    assert s["failed_unresolved"] == []
+    # the CLI surface needs NO Ray session (pure file reads)
+    r = subprocess.run(
+        [sys.executable, "-m", "medea_ray", "report", "--out", out, "--partitions"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    cli = _json.loads(r.stdout)
+    assert cli["n_rows"] == N_ROWS and len(cli["partitions"]) == 4
+    # empty/unused dir: clean exit 2
+    r2 = subprocess.run(
+        [sys.executable, "-m", "medea_ray", "report", "--out", str(tmp_path / "nope")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2
+    assert "no committed partitions" in r2.stderr
+
+
+def pages_dir_files(pages_dir):
+    return sorted(
+        os.path.join(pages_dir, f)
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def test_fragment_mode_includes_zero_row_group_files(
     ray_session, big_file_dir, tmp_path
 ):
