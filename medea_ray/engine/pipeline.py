@@ -484,6 +484,23 @@ def run_validation_pipeline(
                 f"{partition_unit!r} — rerun with resume=False or a fresh "
                 f"out_dir"
             )
+        # same refusal for a fragment_rows change: fragment keys are a
+        # pure function of (file row-group layout, fragment_rows), so a
+        # different value yields a disjoint key set — nothing would be
+        # skipped and read_verdicts/read_violations would double-count
+        if partition_unit == "fragment":
+            stale_fr = sorted({
+                rec["fragment_rows"] for rec in done.values()
+                if rec.get("partition_unit") == "fragment"
+                and rec.get("fragment_rows") not in (None, fragment_rows)
+            })
+            if stale_fr:
+                raise PipelineUsageError(
+                    f"resume=True but {out_dir!r} holds fragments planned "
+                    f"at fragment_rows={stale_fr[0]} and this run uses "
+                    f"{fragment_rows} — rerun with resume=False or the "
+                    f"original fragment_rows"
+                )
     else:
         # a fresh (resume=False) run into a previously-used out_dir must
         # not inherit its manifest: the uncommitted-wave sweep below keys
@@ -609,15 +626,29 @@ def run_validation_pipeline(
 
         # Roll up this wave's partial verdicts (tiny: ~1 row per batch) and
         # commit one manifest record per input file. Predicate pushdown on
-        # `kind` keeps this read small.
-        partials = pq.read_table(
-            wave_dir, filters=[("kind", "=", "verdict")]
+        # `kind` keeps this read small. A wave whose partitions are ALL
+        # empty (0-row shards) produces an empty tagged stream, and Ray
+        # 2.49's write_parquet then writes no files — and may not even
+        # create the directory — so guard before reading: such waves
+        # commit their n_rows=0 manifest records instead of crashing
+        # (on_corrupt="fail") or being forever mis-skipped as corrupt
+        # (on_corrupt="skip" would re-fail them on every resume).
+        pq_files = (
+            [f for f in os.listdir(wave_dir) if f.endswith(".parquet")]
+            if os.path.isdir(wave_dir)
+            else []
         )
-        agg = (
-            partials.group_by("partition_id")
-            .aggregate([("n_rows", "sum"), ("n_valid", "sum")])
-            .to_pylist()
-        )
+        if pq_files:
+            partials = pq.read_table(
+                wave_dir, filters=[("kind", "=", "verdict")]
+            )
+            agg = (
+                partials.group_by("partition_id")
+                .aggregate([("n_rows", "sum"), ("n_valid", "sum")])
+                .to_pylist()
+            )
+        else:
+            agg = []
         by_pid = {r["partition_id"]: r for r in agg}
         now = time.time()
         records = []
@@ -635,6 +666,9 @@ def run_validation_pipeline(
                     "schema_version": schema_version,
                     "schema_digest": schema_digest,
                     "partition_unit": partition_unit,
+                    "fragment_rows": (
+                        fragment_rows if partition_unit == "fragment" else None
+                    ),
                     "started_at": wave_started,
                     "finished_at": now,
                     "wall_s": round(now - wave_started, 3),
@@ -718,8 +752,18 @@ def summarize_run(out_dir: str) -> dict:
     # wall_s is recorded per wave (duplicated on each of the wave's
     # records) — sum each wave once
     wave_wall = {r["wave_id"]: r.get("wall_s", 0.0) for r in records}
+
+    def _resolved(path: str) -> bool:
+        # exact manifest key (file key, or fragment key when the failure
+        # was recorded mid-wave), OR a footer-planning failure whose file
+        # was later repaired and committed under fragment keys
+        return path in manifest or any(
+            k.startswith(path + "#rg") for k in manifest
+        )
+
     failed_unresolved = sorted(
-        {f["input_path"] for f in read_failures(out_dir)} - set(manifest)
+        p for p in {f["input_path"] for f in read_failures(out_dir)}
+        if not _resolved(p)
     )
     return {
         "out_dir": out_dir,
@@ -754,10 +798,17 @@ def read_failures(out_dir: str) -> list[dict]:
 
 def read_violations(out_dir: str) -> pa.Table:
     """All violation rows written so far: (partition_id, url, schema_path,
-    failed_specifier, detail)."""
+    failed_specifier, detail). Typed-empty when no wave has produced any
+    output yet (all-empty input shards write no parquet at all)."""
+    cols = ["partition_id", "url", "schema_path", "failed_specifier", "detail"]
     res = os.path.join(out_dir, "results")
+    have = os.path.isdir(res) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(res) for f in fs
+    )
+    if not have:
+        return RESULT_SCHEMA.empty_table().select(cols)
     t = pq.read_table(res, filters=[("kind", "=", "violation")])
-    return t.select(["partition_id", "url", "schema_path", "failed_specifier", "detail"])
+    return t.select(cols)
 
 
 def read_verdicts(out_dir: str) -> pa.Table:

@@ -68,9 +68,19 @@ MAX_DEPTH = 200
 # (check_array/_check_node/check_schema_of/check_prim, plus one frame per
 # same-level custom-candidate dispatch). Guarantee it can reach MAX_DEPTH
 # under deep custom chains without tripping CPython's default 1000-frame
-# limit; only ever raises, never lowers.
-if sys.getrecursionlimit() < 10_000:  # pragma: no branch
-    sys.setrecursionlimit(10_000)
+# limit. Raised lazily on the first validate_obj call — NOT at import —
+# so host processes that import the package only for driver-side surfaces
+# (summarize_run, manifests) keep their own recursion limit; only ever
+# raises the limit, never lowers it.
+_recursion_headroom_ensured = False
+
+
+def _ensure_recursion_headroom():
+    global _recursion_headroom_ensured
+    if not _recursion_headroom_ensured:
+        if sys.getrecursionlimit() < 10_000:
+            sys.setrecursionlimit(10_000)
+        _recursion_headroom_ensured = True
 
 
 class MedeaValidationError(Exception):
@@ -422,6 +432,7 @@ def validate_obj(schema_map: Schema, obj, annotate=False):
 
     Start state: candidates {CustomNode $start}, no parent
     (Data/Medea.hs:229-232)."""
+    _ensure_recursion_headroom()
     chk = _Checker(schema_map, annotate)
     start = schema_map.get("$start")
     if start is None:

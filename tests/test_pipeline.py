@@ -334,8 +334,11 @@ def test_on_corrupt_skip_commits_healthy_and_resume_retries(
 
 
 def test_on_corrupt_skip_fragment_planning_failure(ray_session, pages_dir, tmp_path):
+    from medea_ray.engine.pipeline import summarize_run
+
     files = _copy_pages(pages_dir, str(tmp_path / "pages_bad_frag"))
     bad = files[0]
+    good_bytes = open(bad, "rb").read()
     with open(bad, "wb") as f:
         f.write(b"PAR1 not really parquet")  # footer unreadable at planning
     out = str(tmp_path / "out_frag_skip")
@@ -347,6 +350,22 @@ def test_on_corrupt_skip_fragment_planning_failure(ray_session, pages_dir, tmp_p
     assert report["n_failed"] == 1
     assert report["failed"][0]["input_path"] == bad
     assert report["n_rows"] == N_ROWS - ROWS_PER_FILE
+    # the summary flags the BARE failure path as unresolved...
+    assert summarize_run(out)["failed_unresolved"] == [bad]
+    # ...and resolves it after the shard is repaired and a resume commits
+    # it under FRAGMENT keys (the failure was recorded under the bare
+    # file path — prefix matching, not exact-key matching, decides)
+    with open(bad, "wb") as f:
+        f.write(good_bytes)
+    report2 = run_validation_pipeline(
+        files, flagship_schema_text(), out,
+        wave_size=8, concurrency=2,
+        partition_unit="fragment", fragment_rows=500, on_corrupt="skip",
+    )
+    assert report2["n_failed"] == 0 and report2["n_rows"] == N_ROWS
+    s = summarize_run(out)
+    assert s["failed_unresolved"] == [] and s["n_failed_unresolved"] == 0
+    assert s["n_rows"] == N_ROWS
 
 
 def test_jsonl_input_format_matches_parquet(ray_session, tmp_path):
@@ -629,6 +648,68 @@ def test_fragment_mode_includes_zero_row_group_files(
         partition_unit="fragment", fragment_rows=500,
     )
     assert rep2["n_files"] == 9 and rep2["n_files_skipped"] == 9
+
+
+def test_all_empty_wave_commits_zero_row_manifests(ray_session, tmp_path):
+    """A wave whose partitions are ALL empty writes no parquet at all
+    (Ray 2.49 write_parquet skips empty datasets, without even creating
+    the directory) — the manifest rollup must commit n_rows=0 records
+    rather than crash (on_corrupt=fail) or mis-record healthy shards as
+    corrupt forever (on_corrupt=skip). Covers both partition units, plus
+    typed-empty read_violations and a resume that skips everything."""
+    import pyarrow as pa
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    sch = pa.schema([("url", pa.string()), ("payload", pa.string())])
+    pq.ParquetWriter(os.path.join(d, "norg.parquet"), sch).close()  # 0 row groups
+    pq.write_table(sch.empty_table(), os.path.join(d, "zero.parquet"))  # 1 rg, 0 rows
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+
+    out = str(tmp_path / "by_file")
+    rep = run_validation_pipeline(files, flagship_schema_text(), out, concurrency=2)
+    assert rep["n_files"] == 2 and rep["n_rows"] == 0 and rep["n_failed"] == 0
+    man = load_manifest(out)
+    assert len(man) == 2 and all(r["n_rows"] == 0 for r in man.values())
+    assert read_violations(out).num_rows == 0
+    assert sum(read_verdicts(out)["n_rows"].to_pylist()) == 0
+    rep2 = run_validation_pipeline(files, flagship_schema_text(), out, concurrency=2)
+    assert rep2["n_files_skipped"] == 2
+
+    out_frag = str(tmp_path / "by_frag")
+    rep3 = run_validation_pipeline(
+        files, flagship_schema_text(), out_frag, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    assert rep3["n_files"] == 2 and rep3["n_rows"] == 0 and rep3["n_failed"] == 0
+
+
+def test_fragment_rows_switch_on_resume_is_refused(
+    ray_session, big_file_dir, tmp_path
+):
+    """Fragment keys are a pure function of (row-group layout,
+    fragment_rows): resuming with a different fragment_rows would match
+    no committed key, re-validate everything, and double-count in
+    read_verdicts/read_violations — refused like a unit/schema switch."""
+    from medea_ray.engine.pipeline import PipelineUsageError
+
+    big = [os.path.join(big_file_dir, "big.parquet")]
+    out = str(tmp_path / "fr")
+    run_validation_pipeline(
+        big, flagship_schema_text(), out, wave_size=4, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    with pytest.raises(PipelineUsageError, match="fragment_rows"):
+        run_validation_pipeline(
+            big, flagship_schema_text(), out, wave_size=4, concurrency=2,
+            partition_unit="fragment", fragment_rows=250,
+        )
+    # same value resumes cleanly
+    rep = run_validation_pipeline(
+        big, flagship_schema_text(), out, wave_size=4, concurrency=2,
+        partition_unit="fragment", fragment_rows=500,
+    )
+    assert rep["n_files_skipped"] == 8
 
 
 def test_fragment_mode_guards(ray_session, big_file_dir, tmp_path):
