@@ -18,4 +18,5 @@ from medea_ray.engine.pipeline import (  # noqa: F401
     read_verdicts,
     read_violations,
     run_validation_pipeline,
+    summarize_run,
 )
