@@ -39,6 +39,27 @@ def _ranges_sql() -> str:
     return ", ".join(f"('{lab}', {lo!r}, {hi!r})" for lab, lo, hi in q.VALUE_RANGES)
 
 
+def _pii_redact_sql(expr: str) -> str:
+    """Nested regexp_replace chain built FROM text.DEFAULT_PII_RULES —
+    single source of truth, so a rule edit can never desynchronize the
+    oracle (both sides are RE2: Arrow replace_substring_regex vs DuckDB
+    regexp_replace(..., 'g'))."""
+    from medea_ray.engine.text import DEFAULT_PII_RULES
+
+    out = expr
+    for _name, pat, repl in DEFAULT_PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def _pii_flag_sql(expr: str) -> str:
+    from medea_ray.engine.text import DEFAULT_PII_RULES
+
+    return " OR ".join(
+        f"regexp_matches({expr}, '{pat}')" for _n, pat, _r in DEFAULT_PII_RULES
+    )
+
+
 def _knn_query_literals() -> list[str]:
     import numpy as np
 
@@ -134,8 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_join": q.orders_lineitem_join,
         "orders_lineitem_salted_join": q.orders_lineitem_salted_join,
         "orders_no_lineitems": q.orders_no_lineitems,
-        # deterministic sampling / splits (engine/sampling.py)
-        "doc_hash_sample": q.doc_hash_sample,
+        # deterministic sampling / splits (engine/sampling.py).
+        # doc_hash_sample retired round 4 for the PII-redaction slot (the
+        # driver records at most 50 queries): its md5-prefix machinery is
+        # the exact same code path doc_stratified_sample/doc_split_counts
+        # keep oracle-green, and hash_sample has three dedicated pytests.
         "doc_stratified_sample": q.doc_stratified_sample,
         "doc_split_counts": q.doc_split_counts,
         # benchmark decontamination (engine/decontam.py)
@@ -169,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_counts": q.doc_token_counts,
         "doc_word_stats": q.doc_word_stats,
+        # PII scrub (planted spans — hash-pins Arrow-vs-DuckDB RE2
+        # replacement semantics on every row; see queries.docs_pii_redacted)
+        "docs_pii_redacted": q.docs_pii_redacted,
         # doc_text_features retired round 3 (its token/word/char code paths
         # are oracle-green via doc_token_counts / doc_word_stats /
         # top_tokens) in favour of the oracle-checked GIF frame-sampling
@@ -283,11 +310,6 @@ def oracle_sql() -> dict[str, str]:
               AND md5(substr(text, 1, 40)) NOT IN (
                 SELECT md5(substr(text, 1, 40)) FROM documents
                 WHERE doc_id % 20 = 0 AND text IS NOT NULL)
-        """,
-        "doc_hash_sample": """
-            SELECT doc_id, source FROM documents
-            WHERE doc_id IS NOT NULL
-              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         """,
         # thresholds mirror queries.STRATA_THRESHOLDS / default "2"
         "doc_stratified_sample": """
@@ -421,6 +443,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) END
                      AS n_distinct_words
             FROM documents
+        """,
+        "docs_pii_redacted": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       || ' call 555-' || CAST(10 + doc_id % 9990 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   {_pii_redact_sql('t')} AS text_redacted,
+                   ({_pii_flag_sql('t')}) AS pii_found
+            FROM aug
         """,
         # ties broken by token asc on both sides; ASCII token class keeps
         # Python re and DuckDB RE2 in lockstep

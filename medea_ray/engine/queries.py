@@ -799,6 +799,46 @@ def doc_word_stats(sf_dir: str):
     return text.add_word_stats(ds, id_col="doc_id")
 
 
+def docs_pii_redacted(sf_dir: str):
+    """PII redaction over the documents table (text.redact_pii — the
+    scrub pass every training-data pipeline runs first). The synthetic
+    text contains no digits or emails, so the query PLANTS deterministic
+    PII spans derived from doc_id — identically to the SQL oracle — and
+    the driver's value-hash compare then pins Arrow-vs-DuckDB RE2
+    replacement semantics on every row rather than a no-op.
+
+    Planted per row: an email (user<id>@...), an IPv4 (10.<id%200>.0.
+    <id%250>), and a phone-like 555-<10+id%9990>. Output columns
+    (doc_id, text_redacted, pii_found) match the oracle by name."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        idn = (
+            ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        ).to_numpy(zero_copy_only=False)
+        parts = [
+            pc.fill_null(t.column("text"), ""),
+            " contact user",
+            pa.array(idn.astype(str)),
+            "@mail.example.com from 10.",
+            pa.array((idn % 200).astype(str)),
+            ".0.",
+            pa.array((idn % 250).astype(str)),
+            " call 555-",
+            pa.array((10 + idn % 9990).astype(str)),
+        ]
+        aug = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": ids, "text_redacted": aug})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return text.redact_pii(
+        planted, text_col="text_redacted", flag_col="pii_found"
+    )
+
+
 def doc_text_features(sf_dir: str) -> pd.DataFrame:
     """Language-ID + quality + fingerprint features (rows-only check)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -4,6 +4,7 @@ pages table."""
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -265,6 +266,53 @@ def test_token_counts_vs_duckdb(docs_ds):
     ).df()
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+
+
+def test_redact_pii_rules_and_flags(ray_session):
+    """redact_pii: sequential RE2 redaction, flags on the ORIGINAL text,
+    nulls pass through, out_col copies instead of replacing, and the
+    rules stay in byte-lockstep with DuckDB regexp_replace(...,'g') —
+    the contract the docs_pii_redacted driver oracle hash-pins at scale."""
+    import ray.data as rd
+
+    from medea_ray.engine.text import DEFAULT_PII_RULES, redact_pii
+
+    texts = [
+        "mail alice.smith+x@sub.mail.example.com now",
+        "server 10.42.0.255 and 1.2.3.4 up",
+        "call 555-0123 or 555-01 ok",
+        "edge a@b.co 999.999.999.999 x555-0123y",
+        "no pii here",
+        None,
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({"i": list(range(len(texts))), "text": texts}))
+    got = redact_pii(ds, "text").to_pandas().sort_values("i")
+    red = got["text"].tolist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server <IP> and <IP> up"
+    assert red[2] == "call <PHONE> or <PHONE> ok"
+    # \b: no match inside x...y; bare a@b.co matches the email rule
+    assert red[3] == "edge <EMAIL> <IP> x555-0123y"
+    assert red[4] == "no pii here" and red[6] == ""
+    assert red[5] is None and got["pii_found"].tolist()[5] is None
+    assert got["pii_found"].tolist()[:5] == [True, True, True, True, False]
+
+    # DuckDB lockstep on the same rows (the oracle's other half)
+    expr = "t"
+    for _n, pat, rep in DEFAULT_PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    vals = ",".join(f"('{t}')" for t in texts if t is not None)
+    sql = duckdb.sql(f"SELECT {expr} FROM (VALUES {vals}) v(t)").fetchall()
+    assert [r[0] for r in sql] == [r for r in red if r is not None]
+
+    # out_col keeps the original column; flag_col=None emits no flag
+    got2 = redact_pii(
+        ds, "text", out_col="clean", flag_col=None
+    ).to_pandas().sort_values("i")
+    assert got2["text"].tolist()[0] == texts[0]
+    assert got2["clean"].tolist()[0] == "mail <EMAIL> now"
+    assert "pii_found" not in got2.columns
 
 
 def test_detect_lang_heuristic():
