@@ -182,6 +182,17 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
         )
         results["drift_lang"], _ = _timed(lambda: drift.drift_report(pages, "lang"))
 
+        # PII scrub over the full pages text column (pure map_batches,
+        # one Arrow RE2 kernel per rule — measures vectorized regex
+        # throughput at 600k rows)
+        from medea_ray.engine.text import redact_pii
+
+        results["pii_redact"], _ = _timed(
+            lambda: redact_pii(
+                rd.read_parquet(pages_dir, columns=["url", "text"]), "text"
+            ).count()
+        )
+
         results["validate_documents"], _ = _timed(
             lambda: q.validate_documents_payload(SF_DIR).count()
         )
