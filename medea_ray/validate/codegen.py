@@ -25,13 +25,17 @@ The contract is the same as ``fastpath.py``:
                             generic kernel for the authoritative verdict
 
 i.e. under-accept only; it never over-accepts a document the reference
-semantics reject. The two under-accept classes match fastpath.py: values
-whose type is a non-builtin subclass, and values at container depth >=
-``kernel.MAX_DEPTH`` (every generated function threads a ``_d`` depth
+semantics reject. The three under-accept classes match fastpath.py:
+values whose type is a non-builtin subclass; values at container depth
+>= ``kernel.MAX_DEPTH`` (every generated function threads a ``_d`` depth
 counter and returns False past the bound, so the generic kernel — which
 fails structural checks at the SAME bound deterministically — stays the
 authority on deep documents; the verdict never depends on which kernel's
-Python stack would have overflowed first).
+Python stack would have overflowed first); and documents whose candidate
+backtracking exceeds ``kernel.FAST_STEP_BUDGET`` dispatch steps (a
+diamond candidate set over a deep document re-walks subtrees
+exponentially — past the budget the row defers to the generic kernel,
+whose failure memo evaluates it in polynomial time).
 
 Reference semantics mirrored (cited, not copied):
 - dispatch is ``checkAny <|> checkPrim <|> checkCustoms``
@@ -51,7 +55,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from medea_ray.validate.kernel import MAX_DEPTH
+from medea_ray.validate.kernel import FAST_STEP_BUDGET, MAX_DEPTH
 
 __all__ = ["compile_fast_codegen", "generate_source"]
 
@@ -282,8 +286,12 @@ class _Gen:
         self._stack.append([])
         L = self.lines.append
         # no depth guard: _s fns are only called from an _f body that
-        # already passed its own guard at the same depth
+        # already passed its own guard at the same depth — but they DO
+        # count against the step budget (each may walk the subtree)
         L(f"def {f}(v, _d=0):")
+        L(f"    _S[0] += 1")
+        L(f"    if _S[0] > _BUDGET:")
+        L(f"        return False")
         self._emit_selfcheck_body(self.schema_map[name])
         L(f"    return ok")
         L("")
@@ -301,8 +309,14 @@ class _Gen:
         L(f"def {fn}(v, _d=0):")
         # deterministic depth bound (kernel.MAX_DEPTH): past it, defer —
         # the generic kernel fails structural checks at the same depth
-        # with max_depth_exceeded, so the verdict is kernel-independent
-        L(f"    if _d >= _MAXD:")
+        # with max_depth_exceeded, so the verdict is kernel-independent.
+        # The step budget (kernel.FAST_STEP_BUDGET, reset per document by
+        # the compile_fast_codegen entry wrapper) bounds candidate
+        # backtracking: a diamond candidate set over a deep document is
+        # exponential without it — past the budget the row defers to the
+        # generic kernel, whose failure memo is polynomial.
+        L(f"    _S[0] += 1")
+        L(f"    if _d >= _MAXD or _S[0] > _BUDGET:")
         L(f"        return False")
         self._emit_selfcheck_body(scm)
         L(f"    if ok:")
@@ -500,6 +514,8 @@ def generate_source(schema_map) -> tuple[str, dict, str | None]:
     ns.update(g.consts)
     ns["_MISS"] = _MISS
     ns["_MAXD"] = MAX_DEPTH
+    ns["_BUDGET"] = FAST_STEP_BUDGET
+    ns["_S"] = [0]
     src = "\n".join(g.funcs)
     if g.tail_stmts:
         # dict-dispatch tables reference the generated functions, so they
@@ -515,4 +531,14 @@ def compile_fast_codegen(schema_map) -> Callable[[Any], bool]:
         const = ns["_const"]
         return (lambda v: True) if const else (lambda v: False)
     exec(compile(src, "<medea-fastpath-codegen>", "exec"), ns)
-    return ns[start]
+    f = ns[start]
+    if start == "_f_start":
+        # _SIMPLE start: leaf checks only, no recursion — no budget needed
+        return f
+    steps = ns["_S"]
+
+    def fast(v, _f=f, _s=steps):
+        _s[0] = 0  # per-document step budget (see emit_fn guard)
+        return _f(v, 0)
+
+    return fast

@@ -12,13 +12,17 @@ path tracking, exception control flow, or annotation branches. Contract:
 i.e. the fast path may only under-accept, never over-accept, so the
 engine's verdicts and violation rows stay byte-identical to the generic
 kernel's (parity is pinned against every reference conformance fixture in
-tests/test_validator_conformance.py). It under-accepts in exactly two
+tests/test_validator_conformance.py). It under-accepts in exactly three
 places: values whose type is a non-builtin subclass (cannot come out of a
-strict JSON parser) and values at container depth >= ``kernel.MAX_DEPTH``
+strict JSON parser); values at container depth >= ``kernel.MAX_DEPTH``
 (every schema closure threads a depth counter and defers past the bound;
 the generic kernel fails structural checks at the SAME bound with
 ``max_depth_exceeded``, so deep-document verdicts are deterministic and
-kernel-independent rather than an artifact of Python stack exhaustion).
+kernel-independent rather than an artifact of Python stack exhaustion);
+and documents whose candidate backtracking exceeds
+``kernel.FAST_STEP_BUDGET`` schema-dispatch steps (diamond candidate
+sets re-walk subtrees exponentially on deep documents — past the budget
+the row defers to the generic kernel, whose failure memo is polynomial).
 
 Validity semantics mirror the reference dispatch
 (/root/reference/src/Data/Medea.hs:297-298 ``checkAny <|> checkPrim <|>
@@ -34,7 +38,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from medea_ray.validate.kernel import MAX_DEPTH
+from medea_ray.validate.kernel import FAST_STEP_BUDGET, MAX_DEPTH
 
 __all__ = ["compile_fast"]
 
@@ -45,6 +49,7 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
     """Compile the DAG into one ``check(obj) -> bool`` for ``$start``."""
     done: dict = {}   # name -> final check (callable, or None == always-true)
     cells: dict = {}  # name -> [impl] forwarding cell while under construction
+    steps = [0]       # per-document dispatch counter (reset by the entry)
 
     def ref(name: str):
         """Checker for schema ``name``; cycle-safe via a forwarding cell."""
@@ -168,9 +173,11 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
             return None
 
         def check(v, _d=0):
-            if _d >= MAX_DEPTH:
-                # deterministic depth bound: defer — the generic kernel
-                # fails structural checks at the same depth
+            steps[0] += 1
+            if _d >= MAX_DEPTH or steps[0] > FAST_STEP_BUDGET:
+                # deterministic depth bound / backtracking budget: defer —
+                # the generic kernel decides (its failure memo makes the
+                # exponential candidate re-walk polynomial)
                 return False
             if v is None:
                 ok = has_null
@@ -200,4 +207,9 @@ def compile_fast(schema_map) -> Callable[[Any], bool]:
     start = ref("$start")
     if start is None:
         return lambda v, _d=0: True
-    return start
+
+    def entry(v, _d=0):
+        steps[0] = 0  # reset the per-document step budget
+        return start(v, _d)
+
+    return entry

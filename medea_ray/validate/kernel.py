@@ -64,6 +64,16 @@ __all__ = [
 # while staying far from Python frame limits for every kernel.
 MAX_DEPTH = 200
 
+# Work bound for the bool-only fast paths (codegen/fastpath): candidate
+# backtracking re-walks subtrees, and a diamond-shaped candidate set over
+# a deep REJECTING document is exponential (2^depth child re-dispatches —
+# an adversarial web page could pin a worker). Past this many schema-
+# dispatch steps a fast path returns False (defer): the generic kernel —
+# polynomial thanks to its (container, schema) failure memo — stays the
+# authority. Honest documents sit orders of magnitude below the budget
+# (the flagship flat page costs 1 step; a 200-level chain ~10^3).
+FAST_STEP_BUDGET = 500_000
+
 # The generic kernel spends several Python frames per container level
 # (check_array/_check_node/check_schema_of/check_prim, plus one frame per
 # same-level custom-candidate dispatch). Guarantee it can reach MAX_DEPTH
@@ -178,12 +188,15 @@ def _relabel(node: list, label) -> list:
     return node
 
 
+_MEMO_MISS = object()
+
+
 class _Checker:
     """One validation pass over one document. Holds the schema map and a
     mutable path stack; per-document state is discarded (mirrors the RWST
     state discipline, Data/Medea.hs:260-276)."""
 
-    __slots__ = ("m", "path", "annotate", "subtree")
+    __slots__ = ("m", "path", "annotate", "subtree", "_fail_memo", "_ok_memo")
 
     def __init__(self, schema_map: Schema, annotate):
         self.m = schema_map
@@ -192,6 +205,20 @@ class _Checker:
         self.path: list = []
         self.annotate = bool(annotate)
         self.subtree = annotate == "subtree"
+        # (id(container), schema_name) -> first MedeaValidationError /
+        # success result. Candidate backtracking re-checks the SAME
+        # container against the same schema through different parents —
+        # without these memos a diamond candidate set over a deep
+        # document is exponential (2^depth child re-dispatches, both on
+        # rejecting docs via failures and on accepting docs via success
+        # re-walks of aborted derivations). Parsed JSON never aliases
+        # containers, so id() identifies one document position and the
+        # cached error's path is exact. Success results (None, or the
+        # plain-mode tuple tree — immutable) are cached in every mode
+        # EXCEPT "subtree", whose list trees are relabelled in place by
+        # the enclosing dispatch and must stay per-position.
+        self._fail_memo: dict = {}
+        self._ok_memo: dict | None = None if annotate == "subtree" else {}
 
     def _pathstr(self) -> str:
         return "$" + "".join(
@@ -206,7 +233,30 @@ class _Checker:
     # schema (has_any/prims/customs); ad-hoc singleton nodes use _check_node.
     def check_schema_of(self, v, scm: CompiledSchema, as_name: str):
         """Validate v against schema `as_name` (checkCustom body,
-        Data/Medea.hs:398-404): candidates = scm.types_as, parent = name."""
+        Data/Medea.hs:398-404): candidates = scm.types_as, parent = name.
+        Container results are memoized per (id, schema) — see __init__."""
+        tv = type(v)
+        if tv is not list and tv is not dict:
+            return self._dispatch(v, scm, as_name)
+        key = (id(v), as_name)
+        prior = self._fail_memo.get(key)
+        if prior is not None:
+            raise prior
+        ok = self._ok_memo
+        if ok is not None:
+            hit = ok.get(key, _MEMO_MISS)
+            if hit is not _MEMO_MISS:
+                return hit
+        try:
+            r = self._dispatch(v, scm, as_name)
+        except MedeaValidationError as e:
+            self._fail_memo[key] = e
+            raise
+        if ok is not None:
+            ok[key] = r
+        return r
+
+    def _dispatch(self, v, scm: CompiledSchema, as_name: str):
         if scm.has_any:
             return self._ann("any", v)
         err = None

@@ -185,6 +185,55 @@ def test_depth_verdict_is_deterministic_across_kernels():
                 assert got is True, (name, depth)
 
 
+_DIAMOND_SCHEMA = (
+    "$schema $start\n    $type\n        a\n        b\n\n"
+    "$schema a\n    $type\n        $array\n    $element-type\n        $start\n\n"
+    "$schema b\n    $type\n        $array\n    $element-type\n        $start\n"
+)
+
+
+def test_diamond_candidates_deep_doc_is_polynomial():
+    """An adversarial (schema, document) pair must never pin a worker:
+    two custom candidates that each recurse into array elements re-walk
+    every subtree per parent attempt, so a 40-deep rejecting document
+    used to cost 2^40 dispatches in ALL three kernels (found by an
+    extended fuzz run — seed 303 hung). The generic kernel now memoizes
+    per-(container, schema) results; the fast paths defer past
+    FAST_STEP_BUDGET dispatch steps. Everything below must finish in
+    well under a second; without the fix none of it terminates."""
+    import time
+
+    from medea_ray.engine.pipeline import ValidatorKernel
+    from medea_ray.validate.fastpath import compile_fast
+
+    graph = compile_schema(_DIAMOND_SCHEMA)
+    fast_cg = compile_fast_codegen(graph)
+    fast_cl = compile_fast(graph)
+    reject = _nest(60, 1)       # int leaf: rejects at the bottom of 60 arrays
+    accept = _nest(60, [])      # empty-array leaf: accepts
+    t0 = time.time()
+    with pytest.raises(MedeaValidationError) as exc:
+        validate_obj(graph, reject)
+    assert exc.value.code == "not_one_of_options"
+    assert validate_obj(graph, accept) is None
+    # annotate=True caches immutable tuple trees; subtree stays exact
+    with pytest.raises(MedeaValidationError):
+        validate_obj(graph, reject, annotate=True)
+    assert validate_obj(graph, accept, annotate="subtree") is not None
+    # fast paths: bounded defer on the rejecting doc (False, budget), and
+    # a genuine accept on the accepting doc (one pass, no backtracking)
+    assert fast_cg(reject) is False and fast_cl(reject) is False
+    assert fast_cg(accept) is True and fast_cl(accept) is True
+    # end-to-end: the engine verdict survives the adversarial batch
+    kernel = ValidatorKernel(_DIAMOND_SCHEMA, "payload", "id")
+    valid, violations = kernel.validate_payloads(
+        [json.dumps(reject), json.dumps(accept)]
+    )
+    assert valid == [False, True]
+    assert violations[0][2] == "not_one_of_options"
+    assert time.time() - t0 < 30  # seconds, not heat death
+
+
 def _random_schema_text(rng):
     """Random-but-grammatical schema source: random prim subsets, enums,
     list/tuple arrays with bounds, object property tables with
@@ -304,7 +353,9 @@ def test_kernel_uses_codegen_fastpath():
     from medea_ray.fixtures.gen import flagship_schema_text
 
     kernel = ValidatorKernel(flagship_schema_text(), "payload", "url")
-    assert kernel.fast.__code__.co_filename == "<medea-fastpath-codegen>"
+    # the budget-reset entry wrapper closes over the generated function
+    inner = kernel.fast.__defaults__[0] if kernel.fast.__defaults__ else kernel.fast
+    assert inner.__code__.co_filename == "<medea-fastpath-codegen>"
 
 
 def test_wide_object_dict_dispatch():
