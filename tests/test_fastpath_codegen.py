@@ -300,6 +300,49 @@ def _random_schema_text(rng):
     return "\n\n".join(blocks) + "\n"
 
 
+def test_random_schema_deep_doc_directional():
+    """Scaled-down version of the out-of-band fuzz that found the
+    exponential-backtracking hang: random schema graphs x documents
+    wrapped to depths around MAX_DEPTH. Directional contract only (deep
+    docs may defer): neither fast path may accept a document the generic
+    kernel rejects, and everything must terminate — the memo/budget
+    bounds, not luck, guarantee it."""
+    from random import Random
+
+    from medea_ray.fixtures.jsongen import JsonGen
+    from medea_ray.validate.fastpath import compile_fast
+    from medea_ray.validate.kernel import MAX_DEPTH
+
+    rng = Random(20260819)
+    jg = JsonGen(11)
+
+    def wrap_deep(doc, depth):
+        for _ in range(depth):
+            doc = [doc] if rng.random() < 0.7 else {"a0": doc}
+        return doc
+
+    n_compiled = 0
+    for _ in range(100):
+        src = _random_schema_text(rng)
+        try:
+            graph = compile_schema(src)
+        except MedeaError:
+            continue
+        n_compiled += 1
+        fast = compile_fast(graph)
+        fast_cg = compile_fast_codegen(graph)
+        for depth in (MAX_DEPTH - 1, MAX_DEPTH, MAX_DEPTH + 37):
+            doc = wrap_deep(jg.value(1), depth)
+            try:
+                validate_obj(graph, doc)
+                generic = True
+            except MedeaValidationError:
+                generic = False
+            for name, f in (("closure", fast), ("codegen", fast_cg)):
+                assert not (f(doc) and not generic), (name, depth, src[:80])
+    assert n_compiled >= 25, f"only {n_compiled}/100 random schemata compiled"
+
+
 def test_random_schema_differential():
     """Both fast-path compilers vs the generic kernel over random schema
     GRAPHS (not just random documents against fixed fixtures): the
