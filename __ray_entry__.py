@@ -150,7 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # callable stays pytest-covered.
         "top_users_by_events": q.top_users_by_events,
         "lineitem_filter_project": q.lineitem_filter_project,
-        "text_len_histogram": q.text_len_histogram,
+        # text_len_histogram retired round 4 for the WARC+HTML-extraction
+        # slot (bucketized-histogram family stays oracle-green via
+        # stats_documents_nchars / lang_nchars_sketch_guard / drift_guard;
+        # callable stays pytest-covered).
+        "warc_extract_pages": q.warc_extract_pages,
         # large×large shuffle join (engine/join.py) + skew-resistant salted
         "orders_lineitem_join": q.orders_lineitem_join,
         "orders_lineitem_salted_join": q.orders_lineitem_salted_join,
@@ -406,10 +410,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY user_id
         """,
-        "text_len_histogram": """
-            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM documents GROUP BY 1
+        # The html the Ray side synthesizes inverts EXACTLY back to the raw
+        # text (entities decode, doubled spaces collapse, title/script/link
+        # markup drops), so the oracle predicts the extraction in closed
+        # form — md5 equality is the byte-identity invariant per url.
+        "warc_extract_pages": """
+            SELECT doc_id,
+                   'https://corpus.example/doc/' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   CAST(doc_id % 3 AS INTEGER) AS n_links,
+                   md5(text) AS text_md5
+            FROM documents
+            WHERE text IS NOT NULL
         """,
         "exact_dup_texts": """
             SELECT md5(substr(text, 1, 40)) AS content_md5,

@@ -747,6 +747,87 @@ def doc_text_digests(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+def warc_extract_pages(sf_dir: str):
+    """Common-Crawl-shape source path, oracle-checked byte-exactly: each
+    batch of documents is serialized as a REAL WARC stream (gzip members,
+    response records, HTTP heads — ``engine/warc.py``), walked back out,
+    and the html payloads go through the HTMLParser extraction stage
+    (``engine/htmltext.py``).  The synthesized html wraps the text with
+    ``&<>`` escaped, every space doubled, a doubled-space title, an empty
+    ``<p>``, a ``<script>`` decoy and ``doc_id%3`` empty links — so the
+    oracle's ``md5(text)`` equality PROVES entity decode, tag drop and
+    whitespace normalization each invert exactly: the north-star
+    byte-identical-extracted-text invariant as a value-hash row.  The
+    whole synth → WARC → parse → extract loop runs inside ``map_batches``
+    (nothing driver-side, nothing on disk)."""
+    import hashlib
+    from datetime import datetime, timedelta, timezone
+
+    from medea_ray.engine.htmltext import HtmlExtractor
+    from medea_ray.engine.warc import make_warc, warc_records_to_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    base = datetime(2026, 3, 1, tzinfo=timezone.utc)
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        recs = []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if text is None:
+                continue
+            esc = (
+                text.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+                .replace(" ", "  ")
+            )
+            html = (
+                f"<html><head><title>Doc  {doc_id}</title>"
+                f'<script>var x = "<p>decoy</p>";</script></head>'
+                f"<body><p></p><p>{esc}</p>"
+                + '<a href="/r"></a>' * (int(doc_id) % 3)
+                + "</body></html>"
+            ).encode()
+            recs.append(
+                {
+                    "url": f"https://corpus.example/doc/{doc_id}",
+                    "date": base + timedelta(seconds=int(doc_id) % 86400),
+                    "html": html,
+                }
+            )
+        return warc_records_to_table(make_warc(recs), path="")
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    extracted = pages.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs=dict(html_col="html"),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, md5s = [], []
+        for url, txt in zip(
+            t.column("url").to_pylist(), t.column("ext_text").to_pylist()
+        ):
+            ids.append(int(url.rsplit("/", 1)[1]))
+            md5s.append(None if txt is None else hashlib.md5(txt.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": t.column("url"),
+                "title": t.column("ext_title"),
+                "n_links": t.column("ext_n_links"),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
 # -- token counts / text features -------------------------------------------
 
 

@@ -133,6 +133,10 @@ RETIRED = [
     # user_event_pivot
     "orders_by_status",
     "events_by_type_daily",
+    # round 4: bucketized-histogram entry replaced by the WARC+HTML
+    # extraction slot (warc_extract_pages); the histogram family stays
+    # oracle-green via stats_documents_nchars / lang_nchars_sketch_guard
+    "text_len_histogram",
 ]
 
 
