@@ -130,7 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # column stats / sketches (E6-E8)
         "stats_orders_totalprice": q.stats_orders_totalprice,
-        "stats_documents_nchars": q.stats_documents_nchars,
+        # stats_documents_nchars retired round 4 for the near-dup
+        # clustering slot (near_dup_clusters): the E6 basic-stats family
+        # stays oracle-green via stats_orders_totalprice (same AggregateFn,
+        # incl. the exact integer sum path) + lang_nchars_sketch_guard /
+        # tdigest_nchars_guard over the same documents column; callable
+        # stays pytest-covered.
         "distinct_lang_exact": q.distinct_lang_exact,
         "hll_distinct_guard": q.hll_distinct_guard,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
@@ -152,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_filter_project": q.lineitem_filter_project,
         # text_len_histogram retired round 4 for the WARC+HTML-extraction
         # slot (bucketized-histogram family stays oracle-green via
-        # stats_documents_nchars / lang_nchars_sketch_guard / drift_guard;
+        # lang_nchars_sketch_guard / tdigest_nchars_guard / drift_guard;
         # callable stays pytest-covered).
         "warc_extract_pages": q.warc_extract_pages,
         # large×large shuffle join (engine/join.py) + skew-resistant salted
@@ -220,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (LSH recall is 1.0 on this corpus, so the verified pair set
         # equals the exact all-pairs word-3-gram Jaccard >= 0.5 set)
         "minhash_verified_pairs": q.minhash_verified_pairs,
+        # transitive closure of that pair set via distributed connected
+        # components (engine/graph.py large-star/small-star); the oracle
+        # recomputes pairs AND closure (recursive CTE) from scratch
+        "near_dup_clusters": q.near_dup_clusters,
         # embedding_near_dup_pairs (rows-only) upgraded round 4 to an
         # oracle-checked precision/recall guard over the same code path;
         # the pair-emitting callable stays pytest-covered.
@@ -243,14 +252,6 @@ def oracle_sql() -> dict[str, str]:
                    max(o_totalprice) AS max_price,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders
-        """,
-        "stats_documents_nchars": """
-            SELECT count(*) AS n,
-                   count(*) - count(n_chars) AS n_null,
-                   min(n_chars) AS min_nchars,
-                   max(n_chars) AS max_nchars,
-                   CAST(sum(n_chars) AS BIGINT) AS sum_nchars
-            FROM documents
         """,
         "distinct_lang_exact": """
             SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang FROM documents
@@ -662,6 +663,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE 3 * i >= sa.n + sb.n
+        """,
+        # transitive closure of the exact near-dup pair set (same CTEs as
+        # minhash_verified_pairs) via a recursive reachability CTE;
+        # cluster_id = min doc_id reachable. Pins BOTH the distributed pair
+        # emission and the large-star/small-star connected-components
+        # operator: splitting or merging any component changes cluster_id.
+        "near_dup_clusters": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 3
+                                 THEN list_transform(generate_series(1, len(ws) - 2),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                                 WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                                 ELSE [] END) AS sh
+              FROM w),
+            s AS (SELECT DISTINCT doc_id, sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE 3 * i >= sa.n + sb.n),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
         """,
         # simhash / embedding near-dup guards: the Ray side computes the
         # booleans against exact sides (brute-force share-a-block set,

@@ -583,3 +583,70 @@ def simhash_candidates(
     return _collect_bucket_ids(
         exploded, id_col, ["block", "block_val"], max_bucket_size, unique_ids=True
     )
+
+
+# -- near-dup clustering + survivor filter -----------------------------------
+
+
+def dedup_near(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    concurrency=(1, 8),
+    drop_budget_rows: int = 1 << 22,
+    n_buckets: int | None = None,
+    **near_kwargs,
+):
+    """Keep one row per NEAR-duplicate cluster (min-``id_col`` survivor).
+
+    Composition (the full web-scale near-dedup story):
+
+    1. ``near_dup_pairs`` — MinHash-LSH banding + in-bucket verification
+       (one band-key shuffle; pairs are dup_rate-bounded, << corpus).
+    2. ``graph.connected_components`` — large-star/small-star over the pair
+       list, so transitive near-dups (A~B, B~C, A!~C) collapse into ONE
+       cluster instead of leaking a chain of survivors.
+    3. anti-filter the corpus with the non-survivor ids (budget-aware
+       broadcast / bucketed passes, ``decontam.filter_not_in_ds``).
+
+    Rows never entering a verified pair (incl. null-text rows) are always
+    kept. Same ``id_col`` uniqueness contract as ``dedup_exact``. Pair
+    verification kwargs (``verify``, ``num_bands``, ...) pass through via
+    ``near_kwargs``.
+    """
+    import ray.data as rd
+
+    from medea_ray.engine.decontam import filter_not_in_ds
+    from medea_ray.engine.graph import connected_components
+
+    pairs = near_dup_pairs(
+        ds,
+        id_col,
+        text_col=text_col,
+        threshold=threshold,
+        concurrency=concurrency,
+        **near_kwargs,
+    )
+    if len(pairs) == 0:
+        return ds
+    labels = connected_components(
+        rd.from_pandas(pairs[["id_a", "id_b"]]), "id_a", "id_b"
+    )
+
+    def non_survivors(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(t.column("node"), t.column("cluster"))
+        return pa.table({"drop_id": t.filter(keep).column("node")})
+
+    dropped = labels.map_batches(non_survivors, batch_format="pyarrow")
+    return filter_not_in_ds(
+        ds,
+        id_col,
+        dropped,
+        "drop_id",
+        budget_rows=drop_budget_rows,
+        n_buckets=n_buckets,
+        concurrency=concurrency,
+    )

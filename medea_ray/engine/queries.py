@@ -1253,6 +1253,40 @@ def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Transitive near-duplicate clusters: the verified MinHash pair set
+    (same exact-Jaccard contract as ``minhash_verified_pairs``) closed
+    under connectivity by ``graph.connected_components`` (large-star /
+    small-star, one groupby shuffle per phase per round). Output is
+    (doc_id, cluster_id = min doc_id of the component) for every doc in
+    >= 1 verified pair.
+
+    The DuckDB oracle recomputes the SAME pair set from scratch
+    (integer-only Jaccard threshold) and takes its transitive closure with
+    a recursive CTE — so both the pair emission AND the distributed
+    clustering are pinned by the value hash; a star-phase bug that splits
+    or merges a component changes cluster_id on some row."""
+    import ray.data as rd
+
+    from medea_ray.engine.graph import connected_components
+
+    pairs = minhash_verified_pairs(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+            }
+        )
+    labels = connected_components(
+        rd.from_pandas(pairs), "id_a", "id_b",
+        node_col="doc_id", cluster_col="cluster_id",
+    ).to_pandas()
+    labels["doc_id"] = labels["doc_id"].astype("int64")
+    labels["cluster_id"] = labels["cluster_id"].astype("int64")
+    return labels.sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate embedding pairs via multi-table LSH + exact cosine
     verify. The testdata embeddings are isotropic random vectors (max

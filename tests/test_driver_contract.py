@@ -135,8 +135,12 @@ RETIRED = [
     "events_by_type_daily",
     # round 4: bucketized-histogram entry replaced by the WARC+HTML
     # extraction slot (warc_extract_pages); the histogram family stays
-    # oracle-green via stats_documents_nchars / lang_nchars_sketch_guard
+    # oracle-green via lang_nchars_sketch_guard / drift_guard
     "text_len_histogram",
+    # round 4: basic-stats entry replaced by the near-dup clustering slot
+    # (near_dup_clusters); E6 stays oracle-green via stats_orders_totalprice
+    # + the sketch guards over the same documents column
+    "stats_documents_nchars",
 ]
 
 
