@@ -140,12 +140,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_guard": q.hll_distinct_guard,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
         "lang_nchars_sketch_guard": q.lang_nchars_sketch_guard,
-        # groupby / aggregate / sort / filter engine ops
-        "lang_histogram": q.lang_histogram,
+        # groupby / aggregate / sort / filter engine ops.
+        # lang_histogram retired round 4 for the Misra-Gries heavy-hitters
+        # guard (heavy_hitters_guard): the single-key groupby-count family
+        # stays oracle-green via source_counts_salted / orders_by_nation /
+        # events_daily; callable stays pytest-covered.
+        "heavy_hitters_guard": q.heavy_hitters_guard,
         "source_counts_salted": q.source_counts_salted,
         # orders_by_status retired round 4 (plain single-key groupby-sum;
-        # the op family stays oracle-green via lang_histogram /
-        # source_counts_salted / orders_by_nation) in favour of the
+        # the op family stays oracle-green via source_counts_salted /
+        # orders_by_nation) in favour of the
         # compressed-audio codec guard; callable stays pytest-covered.
         "orders_by_nation": q.orders_by_nation,
         "events_daily": q.events_daily,
@@ -256,8 +260,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_lang_exact": """
             SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang FROM documents
         """,
-        "lang_histogram": """
-            SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        # Misra-Gries heavy-hitters sketch guard: the Ray side checks the
+        # sketch's undercount/coverage/error-bound contracts against a
+        # distributed exact recount; the oracle asserts all three TRUE, so
+        # a trim/merge regression turns the row red.
+        "heavy_hitters_guard": """
+            SELECT true AS bounds_ok, true AS coverage_ok, true AS err_bound_ok
         """,
         "source_counts_salted": """
             SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source

@@ -204,6 +204,84 @@ def lang_histogram(sf_dir: str):
     return uniqueness.group_count(ds, "lang")
 
 
+def heavy_hitters_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side exactness guard for the Misra-Gries heavy-hitters
+    sketch (``stats.heavy_hitters``, E6c): the sketch runs distributed
+    (per-batch exact token counts -> k-counter partials -> tree-combine,
+    NO shuffle), the exact side is the ``top_tokens`` explode shape
+    without the limit; three booleans the oracle asserts TRUE:
+
+    - ``bounds_ok``: every sketched estimate satisfies
+      ``exact - err <= est <= exact`` (the MG undercount contract);
+    - ``coverage_ok``: every token with exact count > ``err`` is present
+      in the sketch (the guarantee that makes the sketch usable);
+    - ``err_bound_ok``: ``err <= n // (k+1)`` AND the sketch's ingested
+      weight ``n`` equals the exact total token count (ties the sketch's
+      traversal to the exact side).
+
+    The exact token-count table is materialized on the driver — fine at
+    guard scale factors (same documented pattern as ``drift_guard``); the
+    sketch path itself never ships more than k entries per block.
+    """
+    import re
+
+    token_re = re.compile(r"[a-z0-9_]+")
+    K = 64
+
+    def token_counts(t: pa.Table) -> dict:
+        counts: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            if txt is None:
+                continue
+            for tok in token_re.findall(txt.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return counts
+
+    sk = stats.heavy_hitters(
+        _read(sf_dir, "documents", columns=["text"]),
+        "text",
+        k=K,
+        batch_counts=token_counts,
+        batch_size=4096,
+    )
+
+    from ray.data.aggregate import Sum
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        counts = token_counts(t)
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact_rows = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(explode_count, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()
+    )
+    exact = {r["token"]: r["n"] for r in exact_rows}
+    est = dict(sk["items"])
+    err, n = sk["err"], sk["n"]
+    bounds_ok = all(
+        exact.get(v, 0) - err <= e <= exact.get(v, 0) for v, e in est.items()
+    )
+    coverage_ok = all(v in est for v, c in exact.items() if c > err)
+    err_bound_ok = err <= n // (K + 1) and n == sum(exact.values())
+    return pd.DataFrame(
+        [
+            {
+                "bounds_ok": bool(bounds_ok),
+                "coverage_ok": bool(coverage_ok),
+                "err_bound_ok": bool(err_bound_ok),
+            }
+        ]
+    )
+
+
 def source_counts_salted(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source"])
     return uniqueness.salted_group_count(ds, "source", n_salts=8)

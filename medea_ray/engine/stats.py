@@ -512,3 +512,137 @@ def approx_distinct(ds, col: str, p: int = 14) -> float:
 def quantiles(ds, col: str, qs=(0.5, 0.95, 0.99)) -> dict:
     s = sketch_summary(ds, tdigest_cols=[col], quantile_qs=qs)[col]
     return {k: v for k, v in s.items() if k.startswith("p")}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (E6c): approximate top-weight values with a
+# deterministic error bound, NO shuffle — the third mergeable sketch next
+# to HLL (distinct) and TDigest (quantiles).
+
+
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitters summary.
+
+    Semantics per Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable
+    Summaries" (PODS 2012, §3.1): at most ``k`` counters; whenever the
+    table would exceed k entries, subtract the (k+1)-th largest count from
+    every counter and drop the non-positive ones. Invariants (pinned by
+    tests):
+
+    - every estimate UNDERcounts: ``true - err <= est <= true``;
+    - ``err`` (the sum of applied decrements) is tracked exactly and is
+      itself bounded by ``n / (k+1)`` where ``n`` is the total ingested
+      weight — so any value with true count > n/(k+1) is guaranteed
+      present;
+    - merge = pointwise add + one trim; associative and order-insensitive
+      in its guarantees (estimates may differ by merge order, bounds never
+      do), so Ray's batch/tree-combine boundaries never break it.
+    """
+
+    __slots__ = ("k", "counts", "n", "err")
+
+    def __init__(self, k: int = 256):
+        if k < 1:
+            raise ValueError(f"MisraGries k must be >= 1, got {k}")
+        self.k = int(k)
+        self.counts: dict = {}
+        self.n = 0  # total ingested weight (exact Python int)
+        self.err = 0  # max possible undercount (sum of decrements)
+
+    def add_counts(self, d: dict):
+        c = self.counts
+        for t, w in d.items():
+            c[t] = c.get(t, 0) + int(w)
+            self.n += int(w)
+        self._trim()
+
+    def _trim(self):
+        if len(self.counts) <= self.k:
+            return
+        # (k+1)-th largest count is the decrement
+        dec = sorted(self.counts.values(), reverse=True)[self.k]
+        self.counts = {t: c - dec for t, c in self.counts.items() if c > dec}
+        self.err += dec
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError(f"cannot merge MisraGries k={self.k} with k={other.k}")
+        c = self.counts
+        for t, w in other.counts.items():
+            c[t] = c.get(t, 0) + w
+        self.n += other.n
+        self.err += other.err
+        self._trim()
+        return self
+
+    def items(self):
+        """(value, estimate) sorted by estimate desc, value asc — the
+        deterministic presentation order."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _batch_value_counts(t: pa.Table, col: str) -> dict:
+    """Exact per-batch value counts via one Arrow group_by (vectorized;
+    nulls dropped — a null is the absence of a value, matching SQL
+    count(col) semantics)."""
+    g = (
+        t.select([col])
+        .filter(pc.is_valid(t.column(col)))
+        .group_by(col)
+        .aggregate([([], "count_all")])
+    )
+    return dict(zip(g.column(col).to_pylist(), g.column("count_all").to_pylist()))
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    k: int = 256,
+    batch_size: int = 65536,
+    combine_fanin: int = 64,
+    max_driver_states: int = 512,
+    batch_counts=None,
+) -> dict:
+    """Approximate heaviest values of ``col`` in ONE streaming pass with no
+    shuffle: each batch computes exact local counts (Arrow group_by, or a
+    custom ``batch_counts(table) -> dict`` for derived domains like
+    tokens), feeds a k-counter Misra-Gries partial, and the pickled
+    partials tree-combine exactly like ``sketch_summary`` (the driver
+    never merges more than ``max_driver_states``).
+
+    Returns ``{"items": [(value, est)], "n": total_weight, "err":
+    max_undercount, "k": k}``; ``err <= n/(k+1)`` always, so callers can
+    trust any value whose estimate exceeds ``err`` and know nothing with
+    true count > n/(k+1) was missed. Contrast with the exact ``top_tokens``
+    shape, which shuffles (value, partial) rows: at 100 TB the sketch
+    ships a fixed k-entry state per block instead of the value domain.
+    """
+    import pickle
+
+    counts_of = batch_counts or (lambda t: _batch_value_counts(t, col))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        mg.add_counts(counts_of(t))
+        return pa.table({"state": pa.array([pickle.dumps(mg)], pa.large_binary())})
+
+    def merge_batch(t: pa.Table) -> pa.Table:
+        raw = t.column("state").to_pylist()
+        acc = pickle.loads(raw[0])
+        for b in raw[1:]:
+            acc.merge(pickle.loads(b))
+        return pa.table({"state": pa.array([pickle.dumps(acc)], pa.large_binary())})
+
+    cur = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    while True:
+        cur = cur.materialize()  # k-entry states only, never data
+        if cur.count() <= max_driver_states:
+            break
+        cur = cur.map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=combine_fanin
+        )
+    parts = [pickle.loads(r["state"]) for r in cur.take_all()]
+    acc = parts[0] if parts else MisraGries(k)
+    for s in parts[1:]:
+        acc.merge(s)
+    return {"items": acc.items(), "n": acc.n, "err": acc.err, "k": acc.k}

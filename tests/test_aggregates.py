@@ -473,3 +473,108 @@ def test_sketch_summary_tree_combine_exact(ray_session):
     assert tree["v"]["approx_distinct"] == flat["v"]["approx_distinct"]
     # t-digest is approximate; the tree must stay within its usual tolerance
     assert abs(tree["v"]["p50"] - n / 2) <= 0.02 * n
+
+
+# -- Misra-Gries heavy hitters (E6c) -----------------------------------------
+
+
+def _zipf_values(n, n_distinct, seed):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n_distinct + 1) ** 1.3
+    return rng.choice(
+        [f"v{i:04d}" for i in range(n_distinct)], size=n, p=w / w.sum()
+    )
+
+
+def test_misra_gries_exact_when_small():
+    from collections import Counter
+
+    from medea_ray.engine.stats import MisraGries
+
+    vals = _zipf_values(5000, 40, 1)
+    mg = MisraGries(64)  # distinct <= k: no trim ever fires
+    for chunk in np.array_split(vals, 7):
+        mg.add_counts(dict(Counter(chunk.tolist())))
+    assert mg.err == 0 and mg.n == 5000
+    assert dict(mg.items()) == dict(Counter(vals.tolist()))
+
+
+def test_misra_gries_bounds_and_coverage():
+    from collections import Counter
+
+    from medea_ray.engine.stats import MisraGries
+
+    vals = _zipf_values(40000, 1000, 2)
+    exact = Counter(vals.tolist())
+    mg = MisraGries(32)
+    for chunk in np.array_split(vals, 13):
+        mg.add_counts(dict(Counter(chunk.tolist())))
+    assert mg.n == 40000
+    assert mg.err <= mg.n // 33  # err <= n/(k+1)
+    for v, est in mg.items():
+        assert exact[v] - mg.err <= est <= exact[v]
+    # anything heavier than err must survive the trims
+    kept = dict(mg.items())
+    for v, c in exact.items():
+        if c > mg.err:
+            assert v in kept, (v, c, mg.err)
+
+
+def test_misra_gries_merge_preserves_bounds():
+    from collections import Counter
+
+    from medea_ray.engine.stats import MisraGries
+
+    vals = _zipf_values(30000, 500, 3)
+    exact = Counter(vals.tolist())
+    parts = []
+    for chunk in np.array_split(vals, 10):
+        mg = MisraGries(32)
+        mg.add_counts(dict(Counter(chunk.tolist())))
+        parts.append(mg)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert acc.n == 30000
+    assert acc.err <= acc.n // 33
+    for v, est in acc.items():
+        assert exact[v] - acc.err <= est <= exact[v]
+    with pytest.raises(ValueError):
+        acc.merge(MisraGries(16))
+
+
+def test_heavy_hitters_distributed_vs_exact(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from medea_ray.engine.stats import heavy_hitters
+
+    vals = _zipf_values(60000, 800, 4)
+    exact = Counter(vals.tolist())
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    sk = heavy_hitters(ds, "v", k=48, batch_size=4096, max_driver_states=4)
+    assert sk["n"] == 60000
+    assert sk["err"] <= sk["n"] // 49
+    est = dict(sk["items"])
+    assert len(est) <= 48
+    for v, e in est.items():
+        assert exact[v] - sk["err"] <= e <= exact[v]
+    for v, c in exact.items():
+        if c > sk["err"]:
+            assert v in est
+
+
+def test_heavy_hitters_empty_and_nulls(ray_session):
+    import ray.data as rd
+
+    from medea_ray.engine.stats import heavy_hitters
+
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    sk = heavy_hitters(empty, "v", k=8)
+    assert sk["items"] == [] and sk["n"] == 0 and sk["err"] == 0
+    withnull = rd.from_arrow(
+        pa.table({"v": pa.array(["a", None, "a", "b", None])})
+    )
+    sk = heavy_hitters(withnull, "v", k=8)
+    assert dict(sk["items"]) == {"a": 2, "b": 1}
+    assert sk["n"] == 3  # nulls are absence, not weight

@@ -141,6 +141,10 @@ RETIRED = [
     # (near_dup_clusters); E6 stays oracle-green via stats_orders_totalprice
     # + the sketch guards over the same documents column
     "stats_documents_nchars",
+    # round 4: single-key groupby-count entry replaced by the Misra-Gries
+    # heavy-hitters guard (heavy_hitters_guard); family stays oracle-green
+    # via source_counts_salted / orders_by_nation / events_daily
+    "lang_histogram",
 ]
 
 
