@@ -255,6 +255,50 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["media_decode_100k"], _ = _timed(media_decode)
 
+        # round 4: WARC round-trip + HTML extraction throughput — 100k
+        # synthesized pages: html bytes -> WARC gzip members -> record
+        # walk -> HTMLParser extraction, all inside map_batches (the
+        # Common-Crawl source shape behind warc_extract_pages)
+        from datetime import datetime, timezone
+
+        from medea_ray.engine.htmltext import HtmlExtractor
+        from medea_ray.engine.warc import make_warc, warc_records_to_table
+
+        def warc_extract():
+            import pyarrow as pa
+
+            base = datetime(2026, 3, 1, tzinfo=timezone.utc)
+
+            def to_warc_pages(t):
+                recs = []
+                for i in t.column("id").to_pylist():
+                    body = " ".join(f"tok{i}_{j}" for j in range(60))
+                    html = (
+                        f"<html><head><title>Doc {i}</title></head>"
+                        f"<body><p>{body}</p></body></html>"
+                    ).encode()
+                    recs.append(
+                        {"url": f"https://bench.example/{i}", "date": base, "html": html}
+                    )
+                return warc_records_to_table(make_warc(recs), path="")
+
+            pages100k = rd.range(100_000).map_batches(
+                to_warc_pages, batch_format="pyarrow", batch_size=512
+            )
+            out = pages100k.map_batches(
+                HtmlExtractor,
+                fn_constructor_kwargs=dict(html_col="html"),
+                batch_format="pyarrow",
+                batch_size=256,
+                concurrency=pool,
+                num_cpus=0.75,
+            )
+            n = out.count()
+            assert n == 100_000, n
+            return n
+
+        results["warc_extract_100k"], _ = _timed(warc_extract)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

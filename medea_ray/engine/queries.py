@@ -226,7 +226,10 @@ def heavy_hitters_guard(sf_dir: str) -> pd.DataFrame:
     import re
 
     token_re = re.compile(r"[a-z0-9_]+")
-    K = 64
+    # the testdata vocabulary is ~31 tokens at sf0.01: k=16 < |vocab|
+    # forces real trims through the distributed path, so err > 0 and the
+    # bounds are non-trivial (k >= |vocab| would sketch exactly)
+    K = 16
 
     def token_counts(t: pa.Table) -> dict:
         counts: dict[str, int] = {}
