@@ -28,10 +28,11 @@ point concentrates each component on its root's group, so component size
 must fit one worker's group — the same contract as the capped dedup
 buckets, except that capping edges here would silently split clusters,
 so an oversized component RAISES (``max_component``) instead of dropping.
-Convergence is detected by an order-insensitive 64-bit multiset
-fingerprint of the edge set (count + sum of per-edge hashes): two
-consecutive identical fingerprints mean the star-forest fixed point was
-reached; ``max_rounds`` bounds the loop loudly.
+Convergence is detected by an order-insensitive multiset fingerprint of
+the edge set — (count, sum of per-edge 64-bit hashes) — identical for two
+consecutive rounds.  The count side is metadata-only on a materialized
+dataset, so the hash scan runs only in rounds whose count matched the
+previous round's (~the final two); ``max_rounds`` bounds the loop loudly.
 """
 
 from __future__ import annotations
@@ -110,13 +111,15 @@ def _small_star_group(t: pa.Table, max_component: int) -> pa.Table:
     )
 
 
-def _fingerprint(es) -> tuple[int, int]:
-    """Order-insensitive multiset fingerprint (n_edges, 64-bit hash sum).
+def _hash_sum(es) -> int:
+    """Order-insensitive 64-bit multiset hash sum of the edge set.
 
     Integer ids hash vectorized in numpy (uint64 wraparound is the point);
     other types fall through to a per-row blake2b — documented cost, and
-    CC rounds are few. The per-block partials are 2-int rows summed on the
-    driver with Python ints (pc.sum would wrap int64 silently)."""
+    this scan only runs in rounds whose edge COUNT matched the previous
+    round's (see the convergence loop). The per-block partials are 2-int
+    rows summed on the driver with Python ints (pc.sum would wrap int64
+    silently)."""
 
     def per_batch(t: pa.Table) -> pa.Table:
         u, v = t.column("u"), t.column("v")
@@ -135,7 +138,6 @@ def _fingerprint(es) -> tuple[int, int]:
                 s = (s + int.from_bytes(d, "little")) & _U64
         return pa.table(
             {
-                "n": pa.array([t.num_rows], pa.int64()),
                 # split the u64 so the partial rides in two exact int64s
                 "h_lo": pa.array([s & 0x7FFFFFFF], pa.int64()),
                 "h_hi": pa.array([s >> 31], pa.int64()),
@@ -143,9 +145,7 @@ def _fingerprint(es) -> tuple[int, int]:
         )
 
     rows = es.map_batches(per_batch, batch_format="pyarrow").take_all()
-    n = sum(r["n"] for r in rows)
-    h = sum((r["h_hi"] << 31) | r["h_lo"] for r in rows) & _U64
-    return n, h
+    return sum((r["h_hi"] << 31) | r["h_lo"] for r in rows) & _U64
 
 
 def connected_components(
@@ -191,7 +191,15 @@ def connected_components(
             )
         )
 
-    prev = None
+    # Convergence = identical (count, multiset-hash) for two consecutive
+    # rounds.  count() on a materialized dataset is metadata-only (no task
+    # wave), so the hash SCAN runs only in rounds whose count matched the
+    # previous round's — i.e. ~only the final two rounds near the fixed
+    # point, not every round.  prev_es is held one extra generation so its
+    # hash can be computed lazily the first time counts match.
+    prev_n: int | None = None
+    prev_h: int | None = None
+    prev_es = None
     for round_i in range(max_rounds):
         large = (
             es.map_batches(_both_orientations, batch_format="pyarrow")
@@ -210,19 +218,27 @@ def connected_components(
             )
             .materialize()
         )
-        fp = _fingerprint(es)
-        if fp == prev:
-            _log.info(
-                "connected_components: converged after %d rounds (%d edges)",
-                round_i + 1,
-                fp[0],
-            )
-            break
-        prev = fp
+        n = es.count()
+        if n == prev_n:
+            if prev_h is None:
+                prev_h = _hash_sum(prev_es)
+            h = _hash_sum(es)
+            if h == prev_h:
+                _log.info(
+                    "connected_components: converged after %d rounds "
+                    "(%d edges)",
+                    round_i + 1,
+                    n,
+                )
+                break
+            prev_h = h
+        else:
+            prev_h = None
+        prev_n, prev_es = n, es
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
-            f" (last fingerprint {prev}); raise max_rounds"
+            f" (last edge count {prev_n}); raise max_rounds"
         )
 
     def label_group(t: pa.Table) -> pa.Table:

@@ -6,9 +6,11 @@ url" (BASELINE.json input_hint): whatever algorithm produces ``text`` from
 shapes — agree byte-for-byte.  This module IS that function:
 
 1. decode bytes (charset sniff from a ``charset=`` declaration in the
-   first 2048 bytes: utf-8 / latin-1 / ascii honoured; anything else or
-   no declaration → utf-8 with U+FFFD replacement — deterministic, never
-   raises),
+   first 2048 bytes: utf-8 / ascii honoured; the latin-1 label family
+   decodes as cp1252 per WHATWG — 0x80–0x9F are smart quotes/dashes on
+   the legacy web, not C1 controls — with U+FFFD for cp1252's five
+   unmapped bytes; anything else or no declaration → utf-8 with U+FFFD
+   replacement — deterministic, never raises),
 2. stream through :class:`html.parser.HTMLParser` (``convert_charrefs``
    so ``&amp;`` / ``&#x41;`` decode in data),
 3. DROP everything inside ``script`` / ``style`` / ``template`` /
@@ -60,8 +62,11 @@ def _decode(html: bytes | str) -> str:
     if m:
         name = m.group(1).decode("ascii", "ignore").lower()
         if name in _LATIN1_NAMES:
-            # latin-1 / cp1252 family: latin-1 maps every byte, total
-            return html.decode("latin-1")
+            # WHATWG maps every latin-1 label to windows-1252: legacy-web
+            # bytes 0x80-0x9F are smart quotes / em-dash / euro there, C1
+            # controls in real latin-1.  errors="replace" keeps the decode
+            # total and deterministic (cp1252 leaves only 5 bytes unmapped).
+            return html.decode("cp1252", "replace")
         # utf-8 family (and unknown charsets) fall through to the default
     return html.decode("utf-8", "replace")
 
@@ -80,7 +85,7 @@ class _Extractor(HTMLParser):
             self.skip_depth += 1
         elif tag == "title":
             self.in_title += 1
-        elif tag == "a" and any(k == "href" for k, _ in attrs):
+        elif tag == "a" and not self.skip_depth and any(k == "href" for k, _ in attrs):
             self.n_links += 1
         if tag in _BLOCK_TAGS:
             self.chunks.append("\n")
@@ -96,7 +101,7 @@ class _Extractor(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # <br/> etc: same boundary semantics as a start tag, no nesting
-        if tag == "a" and any(k == "href" for k, _ in attrs):
+        if tag == "a" and not self.skip_depth and any(k == "href" for k, _ in attrs):
             self.n_links += 1
         if tag in _BLOCK_TAGS:
             self.chunks.append("\n")

@@ -10,8 +10,11 @@ stream record-at-a-time.  This module provides
   per-record-gzip-member layout Common Crawl uses and plain uncompressed),
 - :func:`iter_warc_records` — a tolerant record walker over raw bytes
   (truncated / garbage tails yield the complete prefix, never raise),
-- :func:`read_warc` — the Ray Data source: ``read_binary_files`` +
-  ``flat_map``-style batch expansion to one row per ``response`` record.
+- :func:`read_warc` — the Ray Data source: a path-per-row dataset whose
+  read task opens the RAW bytes itself (``read_binary_files`` is
+  deliberately NOT used: it transparently gunzips ``.warc.gz`` by
+  extension, so one corrupt member kills the whole task) and expands each
+  file to one row per ``response`` record.
 
 Scale shape: the parallel unit is one WARC FILE (gzip members cannot be
 split without an external index; Common Crawl shards are ~1 GB, so 100 TB
@@ -136,19 +139,35 @@ def make_warc(
     return b"".join(out)
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes, *, _chunk: int = 1 << 20) -> bytes:
     """Decompress a multi-member gzip stream; tolerate a truncated or
-    garbage tail by returning every complete member decoded so far."""
-    out, buf = [], data
-    while buf[:2] == b"\x1f\x8b":
+    garbage tail by returning every complete member decoded so far (plus
+    the decoded prefix of a truncated final member — the record walker
+    drops any truncated final record anyway).
+
+    Linear in file size: each member's decompressor is fed bounded chunks
+    through a memoryview.  The obvious ``d.unused_data`` loop copies the
+    entire remaining compressed tail once per member — O(members × bytes),
+    hours on a real ~1 GB Common-Crawl shard with one member per record."""
+    out: list[bytes] = []
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    while pos + 2 <= n and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        member_start = len(out)
         try:
-            out.append(d.decompress(buf))
+            while not d.eof and pos < n:
+                end = min(pos + _chunk, n)
+                out.append(d.decompress(mv[pos:end]))
+                pos = end
         except zlib.error:
-            break  # corrupt member: keep the complete prefix
+            del out[member_start:]  # corrupt member contributes nothing
+            break
         if not d.eof:
-            break  # truncated final member
-        buf = d.unused_data
+            break  # truncated final member: keep the decoded prefix
+        # Only chunks fed after this member's end are unconsumed, so the
+        # rewind stays within the last chunk.
+        pos -= len(d.unused_data)
     return b"".join(out)
 
 
@@ -249,8 +268,10 @@ def warc_records_to_table(data: bytes, path: str = "") -> pa.Table:
 
 
 def read_warc(paths: list[str] | str, *, on_corrupt: str = "fail"):
-    """Ray Data WARC source: ``read_binary_files`` (one task per file — the
-    gzip-member layout forbids intra-file splits) → per-file expansion to
+    """Ray Data WARC source: one read task per file (the gzip-member
+    layout forbids intra-file splits), each opening the raw bytes itself —
+    NOT ``read_binary_files``, which would transparently gunzip by
+    extension and crash the task on one corrupt member — and expanding to
     one row per response record.
 
     ``on_corrupt="skip"`` maps an unreadable file to zero rows (the

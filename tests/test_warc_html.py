@@ -208,3 +208,65 @@ def test_warc_pages_validate_like_parquet_pages(ray_session, tmp_path):
         payload = json.dumps(row["ext_text"])
         vj = validate(schema, payload)  # raises MedeaValidationError if invalid
         assert "$start" in vj.valid_against()
+
+
+# -- round-4 review regressions ----------------------------------------------
+
+
+def test_gunzip_members_chunked_semantics():
+    """_gunzip_members is chunk-fed (linear, never re-feeds the tail);
+    semantics pinned at a tiny chunk so member boundaries straddle chunks:
+    full decode == member concat, a corrupt member contributes nothing
+    (complete prefix kept), a truncated final member keeps its decoded
+    prefix."""
+    import gzip
+    import io
+
+    from medea_ray.engine.warc import _gunzip_members
+
+    def member(payload: bytes) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(payload)
+        return buf.getvalue()
+
+    payloads = [f"member-{i}-".encode() * (i % 7 + 1) for i in range(50)]
+    members = [member(p) for p in payloads]
+    stream = b"".join(members)
+    for chunk in (16, 64, 1 << 20):
+        assert _gunzip_members(stream, _chunk=chunk) == b"".join(payloads)
+
+    # corrupt the deflate body of member 3: members 0-2 survive intact,
+    # the corrupt member contributes nothing, the walk stops there
+    bad = bytearray(stream)
+    off = sum(len(m) for m in members[:3]) + 12
+    bad[off] ^= 0xFF
+    bad[off + 1] ^= 0xFF
+    got = _gunzip_members(bytes(bad), _chunk=16)
+    assert got.startswith(b"".join(payloads[:3]))
+    assert b"member-4-" not in got
+
+    # truncated final member: every complete member survives
+    cut = stream[: sum(len(m) for m in members[:5]) + 10]
+    got = _gunzip_members(cut, _chunk=16)
+    assert got.startswith(b"".join(payloads[:5]))
+
+
+def test_extract_text_cp1252_smart_quotes():
+    # WHATWG: every latin-1 label decodes as windows-1252 — 0x93/0x94/0x97
+    # are curly quotes and em-dash on the legacy web, not C1 controls
+    for label in ("windows-1252", "iso-8859-1", "latin1"):
+        raw = f'<meta charset="{label}"><p>\x93hi\x94 \x97 ok</p>'.encode("latin-1")
+        assert extract_text(raw)["text"] == "“hi” — ok"
+
+
+def test_n_links_excludes_skip_regions():
+    html = (
+        b'<noscript><a href="/x">fallback</a></noscript>'
+        b'<script>var a = \'<a href="/y">\';</script>'
+        b'<template><a href="/t"/></template>'
+        b'<a href="/real">real</a>'
+    )
+    r = extract_text(html)
+    assert r["n_links"] == 1
+    assert r["text"] == "real"
