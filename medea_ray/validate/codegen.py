@@ -15,7 +15,8 @@ O(P) per key — measured 3× slower than dict dispatch at P=50). Custom
 candidate dispatch is flattened to an OR over the deduplicated transitive
 closure (boolean-identical to the reference's first-success DFS), so
 diamond-shaped candidate DAGs evaluate in linear time where a naive
-recursion — and the generic kernel — is 2^depth on rejecting documents.
+recursion is 2^depth on rejecting documents (the generic kernel stays
+polynomial via its per-(container, schema, depth) memo).
 
 The contract is the same as ``fastpath.py``:
 
@@ -537,8 +538,11 @@ def compile_fast_codegen(schema_map) -> Callable[[Any], bool]:
         return f
     steps = ns["_S"]
 
-    def fast(v, _f=f, _s=steps):
-        _s[0] = 0  # per-document step budget (see emit_fn guard)
-        return _f(v, 0)
+    def fast(v, _d=0):
+        # (v, _d=0) is the calling convention every fast-path callable
+        # keeps (fastpath.compile_fast, the generated per-schema fns);
+        # f/steps are closed over so a positional second arg stays a depth
+        steps[0] = 0  # per-document step budget (see emit_fn guard)
+        return f(v, _d)
 
     return fast

@@ -205,18 +205,25 @@ class _Checker:
         self.path: list = []
         self.annotate = bool(annotate)
         self.subtree = annotate == "subtree"
-        # (id(container), schema_name) -> first MedeaValidationError /
-        # success result. Candidate backtracking re-checks the SAME
+        # (id(container), schema_name, depth) -> first MedeaValidationError
+        # / success result. Candidate backtracking re-checks the SAME
         # container against the same schema through different parents —
         # without these memos a diamond candidate set over a deep
         # document is exponential (2^depth child re-dispatches, both on
         # rejecting docs via failures and on accepting docs via success
-        # re-walks of aborted derivations). Parsed JSON never aliases
-        # containers, so id() identifies one document position and the
-        # cached error's path is exact. Success results (None, or the
-        # plain-mode tuple tree — immutable) are cached in every mode
-        # EXCEPT "subtree", whose list trees are relabelled in place by
-        # the enclosing dispatch and must stay per-position.
+        # re-walks of aborted derivations); those re-checks happen at the
+        # SAME depth, so keying on depth preserves the polynomial bound.
+        # Depth is in the key because verdicts depend on it through
+        # MAX_DEPTH: an ALIASED container (possible only through the
+        # public validate_obj API — parsed JSON never aliases) validated
+        # at two depths may legitimately pass at one and overflow at the
+        # other. For aliased same-depth occurrences only the reported
+        # error path/detail may reference the first occurrence; the
+        # verdict itself is a function of (value, schema, depth). Success
+        # results (None, or the plain-mode tuple tree — immutable) are
+        # cached in every mode EXCEPT "subtree", whose list trees are
+        # relabelled in place by the enclosing dispatch and must stay
+        # per-position.
         self._fail_memo: dict = {}
         self._ok_memo: dict | None = None if annotate == "subtree" else {}
 
@@ -234,11 +241,15 @@ class _Checker:
     def check_schema_of(self, v, scm: CompiledSchema, as_name: str):
         """Validate v against schema `as_name` (checkCustom body,
         Data/Medea.hs:398-404): candidates = scm.types_as, parent = name.
-        Container results are memoized per (id, schema) — see __init__."""
+        Container results are memoized per (id, schema, depth) — see
+        __init__."""
         tv = type(v)
-        if tv is not list and tv is not dict:
+        if not (tv is list or tv is dict or isinstance(v, (list, dict))):
+            # isinstance fallback: list/dict SUBCLASSES reach the public
+            # validate_obj API too, and skipping the memo for them would
+            # leave the exponential-backtracking DoS reachable there
             return self._dispatch(v, scm, as_name)
-        key = (id(v), as_name)
+        key = (id(v), as_name, len(self.path))
         prior = self._fail_memo.get(key)
         if prior is not None:
             raise prior

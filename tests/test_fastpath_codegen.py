@@ -397,7 +397,12 @@ def test_kernel_uses_codegen_fastpath():
 
     kernel = ValidatorKernel(flagship_schema_text(), "payload", "url")
     # the budget-reset entry wrapper closes over the generated function
-    inner = kernel.fast.__defaults__[0] if kernel.fast.__defaults__ else kernel.fast
+    cells = [
+        c.cell_contents
+        for c in (kernel.fast.__closure__ or ())
+        if callable(c.cell_contents)
+    ]
+    inner = cells[0] if cells else kernel.fast
     assert inner.__code__.co_filename == "<medea-fastpath-codegen>"
 
 
@@ -467,3 +472,60 @@ def test_always_true_diamond_dag_compiles_fast():
     assert eval_s < 1.0, f"diamond DAG eval took {eval_s:.2f}s"
     # parity vs the (exponential-on-reject) generic kernel at depth 8
     _agree(compile_schema(_diamond_schema(8)), [1, "x", True, None, [], {}])
+
+
+def test_diamond_subclass_containers_polynomial():
+    """list/dict SUBCLASSES reach the public validate_obj API (parsed JSON
+    never produces them, arbitrary Python objects do) and used to bypass
+    the (id, schema, depth) memo — leaving the exponential-backtracking
+    DoS reachable there: 40 subclass levels never terminated."""
+    import time
+
+    class L(list):
+        pass
+
+    graph = compile_schema(_DIAMOND_SCHEMA)
+    reject = 1
+    accept = L()
+    for _ in range(40):
+        reject = L([reject])
+        accept = L([accept])
+    t0 = time.time()
+    with pytest.raises(MedeaValidationError) as exc:
+        validate_obj(graph, reject)
+    assert exc.value.code == "not_one_of_options"
+    assert validate_obj(graph, accept) is None
+    assert time.time() - t0 < 10
+
+
+def test_aliased_container_verdict_is_depth_exact():
+    """The memo key includes depth: an ALIASED container validated at two
+    depths may pass at one and overflow MAX_DEPTH at the other, and a
+    depth-blind ok-memo hit used to ACCEPT the whole document in plain /
+    node-annotate modes while subtree mode (no ok-memo) rejected — the
+    verdict must not depend on annotate mode."""
+    rec = (
+        "$schema $start\n    $type\n        $array\n"
+        "    $element-type\n        $start\n"
+    )
+    graph = compile_schema(rec)
+    shared = _nest(150, [])          # valid at depth 1 (bottom at 151)
+    doc = [shared, _nest(60, shared)]  # aliased at depth 61 (bottom at 211)
+    for mode in (False, True, "subtree"):
+        with pytest.raises(MedeaValidationError) as exc:
+            validate_obj(graph, doc, annotate=mode)
+        assert exc.value.code == "max_depth_exceeded", mode
+    # and the aliased-but-in-bounds variant accepts in every mode
+    ok_doc = [shared, [shared]]
+    for mode in (False, True, "subtree"):
+        validate_obj(graph, ok_doc, annotate=mode)
+
+
+def test_codegen_entry_keeps_depth_calling_convention():
+    """Every fast-path callable takes (v, _d=0); the codegen entry wrapper
+    used to bind its implementation objects as the optional params, so a
+    positional second arg crashed."""
+    graph = compile_schema(_DIAMOND_SCHEMA)
+    fast = compile_fast_codegen(graph)
+    assert fast(_nest(5, []), 0) is True
+    assert fast(_nest(5, 1), 0) is False

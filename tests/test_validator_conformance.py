@@ -308,9 +308,10 @@ def test_subtree_annotation_via_validate():
 # hypothesis differential: arbitrary JSON docs (independent of the fixture
 # generators) against every fixture schema — the fast path must agree with
 # the generic kernel in BOTH directions on parser-representable values
-# (its only sanctioned under-accepts are non-builtin subclasses and
-# recursion-depth edges, neither of which hypothesis' builtin strategies
-# produce at max_leaves=10)
+# (its only sanctioned under-accepts are non-builtin subclasses,
+# recursion-depth edges, and documents past kernel.FAST_STEP_BUDGET
+# dispatch steps — none of which hypothesis' builtin strategies produce
+# at max_leaves=10)
 
 import functools
 
