@@ -157,7 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family stays oracle-green via events_daily / events_tumbling_6h /
         # user_event_pivot) in favour of the MJPEG AVI video guard;
         # callable stays pytest-covered.
-        "top_users_by_events": q.top_users_by_events,
+        # top_users_by_events retired round 4 (global top-k by count; the
+        # family stays oracle-green via top_events_per_user (per-group
+        # top-k), top_tokens (explode → count → top-k) and
+        # source_counts_salted) in favour of the image-resize guard —
+        # the decode → RESIZE → feature verb of the multimodal brief;
+        # callable stays pytest-covered.
+        "image_resize_guard": q.image_resize_guard,
         "lineitem_filter_project": q.lineitem_filter_project,
         # text_len_histogram retired round 4 for the WARC+HTML-extraction
         # slot (bucketized-histogram family stays oracle-green via
@@ -285,10 +291,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY 1
         """,
-        "top_users_by_events": """
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY user_id
-            ORDER BY n DESC, user_id LIMIT 10
+        # Image resize, recomputed CLOSED-FORM: the Ray side decodes a
+        # real PPM whose pixel (y,x,c) = (y*3w + 3x + c + doc_id*11) % 256
+        # and nearest-resizes with source index (Y*h)//oh — pure integer
+        # arithmetic, so DuckDB recomputes the exact resized pixel sum
+        # over a generate_series grid; bilinear_id_sum is the bilinear
+        # identity resize (target == source dims reproduces the image
+        # exactly under the half-pixel-center convention), i.e. the
+        # closed-form full-image sum.
+        "image_resize_guard": """
+            WITH d AS (
+              SELECT doc_id,
+                     4 + doc_id % 13 AS w,
+                     3 + (doc_id // 13) % 11 AS h,
+                     2 + doc_id % 7 AS ow,
+                     2 + (doc_id // 7) % 5 AS oh
+              FROM documents
+            ),
+            nearest AS (
+              SELECT d.doc_id,
+                     CAST(sum(
+                       ((((y.v * d.h) // d.oh) * 3 * d.w)
+                        + 3 * ((x.v * d.w) // d.ow)
+                        + c.v + d.doc_id * 11) % 256
+                     ) AS BIGINT) AS resized_sum
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(0, d.oh - 1)) AS v) y,
+                   LATERAL (SELECT unnest(generate_series(0, d.ow - 1)) AS v) x,
+                   (SELECT unnest([0, 1, 2]) AS v) c
+              GROUP BY d.doc_id
+            ),
+            ident AS (
+              SELECT d.doc_id,
+                     CAST(sum((i.v + d.doc_id * 11) % 256) AS BIGINT)
+                       AS bilinear_id_sum
+              FROM d,
+                   LATERAL (SELECT unnest(generate_series(0, 3 * d.w * d.h - 1)) AS v) i
+              GROUP BY d.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(d.ow AS BIGINT) AS resized_width,
+                   CAST(d.oh AS BIGINT) AS resized_height,
+                   n.resized_sum,
+                   ident.bilinear_id_sum
+            FROM d JOIN nearest n USING (doc_id) JOIN ident USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "lineitem_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity

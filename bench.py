@@ -255,6 +255,39 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["media_decode_100k"], _ = _timed(media_decode)
 
+        # round 4: image resize throughput — decode 100k PPMs and
+        # bilinear-resize each to 32x32 (the thumbnail / model-input
+        # shape), actor pool, payload dropped after the stage
+        from medea_ray.engine.multimodal import make_ppm, resize_images
+
+        def image_resize():
+            import pyarrow as pa
+
+            def to_ppm(t):
+                ids = t.column("id").to_pylist()
+                return pa.table({
+                    "id": t.column("id"),
+                    "blob": pa.array(
+                        [make_ppm(8 + i % 25, 8 + (i // 25) % 17, seed=i) for i in ids],
+                        pa.large_binary(),
+                    ),
+                })
+
+            blobs = rd.range(100_000).map_batches(to_ppm, batch_format="pyarrow")
+            out = resize_images(
+                blobs, "blob", out_h=32, out_w=32, method="bilinear",
+                batch_size=512, concurrency=pool,
+            )
+            import pyarrow.compute as pc
+
+            n_ok = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n_ok += pc.sum(pc.cast(b.column("resize_ok"), "int64")).as_py()
+            assert n_ok == 100_000, n_ok
+            return n_ok
+
+        results["image_resize_100k"], _ = _timed(image_resize)
+
         # round 4: WARC round-trip + HTML extraction throughput — 100k
         # synthesized pages: html bytes -> WARC gzip members -> record
         # walk -> HTMLParser extraction, all inside map_batches (the

@@ -42,6 +42,13 @@ codecs (MP3/AAC/H.264) still need real libraries: ``decoder="pil"``/
 installed, and ``decoder="fake"`` remains the deterministic hash-derived
 stand-in for plumbing tests.
 
+``decode_pixels`` exposes the raw (h, w, 3) RGB grid for any still-image
+format above, and ``resize_image`` / ``ImageResizer`` / ``resize_images``
+are the vectorized resize verb between decode and feature-extract
+(nearest = exact integer index arithmetic, SQL-recomputable; bilinear =
+half-pixel-center convention) — an actor-pool ``map_batches`` stage like
+the extractors.
+
 Scale notes: binary payloads are large → run with a SMALL batch_size (the
 default 64 here vs 8192 for text stages) so batch × concurrency fits the
 worker heap; payload columns are dropped right after feature extraction so
@@ -729,7 +736,9 @@ def make_media_blob(doc_id: int) -> bytes:
     return make_wav(w, n_channels=h, seed=doc_id)
 
 
-def _decode_bmp(p: bytes) -> dict | None:
+def _bmp_raw(p: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB, top-down row order (BMP stores BGR and, for
+    positive heights, bottom-up — both are normalized here)."""
     if len(p) < 54 or p[:2] != b"BM":
         return None
     (offset,) = struct.unpack_from("<I", p, 10)
@@ -749,14 +758,24 @@ def _decode_bmp(p: bytes) -> dict | None:
         np.frombuffer(p, np.uint8, stride * h, offset)
         .reshape(h, stride)[:, : 3 * width]
         .reshape(h, width, 3)
-        .astype(np.float64)
     )
-    mean_bgr = px.mean(axis=(0, 1)) / 255.0  # rows are BGR on disk
+    if height > 0:
+        px = px[::-1]
+    return px[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_bmp(p: bytes) -> dict | None:
+    px = _bmp_raw(p)
+    if px is None:
+        return None
+    h, width = px.shape[:2]
+    mean_rgb = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
     return {"ok": True, "format": "bmp", "width": width, "height": h,
-            "feature": [float(mean_bgr[2]), float(mean_bgr[1]), float(mean_bgr[0])]}
+            "feature": [float(x) for x in mean_rgb]}
 
 
-def _decode_ppm(p: bytes) -> dict | None:
+def _ppm_raw(p: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from a binary P6 PPM."""
     if not p.startswith(b"P6"):
         return None
     pos, vals = 2, []
@@ -782,8 +801,15 @@ def _decode_ppm(p: bytes) -> dict | None:
     w, h, maxval = vals
     if maxval != 255 or w <= 0 or h <= 0 or pos + 3 * w * h > len(p):
         return None
-    px = np.frombuffer(p, np.uint8, 3 * w * h, pos).reshape(h, w, 3).astype(np.float64)
-    mean_rgb = px.mean(axis=(0, 1)) / 255.0
+    return np.frombuffer(p, np.uint8, 3 * w * h, pos).reshape(h, w, 3)
+
+
+def _decode_ppm(p: bytes) -> dict | None:
+    px = _ppm_raw(p)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    mean_rgb = px.astype(np.float64).mean(axis=(0, 1)) / 255.0
     return {"ok": True, "format": "ppm", "width": w, "height": h,
             "feature": [float(x) for x in mean_rgb]}
 
@@ -882,7 +908,9 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
     return out.astype(np.uint8)
 
 
-def _decode_png(p: bytes) -> dict | None:
+def _png_raw(p: bytes) -> np.ndarray | None:
+    """(h, w, channels) uint8 (native channel count: 1 gray / 3 RGB /
+    4 RGBA) from an 8-bit non-interlaced PNG."""
     if len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, ihdr, idat, seen_end = 8, None, [], False
@@ -917,6 +945,14 @@ def _decode_png(p: bytes) -> dict | None:
     px = _png_unfilter(raw, w, h, channels)
     if px is None:
         return None
+    return px.reshape(h, w, channels)
+
+
+def _decode_png(p: bytes) -> dict | None:
+    px = _png_raw(p)
+    if px is None:
+        return None
+    h, w, channels = px.shape
     mean = px.reshape(h * w, channels).astype(np.float64).mean(axis=0) / 255.0
     return {"ok": True, "format": "png", "width": int(w), "height": int(h),
             "feature": [float(x) for x in mean]}
@@ -952,6 +988,172 @@ def _decode_jpeg_features(p: bytes) -> dict | None:
     mean = d["pixels"].reshape(-1, 3).astype(np.float64).mean(axis=0) / 255.0
     return {"ok": True, "format": "jpeg", "width": d["width"], "height": d["height"],
             "feature": [float(x) for x in mean]}
+
+
+def decode_pixels(p: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB pixel array for any still-image format the
+    builtin decoder accepts (BMP / PPM / PNG / first GIF frame / JPEG),
+    or None on anything unrecognized or malformed. PNG grayscale
+    replicates to 3 channels; RGBA drops alpha."""
+    if not isinstance(p, (bytes, bytearray, memoryview)) or len(p) < 2:
+        return None
+    p = bytes(p)
+    if p[:2] == b"BM":
+        return _bmp_raw(p)
+    if p[:2] == b"P6":
+        return _ppm_raw(p)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _png_raw(p)
+        if px is None:
+            return None
+        c = px.shape[2]
+        if c == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3]
+    if p[:4] == b"GIF8":
+        g = decode_gif_frames(p)
+        if g is None or not g["frames"]:
+            return None
+        return g["palettes"][0][g["frames"][0]]
+    if p[:2] == b"\xff\xd8":
+        from medea_ray.engine.jpeg import decode_jpeg
+
+        d = decode_jpeg(p)
+        return None if d is None else d["pixels"]
+    return None
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int,
+                 method: str = "nearest") -> np.ndarray:
+    """Vectorized image resize over an (h, w, c) uint8 array — the
+    missing verb between decode and feature-extract for multimodal
+    pipelines (thumbnailing, fixed-size model inputs).
+
+    ``nearest``: source index = (target_index * src_dim) // out_dim —
+    PURE integer arithmetic, so the result is platform-exact and
+    SQL-recomputable (``image_resize_guard``'s DuckDB oracle recomputes
+    resized-pixel sums closed-form from the fixture formula).
+    ``bilinear``: half-pixel-center convention (the OpenCV/PIL default),
+    float64 accumulation, round-half-up back to uint8; every output
+    value is a convex combination of inputs, so it stays inside the
+    source's [min, max]."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"resize target must be positive, got {out_h}x{out_w}")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    if method == "nearest":
+        ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return px[ys[:, None], xs[None, :]]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(fy), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(fx), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = px[y0[:, None], x0[None, :]].astype(np.float64)
+    b = px[y0[:, None], x1[None, :]].astype(np.float64)
+    c = px[y1[:, None], x0[None, :]].astype(np.float64)
+    d = px[y1[:, None], x1[None, :]].astype(np.float64)
+    out = (a * (1.0 - wy) * (1.0 - wx) + b * (1.0 - wy) * wx
+           + c * wy * (1.0 - wx) + d * wy * wx)
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("resize_ok", pa.bool_()),
+        ("resized_width", pa.int32()),
+        ("resized_height", pa.int32()),
+        ("resized_sum", pa.int64()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool ``map_batches`` stage: decode a binary image column,
+    resize to per-row targets, emit typed stats (+ the resized raster as
+    ``large_binary`` when ``keep_pixels`` — row-major RGB, for a
+    downstream model-input stage). Targets come either from constants
+    (``out_h``/``out_w``) or per-row columns (``out_h_col``/``out_w_col``).
+    Undecodable payloads or invalid targets → ``resize_ok=false``, never
+    a stage crash. Same scale contract as the other media stages: small
+    batches, payload dropped right after the stage."""
+
+    def __init__(self, payload_col: str = "blob", *, out_h: int | None = None,
+                 out_w: int | None = None, out_h_col: str | None = None,
+                 out_w_col: str | None = None, method: str = "nearest",
+                 keep_pixels: bool = False):
+        if (out_h is None) == (out_h_col is None):
+            raise ValueError("exactly one of out_h / out_h_col is required")
+        if (out_w is None) == (out_w_col is None):
+            raise ValueError("exactly one of out_w / out_w_col is required")
+        if method not in ("nearest", "bilinear"):
+            raise ValueError(f"unknown resize method {method!r}")
+        self.payload_col = payload_col
+        self.out_h, self.out_w = out_h, out_w
+        self.out_h_col, self.out_w_col = out_h_col, out_w_col
+        self.method = method
+        self.keep_pixels = keep_pixels
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hs = (t.column(self.out_h_col).to_pylist() if self.out_h_col
+              else [self.out_h] * n)
+        ws = (t.column(self.out_w_col).to_pylist() if self.out_w_col
+              else [self.out_w] * n)
+        ok, rw, rh, sums, rasters = [], [], [], [], []
+        for v, th, tw in zip(t.column(self.payload_col), hs, ws):
+            px = decode_pixels(v.as_py())
+            if px is None or th is None or tw is None or th <= 0 or tw <= 0:
+                ok.append(False)
+                rw.append(None)
+                rh.append(None)
+                sums.append(None)
+                rasters.append(None)
+                continue
+            r = resize_image(px, int(th), int(tw), method=self.method)
+            ok.append(True)
+            rh.append(r.shape[0])
+            rw.append(r.shape[1])
+            sums.append(int(r.sum(dtype=np.int64)))
+            rasters.append(r.tobytes() if self.keep_pixels else None)
+        out = (
+            t.drop_columns([self.payload_col])
+            .append_column("resize_ok", pa.array(ok, pa.bool_()))
+            .append_column("resized_width", pa.array(rw, pa.int32()))
+            .append_column("resized_height", pa.array(rh, pa.int32()))
+            .append_column("resized_sum", pa.array(sums, pa.int64()))
+        )
+        if self.keep_pixels:
+            out = out.append_column(
+                "resized_rgb", pa.array(rasters, pa.large_binary())
+            )
+        return out
+
+
+def resize_images(ds, payload_col: str = "blob", *, batch_size: int = 64,
+                  concurrency=None, **kwargs):
+    """Actor-pool resize stage over a Dataset with a binary image column
+    (see :class:`ImageResizer` for target/method/keep_pixels options)."""
+    if concurrency is None:
+        from medea_ray.engine.pipeline import default_pool
+
+        n = default_pool()
+        concurrency = (max(1, n // 2), n)
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(payload_col=payload_col, **kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.75,
+    )
 
 
 FRAME_STATS_SCHEMA = pa.schema(

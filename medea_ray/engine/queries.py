@@ -1568,6 +1568,63 @@ def media_features(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def image_resize_guard(sf_dir: str) -> pd.DataFrame:
+    """Image RESIZE (decode → resize → feature, the thumbnailing /
+    model-input verb), oracle-checked EXACTLY: each document synthesizes
+    a deterministic PPM (dims from the media_dims arithmetic, pixel
+    (y,x,c) = (y*3w+3x+c + doc_id*11) % 256), the ImageResizer actor
+    stage nearest-resizes it to per-row targets, and DuckDB recomputes
+    the resized pixel sum closed-form over a generate_series grid —
+    nearest uses pure integer index arithmetic ((Y*h)//oh), so the
+    value hash pins the decode, the index mapping, and the sum on every
+    row. A second bilinear pass resizes to the SOURCE dims: the
+    half-pixel-center identity must reproduce the image exactly, so its
+    sum equals the closed-form full-image sum (any weight/index bug
+    breaks it). Weights/interior values of non-identity bilinear are
+    pinned by pytest against a scalar reference."""
+    from medea_ray.engine.multimodal import make_ppm, resize_images
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "blob": pa.array(
+                [make_ppm(4 + i % 13, 3 + (i // 13) % 11, seed=i) for i in ids],
+                pa.large_binary(),
+            ),
+            "ow": pa.array([2 + i % 7 for i in ids], pa.int32()),
+            "oh": pa.array([2 + (i // 7) % 5 for i in ids], pa.int32()),
+            "src_w": pa.array([4 + i % 13 for i in ids], pa.int32()),
+            "src_h": pa.array([3 + (i // 13) % 11 for i in ids], pa.int32()),
+        })
+
+    binary = ds.map_batches(to_binary, batch_format="pyarrow")
+    near = resize_images(
+        binary, "blob", out_h_col="oh", out_w_col="ow", method="nearest",
+        batch_size=64, concurrency=(1, 4),
+    )
+    ntbl = pa.concat_tables(near.iter_batches(batch_format="pyarrow"))
+    assert ntbl.column("resize_ok").to_pandas().all(), "nearest resize failed a fixture"
+    bil = resize_images(
+        binary, "blob", out_h_col="src_h", out_w_col="src_w",
+        method="bilinear", batch_size=64, concurrency=(1, 4),
+    )
+    btbl = pa.concat_tables(bil.iter_batches(batch_format="pyarrow"))
+    assert btbl.column("resize_ok").to_pandas().all(), "bilinear resize failed a fixture"
+    ndf = ntbl.select(
+        ["doc_id", "resized_width", "resized_height", "resized_sum"]
+    ).to_pandas()
+    bdf = btbl.select(["doc_id", "resized_sum"]).to_pandas().rename(
+        columns={"resized_sum": "bilinear_id_sum"}
+    )
+    df = ndf.merge(bdf, on="doc_id")
+    for col in ("resized_width", "resized_height", "resized_sum", "bilinear_id_sum"):
+        df[col] = df[col].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def jpeg_codec_guard(sf_dir: str) -> pd.DataFrame:
     """Baseline JPEG codec, oracle-checked as per-doc boolean guards:
     each document encodes a deterministic RGB gradient image

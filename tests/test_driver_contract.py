@@ -145,6 +145,10 @@ RETIRED = [
     # heavy-hitters guard (heavy_hitters_guard); family stays oracle-green
     # via source_counts_salted / orders_by_nation / events_daily
     "lang_histogram",
+    # round 4: global top-k-by-count entry replaced by the image-resize
+    # guard (the multimodal decode -> RESIZE -> feature verb); family
+    # stays oracle-green via top_events_per_user / top_tokens
+    "top_users_by_events",
 ]
 
 
