@@ -181,10 +181,11 @@ def add_extracted_text(
     """read → extract (actor pool; html payloads are large, so batches are
     modest) → original columns + extracted text/title/link-count."""
     if concurrency is None:
+        # FIXED pool: Ray 2.49's pool autoscaler plateaus ~1 actor above
+        # the minimum (see pipeline.default_pool's measured note)
         from medea_ray.engine.pipeline import default_pool
 
-        n = default_pool()
-        concurrency = (max(1, n // 2), n)
+        concurrency = default_pool()
     return ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs=dict(html_col=html_col, prefix=prefix),

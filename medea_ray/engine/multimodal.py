@@ -1065,16 +1065,6 @@ def resize_image(px: np.ndarray, out_h: int, out_w: int,
     return np.floor(out + 0.5).astype(np.uint8)
 
 
-RESIZE_SCHEMA = pa.schema(
-    [
-        ("resize_ok", pa.bool_()),
-        ("resized_width", pa.int32()),
-        ("resized_height", pa.int32()),
-        ("resized_sum", pa.int64()),
-    ]
-)
-
-
 class ImageResizer:
     """Actor-pool ``map_batches`` stage: decode a binary image column,
     resize to per-row targets, emit typed stats (+ the resized raster as
@@ -1140,12 +1130,13 @@ class ImageResizer:
 def resize_images(ds, payload_col: str = "blob", *, batch_size: int = 64,
                   concurrency=None, **kwargs):
     """Actor-pool resize stage over a Dataset with a binary image column
-    (see :class:`ImageResizer` for target/method/keep_pixels options)."""
+    (see :class:`ImageResizer` for target/method/keep_pixels options).
+    The default pool is FIXED at default_pool() size — Ray 2.49's pool
+    autoscaler plateaus ~1 actor above the minimum (see default_pool)."""
     if concurrency is None:
         from medea_ray.engine.pipeline import default_pool
 
-        n = default_pool()
-        concurrency = (max(1, n // 2), n)
+        concurrency = default_pool()
     return ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs=dict(payload_col=payload_col, **kwargs),

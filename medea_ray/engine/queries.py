@@ -1600,7 +1600,9 @@ def image_resize_guard(sf_dir: str) -> pd.DataFrame:
             "src_h": pa.array([3 + (i // 13) % 11 for i in ids], pa.int32()),
         })
 
-    binary = ds.map_batches(to_binary, batch_format="pyarrow")
+    # materialize once: both resize passes consume this dataset, and a
+    # lazy plan would re-run PPM synthesis + decode per consumption
+    binary = ds.map_batches(to_binary, batch_format="pyarrow").materialize()
     near = resize_images(
         binary, "blob", out_h_col="oh", out_w_col="ow", method="nearest",
         batch_size=64, concurrency=(1, 4),
