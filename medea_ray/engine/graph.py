@@ -15,11 +15,20 @@ Beyond", ACM SoCC 2014):
 - small-star(u): orient every edge toward its larger endpoint, then
   connect u and all of its (smaller) neighbors to that minimum.
 
-Each phase is ONE hash-shuffle groupby over the edge list with vectorized
-per-group Arrow kernels; the edge set converges to a star forest whose
-centers are the per-component minima (a fixed point of both phases) in
-O(log^2 n) rounds worst case — 1-2 rounds on the near-clique components
-LSH dedup produces.
+Each phase has two interchangeable formulations, chosen per round by the
+current edge count (see ``connected_components``): a plain
+groupby().map_groups() per-group pass (lowest fixed overhead, ~30 us of
+Python per NODE per phase — right for the oracle/dedup scale), and a
+sort-partitioned VECTORIZED pass for large graphs: after ONE sort
+shuffle, every group strictly inside a block is complete, so per-node
+work runs through Arrow group_by/join kernels with no per-group Python —
+only the <= 2 block-boundary groups per block (or a mega-group spanning
+blocks) resolve through the exact per-group kernel (driver-side under a
+budget; see ``_star_phase``, including the Ray 2.49 union-stall note).
+The edge set converges to a star forest whose centers are the
+per-component minima (a fixed point of both phases) in O(log^2 n) rounds
+worst case — 1-2 rounds on the near-clique components LSH dedup
+produces.
 
 Scale shape (100 TB story): the iterative state is the EDGE list (pairs
 << corpus rows for dedup workloads); each round materializes only that,
@@ -111,6 +120,194 @@ def _small_star_group(t: pa.Table, max_component: int) -> pa.Table:
     )
 
 
+def _mark(t: pa.Table, pending: bool) -> pa.Table:
+    return t.append_column("pending", pa.array([pending] * t.num_rows, pa.bool_()))
+
+
+def _interior_boundary(t: pa.Table):
+    """Split one sorted-by-u block into (distinct interior pairs, raw
+    boundary rows). After a global ``sort("u")`` every group whose key is
+    strictly between the block's first and last u values lies ENTIRELY in
+    this block, so it can be processed vectorized; the (<= 2) groups
+    touching the block edges may straddle blocks and defer to the exact
+    per-group pass."""
+    u = t.column("u")
+    first, last = u[0], u[len(u) - 1]
+    is_boundary = pc.or_(pc.equal(u, first), pc.equal(u, last))
+    boundary = t.filter(is_boundary)
+    interior = t.filter(pc.invert(is_boundary))
+    if interior.num_rows:
+        # distinct (u, v): interior groups are global, so this equals the
+        # per-group pc.unique the exact pass applies
+        interior = interior.group_by(["u", "v"]).aggregate([])
+    return interior, boundary
+
+
+def _guard_counts(mins: pa.Table, max_component: int):
+    counts = mins.column("v_count")
+    worst = pc.max(counts).as_py()
+    if worst is not None and worst > max_component:
+        at = mins.column("u")[pc.index(counts, pc.max(counts)).as_py()].as_py()
+        raise RuntimeError(
+            f"connected_components: node {at!r} has {worst} neighbors, "
+            f"above max_component={max_component}; a component this large "
+            "does not fit one worker group — raise max_component or pre-"
+            "dedup exact duplicates (the usual cause of mega-clusters)"
+        )
+
+
+def _group_mins(interior: pa.Table, max_component: int) -> pa.Table:
+    """(u, v_min) per interior group — vectorized Arrow group_by — with
+    the same loud neighbor-count guard as the exact pass."""
+    mins = interior.group_by("u").aggregate([("v", "min"), ("v", "count")])
+    _guard_counts(mins, max_component)
+    return mins
+
+
+def _seg_large(t: pa.Table, max_component: int) -> pa.Table:
+    """Vectorized large-star over one sorted block: for every interior
+    pair (u, v) with v > u emit (v, min(neighborhood-min, u)); boundary
+    rows pass through pending."""
+    interior, boundary = _interior_boundary(t)
+    parts = [_mark(boundary, True)]
+    if interior.num_rows:
+        mins = _group_mins(interior, max_component)
+        j = interior.join(mins.select(["u", "v_min"]), "u")
+        m = pc.min_element_wise(j.column("v_min"), j.column("u"))
+        keep = pc.greater(j.column("v"), j.column("u"))
+        parts.append(
+            _mark(pa.table({"u": j.column("v"), "v": m}).filter(keep), False)
+        )
+    return pa.concat_tables(parts, promote_options="none")
+
+
+def _seg_small(t: pa.Table, max_component: int) -> pa.Table:
+    """Vectorized small-star over one sorted block (rows pre-oriented to
+    the larger endpoint): per interior group emit (other, min) for every
+    neighbor except the min, plus (u, min)."""
+    interior, boundary = _interior_boundary(t)
+    parts = [_mark(boundary, True)]
+    if interior.num_rows:
+        mins = _group_mins(interior, max_component)
+        j = interior.join(mins.select(["u", "v_min"]), "u")
+        others = pa.table({"u": j.column("v"), "v": j.column("v_min")}).filter(
+            pc.not_equal(j.column("v"), j.column("v_min"))
+        )
+        selfrow = pa.table({"u": mins.column("u"), "v": mins.column("v_min")})
+        parts.append(_mark(pa.concat_tables([others, selfrow]), False))
+    return pa.concat_tables(parts, promote_options="none")
+
+
+def _seg_label(t: pa.Table, max_component: int) -> pa.Table:
+    """Vectorized final labeling: (node=u, cluster=min(neighborhood, u))
+    per interior group."""
+    interior, boundary = _interior_boundary(t)
+    parts = [_mark(boundary, True)]
+    if interior.num_rows:
+        mins = _group_mins(interior, max_component)
+        lab = pa.table({
+            "u": mins.column("u"),
+            "v": pc.min_element_wise(mins.column("v_min"), mins.column("u")),
+        })
+        parts.append(_mark(lab, False))
+    return pa.concat_tables(parts, promote_options="none")
+
+
+def _group_phase(ds, group_fn, max_component: int):
+    """One star phase as a plain groupby().map_groups() — one Python call
+    per node. Minimal fixed overhead (one shuffle, no extra passes), so
+    it wins on SMALL edge lists; per-group call cost (~30 us/node/phase)
+    makes it lose badly on large ones (see _star_phase)."""
+    return ds.groupby("u").map_groups(
+        lambda t: group_fn(t, max_component), batch_format="pyarrow"
+    )
+
+
+# Driver-side budget for resolving block-boundary groups locally. The
+# boundary set is <= 2 groups per block by construction (plus any
+# mega-group spanning blocks, itself bounded by max_component); past the
+# budget the distributed groupby fallback runs instead of the driver.
+BOUNDARY_DRIVER_BUDGET = 2_000_000
+
+
+def _star_phase(ds, seg_fn, group_fn, max_component: int):
+    """One star phase = ONE sort shuffle + a vectorized per-block pass;
+    only block-boundary groups (<= 2 per block, or a mega-group spanning
+    blocks) fall back to the exact per-group kernel — resolved on the
+    DRIVER below ``BOUNDARY_DRIVER_BUDGET`` rows (they are a per-block-
+    bounded sliver, and a driver pass avoids an extra groupby barrier per
+    phase), distributed groupby above it. Replaces the naive
+    groupby().map_groups() formulation whose per-group Python call
+    overhead (~30 us x one call per NODE per phase) dominates wall time
+    on large graphs — the semantics per group are identical (the exact
+    kernels remain the authority for boundary groups and below the size
+    threshold). Every returned dataset is MATERIALIZED: a lazy
+    union(map, groupby) consumed by the next phase's sort stalls Ray
+    2.49's executor (the same stall similarity.py documents for
+    union-of-groupbys), and materialized inputs make the union a
+    metadata concat."""
+    tagged = (
+        ds.sort("u")
+        .map_batches(
+            lambda t: seg_fn(t, max_component),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
+    )
+    done = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("pending"))).drop_columns(["pending"]),
+        batch_format="pyarrow",
+    ).materialize()
+    # Boundary rows: stream to the driver up to the budget (bounded by
+    # construction), resolve with the exact kernels locally.
+    rest_parts, n_rest = [], 0
+    for b in tagged.map_batches(
+        lambda t: t.filter(t.column("pending")).drop_columns(["pending"]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            rest_parts.append(b)
+            n_rest += b.num_rows
+        if n_rest > BOUNDARY_DRIVER_BUDGET:
+            break
+    if n_rest == 0:
+        return done
+    import ray.data as rd
+
+    if n_rest > BOUNDARY_DRIVER_BUDGET:  # fallback: distributed exact pass
+        _log.info(
+            "_star_phase: boundary set exceeds driver budget (%d rows); "
+            "resolving via distributed groupby",
+            n_rest,
+        )
+        rest = tagged.map_batches(
+            lambda t: t.filter(t.column("pending")).drop_columns(["pending"]),
+            batch_format="pyarrow",
+        )
+        exact = rest.groupby("u").map_groups(
+            lambda t: group_fn(t, max_component), batch_format="pyarrow"
+        ).materialize()
+        return done.union(exact).materialize()
+    rest_tbl = pa.concat_tables(rest_parts).combine_chunks()
+    # group locally: sort by u, split on value changes, exact kernel per group
+    order = pc.sort_indices(rest_tbl.column("u"))
+    rest_tbl = rest_tbl.take(order)
+    u = rest_tbl.column("u").combine_chunks()
+    if len(u) > 1:
+        neq = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1))
+        changes = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+        starts = [0, *changes.tolist(), len(u)]
+    else:
+        starts = [0, len(u)]
+    outs = [
+        group_fn(rest_tbl.slice(starts[i], starts[i + 1] - starts[i]), max_component)
+        for i in range(len(starts) - 1)
+    ]
+    exact = rd.from_arrow(pa.concat_tables(outs))
+    return done.union(exact).materialize()
+
+
 def _hash_sum(es) -> int:
     """Order-insensitive 64-bit multiset hash sum of the edge set.
 
@@ -157,6 +354,7 @@ def connected_components(
     cluster_col: str = "cluster",
     max_rounds: int = 64,
     max_component: int = 1 << 22,
+    vectorized_threshold: int = 1_000_000,
 ):
     """Connected components of the undirected graph given as an edge list.
 
@@ -169,6 +367,21 @@ def connected_components(
 
     Self-loops and null endpoints are dropped. Duplicate / reversed edges
     are fine (each phase works on unique per-group neighbor sets).
+
+    Each round picks its phase formulation by the CURRENT edge count
+    (metadata-only on a materialized dataset): below
+    ``vectorized_threshold`` edges the per-group groupby path runs
+    (lowest fixed overhead — the oracle/dedup scale); at or above it the
+    sort-partitioned vectorized path runs (no per-node Python — the
+    100 TB scale). Both produce identical per-group results; set the
+    threshold to 0 to force the vectorized path. Measured on this
+    sandbox (32 cpus, 500k-edge/200k-node random graph, ~14 rounds):
+    per-group 167 s vs vectorized 254 s — per-phase Ray barriers (~9 s)
+    still beat per-group Python (~6 s) at 200k groups, and the isolated
+    single-phase A/B crosses at ~200k groups (2.2 s vs 2.9 s), so the
+    default threshold sits at 1M edges where per-group's linear
+    ~30 us/group cost (30 s+/phase at 1M groups) clearly exceeds the
+    vectorized path's flat overhead.
     """
     es = edges.map_batches(
         lambda t: _clean_edges(t, src, dst), batch_format="pyarrow"
@@ -200,25 +413,22 @@ def connected_components(
     prev_n: int | None = None
     prev_h: int | None = None
     prev_es = None
+    n_edges = es.count()
     for round_i in range(max_rounds):
+        seg = n_edges >= vectorized_threshold
+        both = es.map_batches(_both_orientations, batch_format="pyarrow")
         large = (
-            es.map_batches(_both_orientations, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(
-                lambda t: _large_star_group(t, max_component),
-                batch_format="pyarrow",
-            )
+            _star_phase(both, _seg_large, _large_star_group, max_component)
+            if seg
+            else _group_phase(both, _large_star_group, max_component)
         )
+        oriented = large.map_batches(_orient_to_larger, batch_format="pyarrow")
         es = (
-            large.map_batches(_orient_to_larger, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(
-                lambda t: _small_star_group(t, max_component),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        n = es.count()
+            _star_phase(oriented, _seg_small, _small_star_group, max_component)
+            if seg
+            else _group_phase(oriented, _small_star_group, max_component)
+        ).materialize()
+        n_edges = n = es.count()
         if n == prev_n:
             if prev_h is None:
                 prev_h = _hash_sum(prev_es)
@@ -241,18 +451,20 @@ def connected_components(
             f" (last edge count {prev_n}); raise max_rounds"
         )
 
-    def label_group(t: pa.Table) -> pa.Table:
-        u, nbrs = _group_neighbors(t, max_component)
+    def label_group(t: pa.Table, mc: int) -> pa.Table:
+        u, nbrs = _group_neighbors(t, mc)
         m = min(pc.min(nbrs).as_py(), u)
         return pa.table(
-            {
-                node_col: pa.array([u], nbrs.type),
-                cluster_col: pa.array([m], nbrs.type),
-            }
+            {"u": pa.array([u], nbrs.type), "v": pa.array([m], nbrs.type)}
         )
 
-    return (
-        es.map_batches(_both_orientations, batch_format="pyarrow")
-        .groupby("u")
-        .map_groups(label_group, batch_format="pyarrow")
+    both = es.map_batches(_both_orientations, batch_format="pyarrow")
+    labeled = (
+        _star_phase(both, _seg_label, label_group, max_component)
+        if n_edges >= vectorized_threshold
+        else _group_phase(both, label_group, max_component)
+    )
+    return labeled.map_batches(
+        lambda t: t.rename_columns([node_col, cluster_col]),
+        batch_format="pyarrow",
     )

@@ -163,3 +163,133 @@ def test_near_dup_clusters_query_matches_union_find(ray_session):
     exp = _uf_components(list(zip(pairs["id_a"], pairs["id_b"])))
     assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
     assert (got["doc_id"] == sorted(got["doc_id"])).all()
+
+
+# -- vectorized (sort-partitioned) path -------------------------------------
+#
+# Kernel-level: each segmented kernel, applied to one sorted block, must
+# (a) pass through EXACTLY the raw rows of the block's first/last groups
+# (pending=True), and (b) emit for every interior group exactly what the
+# exact per-group kernel emits. No Ray needed; the end-to-end dispatch
+# (incl. boundary groups resolving through the exact pass across blocks)
+# is covered once below.
+
+
+def _split_pending(out):
+    import pyarrow.compute as pc
+
+    pend = out.filter(out.column("pending")).drop_columns(["pending"])
+    done = out.filter(pc.invert(out.column("pending"))).drop_columns(["pending"])
+    return pend, done
+
+
+def _rows(t):
+    return sorted(zip(t.column("u").to_pylist(), t.column("v").to_pylist()))
+
+
+def _exact_emissions(block, group_fn):
+    groups = {}
+    for i, u in enumerate(block.column("u").to_pylist()):
+        groups.setdefault(u, []).append(i)
+    out = []
+    for idxs in groups.values():
+        out.extend(_rows(group_fn(block.take(idxs), 1 << 22)))
+    return sorted(out)
+
+
+def _sorted_block(pairs):
+    import pyarrow as pa
+
+    t = pa.table({
+        "u": [a for a, _ in pairs],
+        "v": [b for _, b in pairs],
+    })
+    return t.sort_by("u")
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+@pytest.mark.parametrize("kernel", ["large", "small", "label"])
+def test_segmented_kernels_match_exact_groups(kernel, seed):
+    import pyarrow.compute as pc
+
+    from medea_ray.engine import graph as G
+
+    rng = np.random.default_rng(seed)
+    pairs = {tuple(int(x) for x in rng.integers(0, 25, 2)) for _ in range(80)}
+    pairs = [p for p in pairs if p[0] != p[1]]
+    if kernel == "large":
+        # large-star input: both orientations of each edge
+        pairs = pairs + [(b, a) for a, b in pairs]
+        seg_fn, group_fn = G._seg_large, G._large_star_group
+    elif kernel == "small":
+        # small-star input: oriented to the larger endpoint
+        pairs = [(max(p), min(p)) for p in pairs]
+        seg_fn, group_fn = G._seg_small, G._small_star_group
+    else:
+        pairs = pairs + [(b, a) for a, b in pairs]
+        seg_fn = G._seg_label
+
+        def group_fn(t, mc):
+            import pyarrow as pa
+
+            u, nbrs = G._group_neighbors(t, mc)
+            m = min(pc.min(nbrs).as_py(), u)
+            return pa.table({"u": pa.array([u], nbrs.type),
+                             "v": pa.array([m], nbrs.type)})
+
+    block = _sorted_block(pairs)
+    first = block.column("u")[0].as_py()
+    last = block.column("u")[block.num_rows - 1].as_py()
+    pend, done = _split_pending(seg_fn(block, 1 << 22))
+
+    # (a) boundary passthrough: exactly the raw first/last-group rows
+    exp_pend = [p for p in pairs if p[0] in (first, last)]
+    assert _rows(pend) == sorted(exp_pend)
+
+    # (b) interior emissions match the exact kernel group by group
+    interior = block.filter(
+        pc.and_(pc.not_equal(block.column("u"), first),
+                pc.not_equal(block.column("u"), last))
+    )
+    assert _rows(done) == _exact_emissions(interior, group_fn)
+
+
+def test_segmented_kernels_string_ids():
+    from medea_ray.engine import graph as G
+
+    pairs = [("b", "a"), ("c", "a"), ("d", "c"), ("e", "b"), ("f", "e"), ("f", "a")]
+    both = pairs + [(b, a) for a, b in pairs]
+    block = _sorted_block(both)
+    pend, done = _split_pending(G._seg_large(block, 1 << 22))
+    assert len(pend) + len(done) > 0  # kernels run on strings at all
+    # every emission's v is a real node id (never null / mistyped)
+    assert all(isinstance(v, str) for _, v in _rows(done))
+
+
+def test_segmented_guard_fires():
+    from medea_ray.engine import graph as G
+
+    # interior star of degree 9, padded so it is not a boundary group
+    pairs = [(-5, -6)] + [(0, i) for i in range(1, 10)] + [(99, 98)]
+    block = _sorted_block(pairs)
+    with pytest.raises(RuntimeError, match="max_component"):
+        G._seg_large(block, 4)
+
+
+def test_vectorized_path_end_to_end(ray_session):
+    """Dispatch forced to the vectorized path over many small blocks, so
+    groups straddle block boundaries and resolve through the exact pass —
+    must match union-find. One dense cluster + pairs converges in few
+    rounds (the near-dup shape), keeping the per-round barrier cost
+    bounded in this 4-cpu test session."""
+    import ray.data as rd
+
+    from medea_ray.engine.graph import connected_components
+
+    clique = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    extra = [(100, 101), (101, 102), (200, 201)]
+    edges = clique + extra
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["id_a", "id_b"])).repartition(8)
+    out = connected_components(ds, "id_a", "id_b", vectorized_threshold=0)
+    got = out.to_pandas().sort_values("node")
+    assert dict(zip(got["node"], got["cluster"])) == _uf_components(edges)
