@@ -164,7 +164,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the decode → RESIZE → feature verb of the multimodal brief;
         # callable stays pytest-covered.
         "image_resize_guard": q.image_resize_guard,
-        "lineitem_filter_project": q.lineitem_filter_project,
+        # lineitem_filter_project retired round 4 (plain filter+project;
+        # the path stays oracle-green via events_value_ranges /
+        # docs_decontaminated / doc_stratified_sample, all of which
+        # filter+project pruned reads) in favour of the hopping-window
+        # slot; callable stays pytest-covered.
         # text_len_histogram retired round 4 for the WARC+HTML-extraction
         # slot (bucketized-histogram family stays oracle-green via
         # lang_nchars_sketch_guard / tdigest_nchars_guard / drift_guard;
@@ -191,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ranges": q.events_value_ranges,
         "top_events_per_user": q.top_events_per_user,
         "events_tumbling_6h": q.events_tumbling_6h,
+        "events_hopping_12h": q.events_hopping_12h,
         "user_running_value": q.user_running_value,
         "events_prev_value": q.events_prev_value,
         # long→wide pivot (engine/reshape.py)
@@ -337,9 +342,17 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN nearest n USING (doc_id) JOIN ident USING (doc_id)
             ORDER BY d.doc_id
         """,
-        "lineitem_filter_project": """
-            SELECT l_orderkey, l_linenumber, l_quantity
-            FROM lineitem WHERE l_quantity >= 49
+        # every event lands in k=2 hopping windows whose starts are
+        # floor(ts/hop)*hop - i*hop for i in 0..k-1; the floor-mod form
+        # matches the engine's numpy floor semantics on pre-epoch ts
+        "events_hopping_12h": f"""
+            SELECT (epoch_us(ts)
+                      - ((epoch_us(ts) % {q.TUMBLE_6H_US}) + {q.TUMBLE_6H_US}) % {q.TUMBLE_6H_US})
+                     - i.i * {q.TUMBLE_6H_US} AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events, (SELECT unnest([0, 1]) AS i) i
+            GROUP BY 1
         """,
         "orders_lineitem_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity

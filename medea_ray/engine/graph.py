@@ -130,7 +130,10 @@ def _interior_boundary(t: pa.Table):
     strictly between the block's first and last u values lies ENTIRELY in
     this block, so it can be processed vectorized; the (<= 2) groups
     touching the block edges may straddle blocks and defer to the exact
-    per-group pass."""
+    per-group pass. Empty blocks (sort emits them when partitions
+    outnumber distinct keys) split into (empty, empty)."""
+    if t.num_rows == 0:
+        return t, t
     u = t.column("u")
     first, last = u[0], u[len(u) - 1]
     is_boundary = pc.or_(pc.equal(u, first), pc.equal(u, last))

@@ -660,6 +660,31 @@ def events_tumbling_6h(sf_dir: str):
     )
 
 
+def events_hopping_12h(sf_dir: str):
+    """Hopping windowed aggregate: 12-hour windows every 6 hours (k=2
+    overlapping windows per event) — count + integer-milli value sum per
+    window. The overlapping-window shape next to the tumbling one: the
+    fan-out doubles rows map-side, then Ray's Count/Sum partials keep the
+    exchange at (window, partial) rows."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        m = pc.cast(_round_away(pc.multiply(t.column("value"), 1000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("milli", m)
+
+    win = window.hopping_window(
+        ds.map_batches(milli, batch_format="pyarrow"),
+        "ts", width_us=2 * TUMBLE_6H_US, hop_us=TUMBLE_6H_US,
+        keep_cols=["milli"],
+    )
+    return (
+        win.groupby("window_start_us")
+        .aggregate(Count(alias_name="n"), Sum("milli", alias_name="sum_value_milli"))
+    )
+
+
 EVENT_TYPES = ["click", "purchase", "error", "signup", "view"]
 
 

@@ -1,5 +1,6 @@
 """Ordered / windowed operators over time-keyed streams: sessionization,
-as-of join, interval (range) join, per-group top-k, tumbling windows.
+as-of join, interval (range) join, per-group top-k, tumbling and hopping
+(overlapping) windows.
 
 The reference (juspay/medea) is a single-document validation library with
 no temporal operators; these come from the north rule's engine surface
@@ -27,6 +28,8 @@ Scale shapes:
 - ``tumbling_window`` is a pure ``map_batches`` bucketization (epoch
   floor-div) feeding the same partial-aggregating groupby shape as
   ``queries.events_daily``; the shuffle moves (window, partial) rows only.
+  ``hopping_window`` is the overlapping variant: a vectorized k-way
+  fan-out (k = width/hop) ahead of the same partial-combining aggregate.
 
 Timestamps cross every API boundary as int64 epoch-microseconds (Arrow
 ``timestamp[us]`` casts to them zero-copy) so no float ever reaches an
@@ -431,6 +434,47 @@ def cumulative_per_group(
         return out.append_column(out_name, pa.array(running, pa.int64())).cast(out_schema)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def hopping_window(
+    ds, ts_col: str, width_us: int, hop_us: int, keep_cols: list[str]
+):
+    """Overlapping (hopping / sliding) windows: each event lands in EVERY
+    window ``[s, s + width_us)`` whose start ``s`` is a multiple of
+    ``hop_us`` — exactly ``k = width_us // hop_us`` windows per event
+    (``width_us`` must be a positive multiple of ``hop_us``; ``k == 1``
+    degenerates to :func:`tumbling_window`). Emits ``k`` rows per input
+    row: (window_start_us, *keep_cols), ready for a groupby-aggregate.
+
+    The fan-out is a pure vectorized ``map_batches`` (np.repeat index +
+    tiled offsets — no per-row Python); window starts floor toward
+    -inf so pre-epoch timestamps bucket consistently with
+    :func:`tumbling_window`. Scale shape: rows multiply by ``k`` BEFORE
+    the aggregate, but Ray's Count/Sum aggregate combines per block, so
+    the exchange still moves (window, partial) rows only; keep ``k``
+    small (2-4) or pre-aggregate inside the fan-out batch for large
+    ``k``."""
+    if width_us <= 0 or hop_us <= 0 or width_us % hop_us:
+        raise ValueError(
+            f"width_us ({width_us}) must be a positive multiple of "
+            f"hop_us ({hop_us})"
+        )
+    k = width_us // hop_us
+    hop = np.int64(hop_us)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t.column(ts_col))
+        base = ts // hop * hop  # numpy // floors toward -inf
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop, t.num_rows)
+        cols = {"window_start_us": pa.array(base[idx] - offs, pa.int64())}
+        if keep_cols:
+            taken = t.select(keep_cols).take(pa.array(idx, pa.int64()))
+            for c in keep_cols:
+                cols[c] = taken.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(fanout, batch_format="pyarrow")
 
 
 def tumbling_window(ds, ts_col: str, width_us: int, keep_cols: list[str]):

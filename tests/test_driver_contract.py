@@ -149,6 +149,11 @@ RETIRED = [
     # guard (the multimodal decode -> RESIZE -> feature verb); family
     # stays oracle-green via top_events_per_user / top_tokens
     "top_users_by_events",
+    # round 4: plain filter+project entry replaced by the hopping-window
+    # slot (events_hopping_12h); the filter+project path stays
+    # oracle-green via events_value_ranges / docs_decontaminated /
+    # doc_stratified_sample (all pruned-read filter+projects)
+    "lineitem_filter_project",
 ]
 
 

@@ -266,6 +266,21 @@ def test_segmented_kernels_string_ids():
     assert all(isinstance(v, str) for _, v in _rows(done))
 
 
+def test_segmented_kernels_empty_block():
+    """Ray's sort emits empty blocks when partitions outnumber distinct
+    keys; every segmented kernel must pass them through, not IndexError
+    on u[0]."""
+    import pyarrow as pa
+
+    from medea_ray.engine import graph as G
+
+    empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    for fn in (G._seg_large, G._seg_small, G._seg_label):
+        out = fn(empty, 4)
+        assert out.num_rows == 0
+        assert "pending" in out.column_names
+
+
 def test_segmented_guard_fires():
     from medea_ray.engine import graph as G
 

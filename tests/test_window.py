@@ -178,6 +178,44 @@ def test_tumbling_window_floor(ray_session):
     assert out == [0, 0, HOUR, 5 * HOUR]
 
 
+# -- hopping_window ----------------------------------------------------------
+
+
+def test_hopping_window_membership(ray_session):
+    # width=2h, hop=1h → k=2 windows per event: floor(t/h)*h and that - h
+    ds = _events([(1, 0), (1, HOUR + 1), (1, 3 * HOUR)])
+    win = window.hopping_window(ds, "ts", 2 * HOUR, HOUR, ["user_id"])
+    out = sorted(r["window_start_us"] for r in win.take_all())
+    assert out == [-HOUR, 0, 0, HOUR, 2 * HOUR, 3 * HOUR]
+    # every emitted window actually contains its event
+    rows = window.hopping_window(ds, "ts", 2 * HOUR, HOUR, []).take_all()
+    assert len(rows) == 6
+
+
+def test_hopping_window_negative_ts_floor(ray_session):
+    # pre-epoch timestamps must floor toward -inf, same as tumbling
+    ds = _events([(1, -1)])
+    win = window.hopping_window(ds, "ts", 2 * HOUR, HOUR, [])
+    out = sorted(r["window_start_us"] for r in win.take_all())
+    assert out == [-2 * HOUR, -HOUR]
+
+
+def test_hopping_window_k1_is_tumbling(ray_session):
+    ds = _events([(1, 0), (1, HOUR - 1), (1, 5 * HOUR)])
+    hop = window.hopping_window(ds, "ts", HOUR, HOUR, ["user_id"]).take_all()
+    tum = window.tumbling_window(ds, "ts", HOUR, ["user_id"]).take_all()
+    assert sorted(r["window_start_us"] for r in hop) == sorted(
+        r["window_start_us"] for r in tum
+    )
+
+
+def test_hopping_window_rejects_non_multiple():
+    with pytest.raises(ValueError, match="multiple"):
+        window.hopping_window(None, "ts", 3 * HOUR, 2 * HOUR, [])
+    with pytest.raises(ValueError, match="multiple"):
+        window.hopping_window(None, "ts", 0, HOUR, [])
+
+
 # -- cumulative_per_group ----------------------------------------------------
 
 
