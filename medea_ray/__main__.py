@@ -62,7 +62,7 @@ def _resolve_inputs(path: str) -> tuple[list[str] | None, str]:
     Returns (files, format 'parquet'|'jsonl') on success, or
     (None, error message) — mixed-format dirs are an error, never a
     silent partial read."""
-    exts = (".parquet", ".jsonl", ".json")
+    exts = (".parquet", ".jsonl", ".json", ".jsonl.gz", ".json.gz")
     if os.path.isfile(path):
         files = [path]
     elif any(c in path for c in "*?["):
@@ -75,7 +75,12 @@ def _resolve_inputs(path: str) -> tuple[list[str] | None, str]:
         return None, f"input {path!r} is not a file, directory or glob"
     if not files:
         return None, f"no parquet/jsonl inputs under {path!r}"
-    found = {"jsonl" if f.endswith((".jsonl", ".json")) else "parquet" for f in files}
+    # gz rides the jsonl path: Ray/Arrow auto-detect gzip by extension
+    found = {
+        "jsonl" if f.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz"))
+        else "parquet"
+        for f in files
+    }
     if len(found) > 1:
         return None, f"mixed parquet and jsonl inputs under {path!r}"
     return files, found.pop()
@@ -172,7 +177,7 @@ def _cmd_stats(args) -> int:
     from medea_ray.engine.stats import sketch_summary
 
     if fmt == "jsonl":
-        ds = rd.read_json(files, file_extensions=["jsonl", "json"])
+        ds = rd.read_json(files, file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"])
     else:
         ds = rd.read_parquet(files)
     out = sketch_summary(
@@ -208,7 +213,7 @@ def _cmd_export(args) -> int:
         cols += [p for p in parts if p not in cols]
     if fmt == "jsonl":
         # JSONL is a row format: prune after parse
-        ds = rd.read_json(files, file_extensions=["jsonl", "json"])
+        ds = rd.read_json(files, file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"])
         if cols:
             ds = ds.select_columns(cols)
     else:
@@ -298,7 +303,9 @@ def main(argv=None) -> int:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--rows-per-file", type=int, default=50_000)
     g.add_argument("--workers", type=int, default=1)
-    g.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    g.add_argument(
+        "--format", choices=["parquet", "jsonl", "jsonl.gz"], default="parquet"
+    )
     g.add_argument(
         "--row-group-rows", type=int, default=None,
         help="parquet row-group size cap (multi-row-group files exercise "

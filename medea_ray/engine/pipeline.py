@@ -355,7 +355,11 @@ def run_validation_pipeline(
     parquet (same wave/manifest semantics; the needed columns are
     projected right after parse — JSONL, being a row format, has no
     storage-level column pruning, which is the cost of the format, not of
-    the pipeline).
+    the pipeline). Gzipped members (``.jsonl.gz`` / ``.json.gz``, the
+    Common-Crawl export layout) ride the same path — Ray/Arrow detect
+    gzip by extension; a gz file, like a plain one, is one partition
+    (gzip streams are unsplittable, same parallel unit as the WARC
+    source).
 
     ``partition_unit`` picks the resume granularity (VERDICT r03 item 9):
     ``"file"`` (default) keys the manifest by input path; ``"fragment"``
@@ -581,7 +585,7 @@ def run_validation_pipeline(
             ds = rd.read_json(
                 wave_files,
                 include_paths=True,
-                file_extensions=["jsonl", "json"],
+                file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"],
                 ray_remote_args={"num_cpus": 0.5},
             ).select_columns([id_col, payload_col, "path"])
         else:

@@ -229,7 +229,7 @@ JSONL_COLUMNS = ["url", "warc_ts", "text", "lang", "payload"]
 
 def _write_chunk(args) -> str:
     out_dir, c, start, n, seed, fmt, row_group_rows = args
-    ext = "parquet" if fmt == "parquet" else "jsonl"
+    ext = "parquet" if fmt == "parquet" else fmt
     path = os.path.join(out_dir, f"pages_{c:05d}.{ext}")
     if not os.path.exists(path):
         tmp = path + f".tmp{os.getpid()}"
@@ -239,7 +239,15 @@ def _write_chunk(args) -> str:
         else:
             import orjson
 
-            with open(tmp, "wb") as f:
+            if fmt == "jsonl.gz":
+                import gzip
+
+                # mtime=0: byte-stable output, matching the pure-in-
+                # (seed, index) idempotency contract of the parquet path
+                opener = lambda p: gzip.GzipFile(p, "wb", mtime=0)  # noqa: E731
+            else:
+                opener = lambda p: open(p, "wb")  # noqa: E731
+            with opener(tmp) as f:
                 for row in t.select(JSONL_COLUMNS).to_pylist():
                     f.write(orjson.dumps(row) + b"\n")
         os.replace(tmp, path)
@@ -255,15 +263,16 @@ def write_pages(
     fmt: str = "parquet",
     row_group_rows: int | None = None,
 ) -> list[str]:
-    """Write the pages table as one parquet (or JSONL, ``fmt="jsonl"``)
+    """Write the pages table as one parquet (or JSONL / gzipped JSONL,
+    ``fmt="jsonl"`` / ``"jsonl.gz"`` — the Common-Crawl export layout)
     file per chunk (the file is the engine's default checkpoint partition
     unit; ``row_group_rows`` caps parquet row-group size for exercising
     ``partition_unit="fragment"``). Returns the file list. Idempotent:
     existing complete files are kept (same bytes — generation is pure in
     (seed, index), which is also what lets ``workers > 1`` shard
     freely)."""
-    if fmt not in ("parquet", "jsonl"):
-        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+    if fmt not in ("parquet", "jsonl", "jsonl.gz"):
+        raise ValueError(f"fmt must be 'parquet', 'jsonl' or 'jsonl.gz', got {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     jobs = []
     for c, start in enumerate(range(0, n_rows, rows_per_file)):

@@ -397,6 +397,36 @@ def test_jsonl_input_format_matches_parquet(ray_session, tmp_path):
     assert report2["n_files_skipped"] == len(files)
 
 
+def test_gzipped_jsonl_input_matches_parquet(ray_session, tmp_path):
+    """.jsonl.gz inputs (the Common-Crawl export layout) ride the jsonl
+    path — Ray/Arrow detect gzip by extension — and must produce the same
+    verdict counts and violation rows as plain files, with per-file
+    resume intact."""
+    gz_dir = str(tmp_path / "pages_gz")
+    files = write_pages(gz_dir, 2000, rows_per_file=1000, fmt="jsonl.gz")
+    assert all(f.endswith(".jsonl.gz") for f in files)
+    out = str(tmp_path / "out_gz")
+    report = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=1, concurrency=2,
+        input_format="jsonl",
+    )
+    assert report["n_rows"] == 2000
+    exp = {(u, p, s) for u, p, s in expected_violations_chunk(0, 2000)}
+    assert report["n_invalid"] == len(exp)
+    got = read_violations(out)
+    got_set = set(zip(
+        got["url"].to_pylist(),
+        got["schema_path"].to_pylist(),
+        got["failed_specifier"].to_pylist(),
+    ))
+    assert got_set == exp
+    report2 = run_validation_pipeline(
+        files, flagship_schema_text(), out, wave_size=1, concurrency=2,
+        input_format="jsonl",
+    )
+    assert report2["n_files_skipped"] == len(files)
+
+
 def test_bad_input_format_raises(ray_session, tmp_path):
     with pytest.raises(ValueError, match="input_format"):
         run_validation_pipeline(
