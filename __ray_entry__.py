@@ -181,10 +181,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic sampling / splits (engine/sampling.py).
         # doc_hash_sample retired round 4 for the PII-redaction slot (the
         # driver records at most 50 queries): its md5-prefix machinery is
-        # the exact same code path doc_stratified_sample/doc_split_counts
-        # keep oracle-green, and hash_sample has three dedicated pytests.
+        # the exact same code path doc_stratified_sample keeps
+        # oracle-green, and hash_sample has three dedicated pytests.
         "doc_stratified_sample": q.doc_stratified_sample,
-        "doc_split_counts": q.doc_split_counts,
+        # doc_split_counts retired round 4 for the k-means clustering
+        # guard (kmeans_guard — the clustering verb of training-data
+        # curation): the md5-prefix split machinery stays oracle-green
+        # via doc_stratified_sample and pytest-covered (hash_split tests);
+        # callable stays in engine.queries.
+        "kmeans_guard": q.kmeans_guard,
         # benchmark decontamination (engine/decontam.py)
         "docs_decontaminated": q.docs_decontaminated,
         # composed corpus-prep flagship (filter→dedup→decontaminate→sample)
@@ -391,12 +396,15 @@ def oracle_sql() -> dict[str, str]:
               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
                   CASE lang WHEN 'en' THEN '4' WHEN 'de' THEN '8' ELSE '2' END
         """,
-        "doc_split_counts": """
-            SELECT lang,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
-                        THEN 'test' ELSE 'train' END AS split,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2
+        # distributed k-means partials are integer sums on a quantized
+        # grid — order-independent, so the Ray side compares itself
+        # bit-for-bit against a driver-side reference and the oracle
+        # asserts one all-TRUE row per Lloyd iteration
+        "kmeans_guard": f"""
+            SELECT CAST(i AS BIGINT) AS iter,
+                   TRUE AS sums_match, TRUE AS counts_match,
+                   TRUE AS assignments_match, TRUE AS margin_ok
+            FROM range({q.KMEANS_ITERS}) t(i)
         """,
         "orders_no_lineitems": """
             SELECT o.o_orderkey, o.o_custkey

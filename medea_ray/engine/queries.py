@@ -495,6 +495,63 @@ def doc_stratified_sample(sf_dir: str):
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def kmeans_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side exactness guard for distributed k-means
+    (engine/cluster.py): every iteration's integer partials from the
+    distributed pass must equal a driver-side single-array reference of
+    the identical algorithm BIT-FOR-BIT — the int64-grid accumulation is
+    order-independent across any block split, so equality (not
+    tolerance) is the bar — and the final assignments must match exactly
+    with a comfortably positive argmin margin (so float matmul shape
+    differences between batched and whole-array distance computations
+    cannot flip a label). One row per iteration; the oracle asserts every
+    boolean TRUE.
+
+    The exact side MATERIALIZES the (vec_id, embedding) projection on
+    the driver by design (the drift_guard pattern — that is what makes
+    it an independent recomputation); a loud row cap refuses bench-scale
+    inputs instead of silently exhausting driver memory."""
+    from medea_ray.engine import cluster
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > 2_000_000:
+        raise ValueError(
+            f"kmeans_guard is an oracle-scale exactness check; refusing to "
+            f"materialize {n} embedding rows on the driver — call "
+            f"cluster.fit directly for the distributed path"
+        )
+    cent, hist = cluster.fit(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+    lab = cluster.assign(ds, cent).take_all()
+
+    frames = [b.to_pandas() for b in ds.iter_batches(batch_format="pyarrow")]
+    df = pd.concat(frames, ignore_index=True)
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.asarray(df["embedding"].tolist(), dtype=np.float64)
+    _, rhist, ra = cluster.fit_reference(mat, ids, KMEANS_K, KMEANS_ITERS)
+
+    ref_assign = dict(zip(ids.tolist(), ra.tolist()))
+    assignments_match = all(r["cluster"] == ref_assign[r[
+        "vec_id"]] for r in lab) and len(lab) == len(ids)
+    margin_ok = bool(min(r["margin"] for r in lab) > 1e-6)
+    rows = []
+    for i, ((s, c), (rs, rc)) in enumerate(zip(hist, rhist)):
+        rows.append({
+            "iter": i,
+            "sums_match": bool(np.array_equal(s, rs)),
+            "counts_match": bool(np.array_equal(c, rc)),
+            "assignments_match": bool(assignments_match),
+            "margin_ok": margin_ok,
+        })
+    out = pd.DataFrame(rows)
+    out["iter"] = out["iter"].astype("int64")
+    return out
+
+
 def doc_split_counts(sf_dir: str):
     """Train/test split (~12.5% test) tagged by md5(doc_id) prefix, then
     (lang, split) counts — proves the split is deterministic and exhaustive."""

@@ -154,6 +154,10 @@ RETIRED = [
     # oracle-green via events_value_ranges / docs_decontaminated /
     # doc_stratified_sample (all pruned-read filter+projects)
     "lineitem_filter_project",
+    # round 4: md5-prefix split-counts entry replaced by the k-means
+    # clustering guard (kmeans_guard); the split machinery stays
+    # oracle-green via doc_stratified_sample + hash_split pytests
+    "doc_split_counts",
 ]
 
 
