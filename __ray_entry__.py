@@ -136,7 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incl. the exact integer sum path) + lang_nchars_sketch_guard /
         # tdigest_nchars_guard over the same documents column; callable
         # stays pytest-covered.
-        "distinct_lang_exact": q.distinct_lang_exact,
+        # distinct_lang_exact retired round 4 for the SemDeDup slot
+        # (semdedup_guard — cluster-then-dedup, the published semantic-
+        # dedup pipeline): exact-distinct stays oracle-green via
+        # hll_distinct_guard (its exact side is a distributed digest-
+        # groupby count distinct) + source_counts_salted group counts;
+        # callable stays pytest-covered.
+        "semdedup_guard": q.semdedup_guard,
         "hll_distinct_guard": q.hll_distinct_guard,
         "tdigest_nchars_guard": q.tdigest_nchars_guard,
         "lang_nchars_sketch_guard": q.lang_nchars_sketch_guard,
@@ -273,8 +279,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM orders
         """,
-        "distinct_lang_exact": """
-            SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang FROM documents
+        # SemDeDup guard: the Ray side proves the distributed cluster-
+        # then-dedup equals a driver-side reference bit-for-bit and that
+        # keep/drop decisions satisfy the exact-cosine precision/
+        # completeness properties; the oracle pins the corpus size and
+        # asserts every boolean TRUE
+        "semdedup_guard": """
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   TRUE AS sets_match, TRUE AS survivor_valid,
+                   TRUE AS kept_independent, TRUE AS drops_nonvacuous,
+                   TRUE AS margin_ok
+            FROM embeddings
         """,
         # Misra-Gries heavy-hitters sketch guard: the Ray side checks the
         # sketch's undercount/coverage/error-bound contracts against a

@@ -552,6 +552,103 @@ def kmeans_guard(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+SEMDEDUP_THRESHOLD = 0.4  # 23 deterministic drops at sf0.01 (non-vacuous)
+
+
+def semdedup_guard(sf_dir: str) -> pd.DataFrame:
+    """Driver-side exactness + property guard for SemDeDup-style semantic
+    dedup (engine/semdedup.py: k-means cluster, then within-cluster
+    greedy drop of cosine >= threshold near-duplicates, farthest-from-
+    centroid keep rule).
+
+    - ``sets_match``: the distributed (cluster, keep, survivor_id)
+      labelling equals a driver-side single-array reference of the
+      identical algorithm BIT-FOR-BIT (per-cluster groups are id-sorted
+      before any float math, making results block-split invariant).
+    - ``survivor_valid``: independently of the reference, every dropped
+      row's survivor is kept, shares its cluster, and their exact
+      float64 cosine >= threshold (precision).
+    - ``kept_independent``: no two kept rows in the same cluster have
+      cosine >= threshold (within-cluster completeness — cross-cluster
+      pairs are out of scope by the published design).
+    - ``drops_nonvacuous``: at least one row was dropped, so the
+      booleans aren't trivially true.
+    - ``margin_ok``: no pairwise cosine sits within 1e-6 of the
+      threshold and no keep-priority sort tie — the decisions are
+      nowhere near a float boundary.
+
+    The exact side materializes the embedding matrix on the driver by
+    design (the kmeans_guard pattern); a loud row cap refuses
+    bench-scale inputs instead of silently exhausting driver memory."""
+    from medea_ray.engine import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > 2_000_000:
+        raise ValueError(
+            f"semdedup_guard is an oracle-scale exactness check; refusing "
+            f"to materialize {n} embedding rows on the driver — call "
+            f"semdedup.semantic_dedup directly for the distributed path"
+        )
+    got = pd.DataFrame(
+        semdedup.semantic_dedup(
+            ds, k=KMEANS_K, n_iters=KMEANS_ITERS,
+            threshold=SEMDEDUP_THRESHOLD,
+        ).take_all()
+    )
+
+    tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ref, thr_m, ord_m = semdedup.semantic_dedup_reference(
+        ids, mat, KMEANS_K, KMEANS_ITERS, SEMDEDUP_THRESHOLD
+    )
+    sets_match = len(got) == len(ids) and all(
+        ref[r.vec_id]
+        == (r.cluster, r.keep,
+            None if pd.isna(r.survivor_id) else int(r.survivor_id))
+        for r in got.itertuples()
+    )
+
+    # independent property checks from exact float64 cosines
+    norm = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+    )
+    cos = norm @ norm.T
+    pos = {int(v): i for i, v in enumerate(ids)}
+    cluster_of = dict(zip(got["vec_id"], got["cluster"]))
+    kept_ids = got.loc[got["keep"], "vec_id"].tolist()
+    survivor_valid = True
+    for r in got[~got["keep"]].itertuples():
+        s = int(r.survivor_id)
+        ok = (
+            s in set(kept_ids)
+            and cluster_of[s] == r.cluster
+            and cos[pos[int(r.vec_id)], pos[s]] >= SEMDEDUP_THRESHOLD
+        )
+        survivor_valid = survivor_valid and ok
+    kept_independent = True
+    kept_by_cluster: dict[int, list[int]] = {}
+    for kid in kept_ids:
+        kept_by_cluster.setdefault(int(cluster_of[kid]), []).append(int(kid))
+    for members in kept_by_cluster.values():
+        idx = [pos[m] for m in members]
+        sub = cos[np.ix_(idx, idx)]
+        iu, ju = np.triu_indices(len(idx), 1)
+        if iu.size and (sub[iu, ju] >= SEMDEDUP_THRESHOLD).any():
+            kept_independent = False
+    return pd.DataFrame(
+        [{
+            "n_total": np.int64(len(ids)),
+            "sets_match": bool(sets_match),
+            "survivor_valid": bool(survivor_valid),
+            "kept_independent": bool(kept_independent),
+            "drops_nonvacuous": bool((~got["keep"]).any()),
+            "margin_ok": bool(thr_m > 1e-6 and ord_m > 1e-6),
+        }]
+    )
+
+
 def doc_split_counts(sf_dir: str):
     """Train/test split (~12.5% test) tagged by md5(doc_id) prefix, then
     (lang, split) counts — proves the split is deterministic and exhaustive."""

@@ -158,6 +158,10 @@ RETIRED = [
     # clustering guard (kmeans_guard); the split machinery stays
     # oracle-green via doc_stratified_sample + hash_split pytests
     "doc_split_counts",
+    # round 4: exact-distinct entry replaced by the SemDeDup guard
+    # (semdedup_guard); exact distinct stays oracle-green via
+    # hll_distinct_guard's digest-groupby exact side
+    "distinct_lang_exact",
 ]
 
 
