@@ -332,6 +332,72 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["warc_extract_100k"], _ = _timed(warc_extract)
 
+        # round 4: semantic dedup throughput — 200k synthetic 64-dim
+        # vectors (pure function of id: splitmix64-mixed noise around 64
+        # planted blob directions, every 10th id a near-identical twin of
+        # its predecessor), k-means fit + cluster-partitioned greedy
+        # cosine dedup (engine/semdedup.py)
+        from medea_ray.engine import cluster as _cl, semdedup as _sd
+
+        def semdedup_bench():
+            import pyarrow as pa
+
+            D, K, N = 64, 64, 200_000
+
+            def _mix(x):
+                # splitmix64 finalizer, vectorized on uint64
+                x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(-1)
+                x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(-1)
+                x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(-1)
+                return x ^ (x >> np.uint64(31))
+
+            bases = (_mix(np.arange(K, dtype=np.uint64)[:, None] * np.uint64(D)
+                          + np.arange(D, dtype=np.uint64)).astype(np.float64)
+                     / 2**63 - 1.0)
+            bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+
+            def vec_of(ids):
+                base_ids = np.where(ids % 10 == 9, ids - 1, ids)
+                noise = (_mix(base_ids[:, None].astype(np.uint64) * np.uint64(D)
+                              + np.arange(D, dtype=np.uint64) + np.uint64(1 << 40))
+                         .astype(np.float64) / 2**63 - 1.0)
+                v = 4.0 * bases[base_ids % K] + noise
+                twin = (ids % 10 == 9)[:, None]
+                jitter = (_mix(ids[:, None].astype(np.uint64) * np.uint64(D)
+                               + np.arange(D, dtype=np.uint64) + np.uint64(1 << 41))
+                          .astype(np.float64) / 2**63 - 1.0) * 1e-3
+                return np.where(twin, v + jitter, v).astype(np.float32)
+
+            def to_vecs(t):
+                ids = t.column("id").to_numpy(zero_copy_only=False)
+                m = vec_of(ids)
+                return pa.table({
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.reshape(-1)), D
+                    ).cast(pa.list_(pa.float32())),
+                })
+
+            vecs = rd.range(200_000).map_batches(
+                to_vecs, batch_format="pyarrow", batch_size=8192
+            ).materialize()  # fit streams it per iteration; don't re-synth
+            cent, _ = _cl.fit(vecs, k=K, n_iters=2)
+            out = _sd.semantic_dedup(
+                vecs, centroids=cent, threshold=0.9, margins=False
+            )
+            n_dropped = 0
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+                n_dropped += b.num_rows - int(
+                    np.count_nonzero(b.column("keep").to_numpy(zero_copy_only=False))
+                )
+            assert n == N, n
+            assert n_dropped >= N // 10 * 9 // 10, n_dropped  # twins found
+            return n_dropped
+
+        results["semdedup_200k"], _ = _timed(semdedup_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

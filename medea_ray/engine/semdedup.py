@@ -57,6 +57,7 @@ def _greedy_dedup(
     mat: np.ndarray,
     centroid: np.ndarray,
     threshold: float,
+    margins: bool = True,
 ):
     """Keep/drop decision for ONE complete cluster.
 
@@ -70,6 +71,8 @@ def _greedy_dedup(
     Returns (keep_mask, survivor_idx, max_cos, margins) where margins =
     (min |cos - threshold| over pairs, min adjacent gap of the
     keep-priority sort key) — the guard's boundary-distance evidence.
+    ``margins=False`` skips the O(n^2) pair scan (production scale;
+    guards keep it on) and reports (nan, nan).
     """
     m = _normalize(mat.astype(np.float64))
     c = np.asarray(centroid, dtype=np.float64)
@@ -83,21 +86,37 @@ def _greedy_dedup(
     keep = np.zeros(n, dtype=bool)
     survivor = np.full(n, -1, dtype=np.int64)
     max_cos = np.full(n, np.nan)
-    for pos in range(n):
-        i = order[pos]
-        kept_idx = np.flatnonzero(keep)
-        if kept_idx.size:
-            s = sims[i, kept_idx]
-            j = int(np.argmax(s))
-            max_cos[i] = s[j]
-            if s[j] >= threshold:
-                survivor[i] = kept_idx[j]
+    # incremental running max: best[j] / best_at[j] track the highest
+    # cosine (and its holder) between j and the kept set so far — one
+    # vectorized update per KEPT item instead of a gather per item
+    # (strict > keeps the earliest kept argmax, matching np.argmax's
+    # first-winner tie rule in keep order)
+    best = np.full(n, -np.inf)
+    best_at = np.full(n, -1, dtype=np.int64)
+    any_kept = False
+    for i in order:
+        if any_kept:
+            max_cos[i] = best[i]
+            if best[i] >= threshold:
+                survivor[i] = best_at[i]
                 continue
         keep[i] = True
-    iu, ju = np.triu_indices(n, 1)
-    thr_margin = (
-        float(np.min(np.abs(sims[iu, ju] - threshold))) if iu.size else np.inf
-    )
+        upd = sims[:, i] > best
+        best[upd] = sims[upd, i]
+        best_at[upd] = i
+        any_kept = True
+    if not margins:
+        return keep, survivor, max_cos, (np.nan, np.nan)
+    if n > 1:
+        # min |cos - threshold| over distinct pairs, reusing the sims
+        # buffer in place (the loop above is done with it) — no O(n^2)
+        # index arrays, no second allocation
+        np.subtract(sims, threshold, out=sims)
+        np.fabs(sims, out=sims)
+        np.fill_diagonal(sims, np.inf)
+        thr_margin = float(sims.min())
+    else:
+        thr_margin = np.inf
     ordered = cent_sim[order]
     order_margin = float(np.min(np.diff(ordered))) if n > 1 else np.inf
     return keep, survivor, max_cos, (thr_margin, order_margin)
@@ -113,6 +132,7 @@ def semantic_dedup(
     max_cluster_size: int = 4096,
     quant: int = _cluster.DEFAULT_QUANT,
     centroids: np.ndarray | None = None,
+    margins: bool = True,
 ):
     """Returns a Dataset of one row PER INPUT ROW:
     (id, cluster, keep, survivor_id, max_cos_to_kept, thr_margin,
@@ -153,63 +173,64 @@ def semantic_dedup(
 
     labelled = ds.map_batches(label, batch_format="pyarrow")
 
-    def per_cluster(df):
-        import pandas as pd
-
-        cid = int(df["cluster"].iloc[0])
-        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
-        if len(df) > max_cluster_size:
+    def per_cluster(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow group (a pandas group would box every vector
+        # into a per-row object — measured 2x the whole stage)
+        cid = int(t.column("cluster")[0].as_py())
+        ids_all = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_all, kind="stable")
+        t = t.take(pa.array(order))
+        n_all = t.num_rows
+        n_head = min(n_all, max_cluster_size)
+        if n_all > max_cluster_size:
             # NEVER drop data on overflow: rows beyond the cap pass
             # through as kept (under-dedup, logged) — smallest ids are
             # deduped, the tail is passed through.
             _log.warning(
                 "semantic_dedup: cluster %d has %d rows, capped to %d "
                 "(%d rows pass through undeduped)",
-                cid, len(df), max_cluster_size, len(df) - max_cluster_size,
+                cid, n_all, max_cluster_size, n_all - max_cluster_size,
             )
-        head = df.iloc[:max_cluster_size]
-        tail = df.iloc[max_cluster_size:]
-        ids = head[id_col].to_numpy()
-        mat = np.asarray(head[vec_col].tolist(), dtype=np.float64)
+        head = t.slice(0, n_head)
+        ids = head.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _cluster._batch_matrix(head, vec_col)
         keep, surv, mc, (thr_m, ord_m) = _greedy_dedup(
-            ids, mat, cent[cid], threshold
+            ids, mat, cent[cid], threshold, margins=margins
         )
-        out = pd.DataFrame(
+        surv_vals = ids[np.maximum(surv, 0)]
+        id_type = t.schema.field(id_col).type
+        n_tail = n_all - n_head
+        return pa.table(
             {
-                id_col: ids,
-                "cluster": np.int64(cid),
-                "keep": keep,
-                "survivor_id": [
-                    None if s < 0 else ids[s] for s in surv
-                ],
-                "max_cos_to_kept": mc,
-                "thr_margin": thr_m,
-                "order_margin": ord_m,
+                id_col: t.column(id_col),
+                "cluster": pa.array(np.full(n_all, cid, np.int64)),
+                "keep": pa.array(
+                    np.concatenate([keep, np.ones(n_tail, bool)])
+                ),
+                "survivor_id": pa.concat_arrays(
+                    [
+                        pa.array(surv_vals, id_type, mask=surv < 0),
+                        pa.nulls(n_tail, id_type),
+                    ]
+                ),
+                "max_cos_to_kept": pa.array(
+                    np.concatenate([mc, np.full(n_tail, np.nan)])
+                ),
+                "thr_margin": pa.array(
+                    np.concatenate(
+                        [np.full(n_head, thr_m), np.full(n_tail, np.nan)]
+                    )
+                ),
+                "order_margin": pa.array(
+                    np.concatenate(
+                        [np.full(n_head, ord_m), np.full(n_tail, np.nan)]
+                    )
+                ),
             }
         )
-        if len(tail):
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {
-                            id_col: tail[id_col].to_numpy(),
-                            "cluster": np.int64(cid),
-                            "keep": True,
-                            "survivor_id": None,
-                            "max_cos_to_kept": np.nan,
-                            "thr_margin": np.nan,
-                            "order_margin": np.nan,
-                        }
-                    ),
-                ],
-                ignore_index=True,
-            )
-        out["survivor_id"] = out["survivor_id"].astype("Int64")
-        return out
 
     return labelled.groupby("cluster").map_groups(
-        per_cluster, batch_format="pandas"
+        per_cluster, batch_format="pyarrow"
     )
 
 

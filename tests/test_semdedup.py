@@ -149,3 +149,18 @@ def test_no_drops_below_threshold(ray_session):
     got, _, _, _ = _run(ds, df, k=4, threshold=1.5)
     assert bool(got["keep"].all())
     assert got["survivor_id"].isna().all()
+
+
+def test_margins_false_same_sets_nan_margins(ray_session):
+    ds, df, _ = _planted_ds()
+    a = pd.DataFrame(
+        semdedup.semantic_dedup(ds, k=4, threshold=0.99).take_all()
+    ).sort_values("vec_id").reset_index(drop=True)
+    b = pd.DataFrame(
+        semdedup.semantic_dedup(
+            ds, k=4, threshold=0.99, margins=False
+        ).take_all()
+    ).sort_values("vec_id").reset_index(drop=True)
+    cols = ["vec_id", "cluster", "keep", "survivor_id", "max_cos_to_kept"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    assert b["thr_margin"].isna().all() and b["order_margin"].isna().all()
