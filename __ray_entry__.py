@@ -205,7 +205,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_last_purchase": q.clicks_last_purchase,
         "events_value_ranges": q.events_value_ranges,
         "top_events_per_user": q.top_events_per_user,
-        "events_tumbling_6h": q.events_tumbling_6h,
+        # events_tumbling_6h retired round 4 for the CCNet-style LM
+        # scoring slot (lm_unigram_stats): tumbling is hopping with
+        # hop == width, and events_hopping_12h keeps the identical
+        # milli-sum windowed-aggregate pipeline oracle-green; the
+        # tumbling callable stays pytest-covered (test_window.py).
+        "lm_unigram_stats": q.lm_unigram_stats,
         "events_hopping_12h": q.events_hopping_12h,
         "user_running_value": q.user_running_value,
         "events_prev_value": q.events_prev_value,
@@ -468,15 +473,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id) AS "rank"
               FROM events) WHERE "rank" <= 3
         """,
-        # floor-mod ((x % w) + w) % w so pre-epoch timestamps window the
-        # same as the engine's numpy floor semantics (SQL % truncates)
-        "events_tumbling_6h": f"""
-            SELECT epoch_us(ts)
-                     - ((epoch_us(ts) % {q.TUMBLE_6H_US}) + {q.TUMBLE_6H_US}) % {q.TUMBLE_6H_US}
-                     AS window_start_us,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
-            FROM events GROUP BY 1
+        # unigram LM evidence: the vocab is the exact token counts of
+        # the md5-prefix train split; every doc's integer triple
+        # (token count, OOV count, sum of model counts per occurrence)
+        # is recomputed from scratch
+        "lm_unigram_stats": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     COALESCE(text, '') || ' uniqtok' ||
+                       CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM docs WHERE text IS NOT NULL
+            ), vocab AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+              GROUP BY tok
+            ), per AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                     CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_tok_count
+              FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.n_oov, 0) AS n_oov,
+                   COALESCE(p.sum_tok_count, 0) AS sum_tok_count
+            FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         "user_running_value": """
             SELECT user_id, event_id,

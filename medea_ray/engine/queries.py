@@ -1140,6 +1140,61 @@ def doc_word_stats(sf_dir: str):
     return text.add_word_stats(ds, id_col="doc_id")
 
 
+def lm_unigram_stats(sf_dir: str):
+    """CCNet-style LM scoring evidence (engine/lm.py): train an exact
+    unigram model on the deterministic md5-prefix TRAIN split of the
+    documents table (the doc_split_counts machinery — prefix >= '2'),
+    score EVERY document against it, and emit the integer evidence the
+    SQL oracle recomputes exactly: per-doc token count, OOV count
+    (test-only tokens), and the sum of model counts over the doc's
+    token occurrences. The float avg_logprob / perplexity columns are
+    deterministic functions of these integers (pytest-pinned) and stay
+    out of the hash compare.
+
+    The synthetic corpus's vocabulary fully overlaps between splits, so
+    the query PLANTS one doc-unique token per row (identically to the
+    SQL oracle, the docs_pii_redacted precedent) — test-split docs then
+    have exactly one genuinely out-of-vocabulary token, making the OOV
+    path non-vacuous."""
+    from medea_ray.engine import lm, sampling
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_null_ids_and_plant(t: pa.Table) -> pa.Table:
+        # null doc_ids have no stable split membership — exclude on
+        # both sides (the doc_split_counts precedent)
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            " uniqtok",
+            pc.cast(t.column("doc_id"), pa.string()),
+            "",
+        )
+        return t.set_column(
+            t.schema.get_field_index("text"), "text", planted
+        )
+
+    ds = ds.map_batches(drop_null_ids_and_plant, batch_format="pyarrow")
+    tagged = sampling.train_test_split(ds, "doc_id", "2")
+
+    def train_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("split"), "train"))
+
+    train = tagged.map_batches(train_only, batch_format="pyarrow")
+    model = lm.train_unigram(train, "text")
+    out = pa.concat_tables(
+        lm.score(ds, model, text_col="text", id_col="doc_id").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return (
+        out.select(["doc_id", "n_tokens", "n_oov", "sum_tok_count"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

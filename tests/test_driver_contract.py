@@ -162,6 +162,10 @@ RETIRED = [
     # (semdedup_guard); exact distinct stays oracle-green via
     # hll_distinct_guard's digest-groupby exact side
     "distinct_lang_exact",
+    # round 4: tumbling-window entry replaced by CCNet-style LM scoring
+    # (lm_unigram_stats); tumbling is hopping with hop == width and
+    # events_hopping_12h keeps the windowed-aggregate family green
+    "events_tumbling_6h",
 ]
 
 
