@@ -398,6 +398,24 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["semdedup_200k"], _ = _timed(semdedup_bench)
 
+        # round 4: CCNet-style LM quality scoring — exact unigram train
+        # over the full 600k-page corpus (one token-partial groupby),
+        # then score every page (broadcast model, vectorized Arrow
+        # split/index_in/segment-sum kernel)
+        from medea_ray.engine import lm
+
+        def lm_train_score():
+            corpus = rd.read_parquet(pages_dir, columns=["url", "text"])
+            model = lm.train_unigram(corpus, "text")
+            out = lm.score(corpus, model, id_col="url", concurrency=pool)
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["lm_train_score_600k"], _ = _timed(lm_train_score)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

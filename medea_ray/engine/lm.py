@@ -35,13 +35,9 @@ once.
 from __future__ import annotations
 
 import math
-import re
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
-
-_TOKEN_RE = re.compile(r"\S+")
 
 
 class UnigramLM:
@@ -88,20 +84,30 @@ def train_unigram(
     (count desc, token asc) order."""
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter[str] = Counter()
-        for s in t.column(text_col):
-            v = s.as_py()
-            if v is not None:
-                c.update(_TOKEN_RE.findall(v))
-        if not c:
-            return pa.table(
-                {"token": pa.array([], pa.string()),
-                 "n": pa.array([], pa.int64())}
-            )
-        toks, ns = zip(*c.items())
+        # vectorized tokenize+count: Arrow's whitespace split matches the
+        # \S+ convention except for the empty edge tokens it emits on
+        # leading/trailing whitespace — filtered below
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {"token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        col = pc.drop_null(t.column(text_col))
+        if len(col) == 0 or pa.types.is_null(col.type):
+            # all-null blocks degrade the column to null type, which the
+            # split kernel rejects
+            return empty
+        flat = pc.list_flatten(pc.utf8_split_whitespace(col))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return empty
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
         return pa.table(
-            {"token": pa.array(toks, pa.string()),
-             "n": pa.array(ns, pa.int64())}
+            {"token": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     reduced = (
@@ -125,7 +131,11 @@ def train_unigram(
 
 
 class _Scorer:
-    """Actor-pool stage: fetches the broadcast model once per actor."""
+    """Actor-pool stage: fetches the broadcast model once per actor and
+    pre-builds the Arrow vocab/count arrays (once, not per batch). The
+    per-batch kernel is fully vectorized: whitespace split →
+    ``index_in`` against the vocab → cumsum-based segment sums per
+    document (empty edge tokens masked out, see train partial)."""
 
     def __init__(self, model_ref, text_col: str, id_col: str):
         import ray
@@ -135,8 +145,16 @@ class _Scorer:
         )
         self.text_col = text_col
         self.id_col = id_col
+        toks = list(self.model.counts.keys())
+        self._vocab = pa.array(toks, pa.string())
+        self._counts = np.asarray(
+            [self.model.counts[t] for t in toks], dtype=np.int64
+        )
+        self._log_denom = math.log(self.model._denom)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         id_type = t.schema.field(self.id_col).type
         schema = pa.schema(
             [
@@ -150,24 +168,49 @@ class _Scorer:
         )
         if t.num_rows == 0:
             return schema.empty_table()
-        n_tok, n_oov, s_cnt, alp = [], [], [], []
-        for s in t.column(self.text_col):
-            v = s.as_py()
-            toks = [] if v is None else _TOKEN_RE.findall(v)
-            a, b, c = self.model.token_evidence(toks)
-            n_tok.append(a)
-            n_oov.append(b)
-            s_cnt.append(c)
-            alp.append(self.model.avg_logprob(toks))
-        alp_arr = np.asarray(alp, dtype=np.float64)
+        texts = t.column(self.text_col)
+        if pa.types.is_null(texts.type):  # all-null block
+            texts = pc.cast(texts, pa.string())
+        texts = pc.fill_null(texts, "")
+        lists = pc.utf8_split_whitespace(texts)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ends = np.cumsum(lens.astype(np.int64))
+        starts = ends - lens
+        real = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if self.model.vocab_size:
+            idx = pc.index_in(flat, value_set=self._vocab)
+            in_vocab = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            cnt = self._counts[
+                pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+            ]
+            cnt = np.where(in_vocab, cnt, 0)
+        else:
+            in_vocab = np.zeros(len(flat), dtype=bool)
+            cnt = np.zeros(len(flat), dtype=np.int64)
+
+        def segsum(vals):
+            cs = np.concatenate([[0], np.cumsum(vals)])
+            return cs[ends] - cs[starts]
+
+        n_tok = segsum(real.astype(np.int64))
+        n_oov = segsum((real & ~in_vocab).astype(np.int64))
+        s_cnt = segsum(np.where(real, cnt, 0))
+        logp = np.where(real, np.log(cnt + 1.0) - self._log_denom, 0.0)
+        with np.errstate(invalid="ignore"):
+            alp = np.where(
+                n_tok > 0, segsum(logp) / np.maximum(n_tok, 1), np.nan
+            )
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
                 "n_tokens": pa.array(n_tok, pa.int64()),
                 "n_oov": pa.array(n_oov, pa.int64()),
                 "sum_tok_count": pa.array(s_cnt, pa.int64()),
-                "avg_logprob": pa.array(alp_arr),
-                "perplexity": pa.array(np.exp(-alp_arr)),
+                "avg_logprob": pa.array(alp),
+                "perplexity": pa.array(np.exp(-alp)),
             },
             schema=schema,
         )
