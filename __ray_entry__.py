@@ -60,6 +60,73 @@ def _pii_flag_sql(expr: str) -> str:
     )
 
 
+def _gopher_sql() -> str:
+    """From-scratch DuckDB recomputation of every Gopher repetition
+    integer (engine/gopher.py contract): words via string_split(' '),
+    n-grams via list_slice + array_to_string, top{n}_chars =
+    max(count*gram_chars), dup{n}_chars = span-union covered word chars
+    of within-doc duplicated n-grams. Built FROM gopher.TOP_NS/DUP_NS
+    and queries.GOPHER_PLANT so a constant edit can never desynchronize
+    the two sides."""
+    from medea_ray.engine.gopher import DUP_NS, TOP_NS
+
+    parts = [
+        f"""
+        d AS (SELECT doc_id,
+                COALESCE(text,'') ||
+                  CASE WHEN doc_id % 5 = 1 THEN '{q.GOPHER_PLANT}' ELSE '' END
+                  AS text
+              FROM documents WHERE doc_id IS NOT NULL),
+        s AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM d),
+        w AS (SELECT doc_id, i, length(ws[i]) AS wl
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i FROM s))
+        """
+    ]
+    sel = ["s.doc_id", "length(s.text) AS n_text_chars", "len(s.ws) AS n_words"]
+    joins = []
+    for n in sorted(set(TOP_NS) | set(DUP_NS)):
+        parts.append(
+            f"""
+            g{n} AS (SELECT doc_id, i,
+                       array_to_string(list_slice(ws, i, i+{n - 1}), ' ') AS gram
+                     FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws)-{n - 1})) AS i
+                           FROM s)),
+            c{n} AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt,
+                            min(length(gram)) AS gl
+                     FROM g{n} GROUP BY 1, 2)"""
+        )
+    for n in TOP_NS:
+        parts.append(
+            f"top{n} AS (SELECT doc_id, max(cnt*gl) AS v FROM c{n} GROUP BY 1)"
+        )
+        sel.append(f"CAST(COALESCE(top{n}.v, 0) AS BIGINT) AS top{n}_chars")
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = s.doc_id")
+    for n in DUP_NS:
+        parts.append(
+            f"""
+            cov{n} AS (SELECT DISTINCT g.doc_id, g.i + t.k AS j
+                       FROM g{n} g
+                       JOIN c{n} c ON c.doc_id = g.doc_id AND c.gram = g.gram
+                       CROSS JOIN (SELECT unnest(generate_series(0,{n - 1})) AS k) t
+                       WHERE c.cnt >= 2),
+            dup{n} AS (SELECT c.doc_id, CAST(sum(w.wl) AS BIGINT) AS v
+                       FROM cov{n} c JOIN w ON w.doc_id = c.doc_id AND w.i = c.j
+                       GROUP BY 1)"""
+        )
+        sel.append(f"CAST(COALESCE(dup{n}.v, 0) AS BIGINT) AS dup{n}_chars")
+        joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = s.doc_id")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + " SELECT "
+        + ", ".join(sel)
+        + " FROM s "
+        + " ".join(joins)
+    )
+
+
 def _knn_query_literals() -> list[str]:
     import numpy as np
 
@@ -183,7 +250,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large×large shuffle join (engine/join.py) + skew-resistant salted
         "orders_lineitem_join": q.orders_lineitem_join,
         "orders_lineitem_salted_join": q.orders_lineitem_salted_join,
-        "orders_no_lineitems": q.orders_no_lineitems,
+        # orders_no_lineitems retired round 4 for the Gopher repetition
+        # slot (gopher_repetition_stats — the arXiv:2112.11446 Table A1
+        # repetition-removal family, the standard web-corpus quality
+        # scrub): the anti-join family stays oracle-green via
+        # referential_orders_customers (broadcast anti-join, same code
+        # path) and corpus_prep's decontamination anti-filter; the
+        # callable stays pytest-covered (test_join.py).
+        "gopher_repetition_stats": q.gopher_repetition_stats,
         # deterministic sampling / splits (engine/sampling.py).
         # doc_hash_sample retired round 4 for the PII-redaction slot (the
         # driver records at most 50 queries): its md5-prefix machinery is
@@ -426,11 +500,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS assignments_match, TRUE AS margin_ok
             FROM range({q.KMEANS_ITERS}) t(i)
         """,
-        "orders_no_lineitems": """
-            SELECT o.o_orderkey, o.o_custkey
-            FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-        """,
+        "gopher_repetition_stats": _gopher_sql(),
         # gap + window-width constants come from the same Python constants
         # the engine queries use (queries.SESSION_GAP_US etc.)
         "user_sessions": f"""

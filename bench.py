@@ -416,6 +416,23 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["lm_train_score_600k"], _ = _timed(lm_train_score)
 
+        # round 4: Gopher repetition signals — 9 n-gram passes (top 2/3/4
+        # max(count*chars) + dup 5..10 span-union coverage) plus the
+        # Table A1 threshold flags over the full 600k-page text column;
+        # one stateless vectorized map_batches stage, no shuffle
+        from medea_ray.engine import gopher
+
+        def gopher_stats():
+            corpus = rd.read_parquet(pages_dir, columns=["text"])
+            out = gopher.flag_repetitive(gopher.repetition_stats(corpus, "text"))
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["gopher_repetition_600k"], _ = _timed(gopher_stats)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

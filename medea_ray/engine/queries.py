@@ -1140,6 +1140,41 @@ def doc_word_stats(sf_dir: str):
     return text.add_word_stats(ds, id_col="doc_id")
 
 
+# Deterministic repeated tail planted on doc_id % 5 == 1 rows so the
+# within-doc duplicated-n-gram path (dup5..dup10 spans) is non-vacuous
+# on the near-unique synthetic corpus — identical literal on the SQL
+# side (docs_pii_redacted precedent). Single source of truth for both.
+GOPHER_PLANT = " spam ham eggs" * 6
+
+
+def gopher_repetition_stats(sf_dir: str):
+    """Gopher repetition signals (engine/gopher.py, arXiv:2112.11446
+    Table A1): per-doc integer evidence — word count, text char count,
+    ``max(count * gram_chars)`` for 2/3/4-grams, and span-union covered
+    chars of within-doc duplicated 5..10-grams — hash-compared against a
+    DuckDB oracle that recomputes every n-gram from scratch with
+    ``string_split`` + ``list_slice``. Rows with null doc_id excluded on
+    both sides; a repeated 3-word phrase is planted on doc_id % 5 == 1
+    (``GOPHER_PLANT``) so dup coverage is non-vacuous (100 docs with
+    all of dup5..dup10 > 0 at sf0.01)."""
+    from medea_ray.engine import gopher
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        txt = pc.fill_null(t.column("text"), "")
+        mask = pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 5 == 1)
+        planted = pc.if_else(
+            mask, pc.binary_join_element_wise(txt, GOPHER_PLANT, ""), txt
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", planted)
+
+    return gopher.repetition_stats(
+        ds.map_batches(plant, batch_format="pyarrow"), "text", id_col="doc_id"
+    )
+
+
 def lm_unigram_stats(sf_dir: str):
     """CCNet-style LM scoring evidence (engine/lm.py): train an exact
     unigram model on the deterministic md5-prefix TRAIN split of the

@@ -166,6 +166,11 @@ RETIRED = [
     # (lm_unigram_stats); tumbling is hopping with hop == width and
     # events_hopping_12h keeps the windowed-aggregate family green
     "events_tumbling_6h",
+    # round 4: NOT EXISTS anti-join entry replaced by the Gopher
+    # repetition slot (gopher_repetition_stats); the anti-join family
+    # stays oracle-green via referential_orders_customers and
+    # corpus_prep's decontamination anti-filter
+    "orders_no_lineitems",
 ]
 
 
