@@ -127,6 +127,46 @@ def _gopher_sql() -> str:
     )
 
 
+def _dupspan_sql() -> str:
+    """From-scratch DuckDB recomputation of ExactSubstr span removal
+    (engine/substr.py contract): k-grams via list_slice, the GLOBAL
+    duplicate set via GROUP BY gram HAVING count(*) >= 2, span union via
+    DISTINCT covered indices, and the cleaned text via ordered
+    string_agg over uncovered words. Built FROM queries.DUPSPAN_K /
+    DUPSPAN_PLANT (single source of truth with the Ray side)."""
+    k = q.DUPSPAN_K
+    return f"""
+        WITH d AS (SELECT doc_id,
+                     COALESCE(text,'') ||
+                       CASE WHEN doc_id % 7 = 3 THEN '{q.DUPSPAN_PLANT}'
+                            ELSE '' END AS text
+                   FROM documents WHERE doc_id IS NOT NULL),
+        s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        w AS (SELECT doc_id, i, ws[i] AS word
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i FROM s)),
+        g AS (SELECT doc_id, i,
+                     array_to_string(list_slice(ws, i, i+{k - 1}), ' ') AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws)-{k - 1})) AS i
+                    FROM s)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT g.doc_id, g.i + t.k AS j
+                FROM g JOIN dup USING (gram)
+                CROSS JOIN (SELECT unnest(generate_series(0,{k - 1})) AS k) t),
+        ncov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cov GROUP BY 1),
+        clean AS (SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.i) AS txt
+                  FROM w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.j = w.i
+                  WHERE c.j IS NULL GROUP BY w.doc_id)
+        SELECT s.doc_id, len(s.ws) AS n_words,
+               CAST(COALESCE(ncov.n, 0) AS BIGINT) AS n_covered,
+               COALESCE(clean.txt, '') AS clean_text
+        FROM s
+        LEFT JOIN ncov ON ncov.doc_id = s.doc_id
+        LEFT JOIN clean ON clean.doc_id = s.doc_id
+    """
+
+
 def _knn_query_literals() -> list[str]:
     import numpy as np
 
@@ -287,7 +327,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_unigram_stats": q.lm_unigram_stats,
         "events_hopping_12h": q.events_hopping_12h,
         "user_running_value": q.user_running_value,
-        "events_prev_value": q.events_prev_value,
+        # events_prev_value retired round 4 for the ExactSubstr
+        # duplicated-span-removal slot (dup_span_removal — the
+        # arXiv:2107.06499 dedup verb): the ordered-per-group window
+        # family stays oracle-green via user_running_value (cumulative),
+        # clicks_last_purchase (asof) and user_sessions; the lag callable
+        # stays pytest-covered (test_window.py).
+        "dup_span_removal": q.dup_span_removal,
         # long→wide pivot (engine/reshape.py)
         "user_event_pivot": q.user_event_pivot,
         # uniqueness / referential / dedup (E9 + training-data ops)
@@ -583,13 +629,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS running_milli
             FROM events
         """,
-        "events_prev_value": """
-            SELECT user_id, event_id, prev_milli FROM (
-              SELECT user_id, event_id,
-                     LAG(CAST(round(value * 1000) AS BIGINT))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_milli
-              FROM events) WHERE prev_milli IS NOT NULL
-        """,
+        "dup_span_removal": _dupspan_sql(),
         "user_event_pivot": """
             SELECT user_id,
                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -433,6 +433,25 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["gopher_repetition_600k"], _ = _timed(gopher_stats)
 
+        # round 4: ExactSubstr duplicated-span removal over the full
+        # 600k-page text column — count pass (per-batch-unique gram
+        # partials -> one groupby(gram) sum), broadcast dup set, then
+        # the vectorized span-mask + re-join pass (engine/substr.py)
+        from medea_ray.engine import substr
+
+        def dup_span():
+            corpus = rd.read_parquet(pages_dir, columns=["text"])
+            out = substr.mask_dup_spans(
+                corpus, "text", k=5, batch_size=8192, concurrency=pool
+            )
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["dup_span_600k"], _ = _timed(dup_span)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

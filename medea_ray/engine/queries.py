@@ -1175,6 +1175,42 @@ def gopher_repetition_stats(sf_dir: str):
     )
 
 
+# Shared 10-word boilerplate tail planted on doc_id % 7 == 3 rows so the
+# CROSS-document duplicated-span path is non-vacuous (the synthetic
+# corpus is near-unique at the 5-gram level); identical literal on the
+# SQL side. Words chosen outside the testdata vocabulary.
+DUPSPAN_PLANT = " the quick brown fox jumps over the lazy dog today"
+DUPSPAN_K = 5
+
+
+def dup_span_removal(sf_dir: str):
+    """ExactSubstr-style duplicated-span removal (engine/substr.py,
+    arXiv:2107.06499): every 5-word span occurring >= 2 times corpus-wide
+    is masked from every document. Emits per-doc integers (n_words,
+    n_covered) plus the cleaned text itself, so the value-hash compare
+    pins the masking BYTE-EXACTLY against a DuckDB oracle that
+    recomputes grams, the global duplicate set, the span union, and the
+    ``string_agg`` re-join from scratch. A shared boilerplate tail is
+    planted on doc_id % 7 == 3 (``DUPSPAN_PLANT``) so cross-document
+    duplication is non-vacuous (~71 docs at sf0.01); natural within-doc
+    repeats count too (min_count spans both cases, as in the paper)."""
+    from medea_ray.engine import substr
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        txt = pc.fill_null(t.column("text"), "")
+        mask = pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 7 == 3)
+        planted = pc.if_else(
+            mask, pc.binary_join_element_wise(txt, DUPSPAN_PLANT, ""), txt
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", planted)
+
+    planted = ds.map_batches(plant, batch_format="pyarrow").materialize()
+    return substr.mask_dup_spans(planted, "text", id_col="doc_id", k=DUPSPAN_K)
+
+
 def lm_unigram_stats(sf_dir: str):
     """CCNet-style LM scoring evidence (engine/lm.py): train an exact
     unigram model on the deterministic md5-prefix TRAIN split of the

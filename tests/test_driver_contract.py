@@ -171,6 +171,11 @@ RETIRED = [
     # stays oracle-green via referential_orders_customers and
     # corpus_prep's decontamination anti-filter
     "orders_no_lineitems",
+    # round 4: per-group lag entry replaced by the ExactSubstr
+    # duplicated-span-removal slot (dup_span_removal); the ordered
+    # window family stays oracle-green via user_running_value /
+    # clicks_last_purchase / user_sessions
+    "events_prev_value",
 ]
 
 
