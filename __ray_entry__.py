@@ -359,8 +359,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_text_features retired round 3 (its token/word/char code paths
         # are oracle-green via doc_token_counts / doc_word_stats /
         # top_tokens) in favour of the oracle-checked GIF frame-sampling
-        # path below; the callable remains pytest-covered in engine.queries.
-        "gif_frame_stats": q.gif_frame_stats,
+        # path, itself retired round 4 for the Bloom-filter sketch guard
+        # (bloom_filter_guard — E6d, the fourth mergeable sketch): the
+        # media-decode family stays oracle-green via media_features /
+        # jpeg_codec_guard / mjpeg_avi_guard / image_resize_guard /
+        # audio_codec_guard (frame sampling itself via mjpeg_avi_guard's
+        # per-frame stats); both callables stay pytest-covered.
+        "bloom_filter_guard": q.bloom_filter_guard,
         "top_tokens": q.top_tokens,
         # Medea validation (E3, the per-row kernel end-to-end)
         "validate_documents_payload": q.validate_documents_payload,
@@ -806,23 +811,18 @@ def oracle_sql() -> dict[str, str]:
         # sum of every 2nd frame in closed form — lockstep with
         # multimodal.gif_frame_pixels (pixels (k + seed*11 + f*7) % 256
         # over 195 px/frame; identity palette ⇒ red channel == index)
-        "gif_frame_stats": """
-            SELECT d.doc_id,
-                   CAST(2 + d.doc_id % 5 AS BIGINT) AS n_frames,
-                   CAST((3 + d.doc_id % 5) // 2 AS BIGINT) AS n_sampled,
-                   CAST(15 AS BIGINT) AS frame_width,
-                   CAST(13 AS BIGINT) AS frame_height,
-                   CAST(SUM(CASE WHEN (d.doc_id * 11 + t.f * 7) % 256 <= 61
-                                 THEN 195 * ((d.doc_id * 11 + t.f * 7) % 256) + 18915
-                                 ELSE 32640
-                                      - ((d.doc_id * 11 + t.f * 7) % 256)
-                                        * ((d.doc_id * 11 + t.f * 7) % 256 - 1) // 2
-                                      + ((d.doc_id * 11 + t.f * 7) % 256 - 62)
-                                        * ((d.doc_id * 11 + t.f * 7) % 256 - 61) // 2
-                            END) AS BIGINT) AS px_sum
-            FROM documents d
-            JOIN (VALUES (0), (2), (4)) AS t(f) ON t.f < 2 + d.doc_id % 5
-            GROUP BY d.doc_id
+        # Bloom sketch guard: n_added is the exact SQL-computable key
+        # count; the booleans (no false negatives / distributed ==
+        # driver bit-identity / fp under 2x the theoretical bound) are
+        # the sketch's contract — see queries.bloom_filter_guard
+        "bloom_filter_guard": """
+            SELECT CAST(count(*) AS BIGINT) AS n_added,
+                   CAST(count(*) AS BIGINT) AS n_present_probed,
+                   CAST(2000 AS BIGINT) AS n_absent_probed,
+                   TRUE AS no_false_negatives,
+                   TRUE AS bits_match_reference,
+                   TRUE AS fp_within_bound
+            FROM documents WHERE doc_id IS NOT NULL
         """,
         # baseline JPEG codec guard: encode → decode round-trip booleans
         # (exact geometry, RMSE < 6 under the uniform quantizer); every

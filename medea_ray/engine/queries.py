@@ -1211,6 +1211,91 @@ def dup_span_removal(sf_dir: str):
     return substr.mask_dup_spans(planted, "text", id_col="doc_id", k=DUPSPAN_K)
 
 
+def bloom_filter_guard(sf_dir: str) -> pd.DataFrame:
+    """Exactness guard for the mergeable Bloom filter (stats.BloomFilter,
+    E6d — the fourth mergeable sketch next to HLL / TDigest /
+    Misra-Gries). The filter is built DISTRIBUTED (64-row partials
+    OR-merged through the bounded-fan-in tree) over planted keys
+    ``'k' || doc_id``; the oracle asserts:
+
+    - ``n_added`` == exact non-null doc_id count (SQL-computable);
+    - ``no_false_negatives``: every present key probes True — the Bloom
+      contract that makes the sketch usable for crawl dedup;
+    - ``bits_match_reference``: the distributed build is BIT-IDENTICAL
+      to a single-pass driver build (OR-merge order independence);
+    - ``fp_within_bound``: false positives on 2000 disjoint ``'a' || i``
+      probes stay under 2x the theoretical (1-e^(-kn/m))^k rate plus
+      slack — a broken hash/merge collapses to all-True and fails.
+    """
+    import math
+
+    import ray.data as rd
+
+    from medea_ray.engine import stats as st
+
+    N_BITS, N_HASHES, N_ABSENT = 1 << 13, 7, 2000
+
+    def keyify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        return pa.table(
+            {"key": pc.binary_join_element_wise(
+                "k", pc.cast(t.column("doc_id"), pa.string()), "")}
+        )
+
+    keys = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(keyify, batch_format="pyarrow")
+        .materialize()  # consumed twice: build + probe
+    )
+    bloom = st.bloom_build(
+        keys, "key", n_bits=N_BITS, n_hashes=N_HASHES,
+        batch_size=64, max_driver_states=4,
+    )
+
+    probed = st.bloom_probe(keys, "key", bloom)
+    n_present = 0
+    n_missed = 0
+    for b in probed.iter_batches(batch_format="pyarrow"):
+        seen = b.column("maybe_seen").to_numpy(zero_copy_only=False)
+        n_present += len(seen)
+        n_missed += int((~seen).sum())
+
+    def absent_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pc.binary_join_element_wise(
+                "a", pc.cast(t.column("id"), pa.string()), "")}
+        )
+
+    absent = rd.range(N_ABSENT).map_batches(absent_keys, batch_format="pyarrow")
+    n_fp = 0
+    for b in st.bloom_probe(absent, "key", bloom).iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_fp += int(b.column("maybe_seen").to_numpy(zero_copy_only=False).sum())
+
+    # single-pass driver reference over the same keys, bit-for-bit
+    ref = st.BloomFilter(N_BITS, N_HASHES)
+    for b in keys.iter_batches(batch_format="pyarrow"):
+        ref.add_batch(b.column("key"))
+    bits_match = bool(
+        np.array_equal(ref.words, bloom.words) and ref.n_added == bloom.n_added
+    )
+
+    allowed = int(math.ceil(N_ABSENT * 2.0 * bloom.fp_rate_bound())) + 8
+    return pd.DataFrame(
+        [
+            {
+                "n_added": np.int64(bloom.n_added),
+                "n_present_probed": np.int64(n_present),
+                "n_absent_probed": np.int64(N_ABSENT),
+                "no_false_negatives": bool(n_missed == 0),
+                "bits_match_reference": bits_match,
+                "fp_within_bound": bool(n_fp <= allowed),
+            }
+        ]
+    )
+
+
 def lm_unigram_stats(sf_dir: str):
     """CCNet-style LM scoring evidence (engine/lm.py): train an exact
     unigram model on the deterministic md5-prefix TRAIN split of the

@@ -646,3 +646,157 @@ def heavy_hitters(
     for s in parts[1:]:
         acc.merge(s)
     return {"items": acc.items(), "n": acc.n, "err": acc.err, "k": acc.k}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (E6d): mergeable set-membership sketch
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer): derives the
+    second double-hashing stream from the first, so one siphash pass per
+    batch suffices for any column type."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over a column's values.
+
+    Kirsch–Mitzenmacher double hashing (h1 + i*h2 over ``n_hashes``
+    probes): one deterministic siphash per value (``hash_column``), the
+    second stream derived via splitmix64 and forced odd so probes cover
+    every residue of the power-of-two bit space. OR-merge makes partials
+    order-independent — the distributed build is bit-identical to a
+    single-pass driver build (asserted by the driver guard).
+
+    Contract: NO false negatives ever (``contains`` of an added value is
+    always True); false-positive rate ~ (1 - e^(-kn/m))^k. Nulls are
+    ignored on add and report False on probe.
+    """
+
+    def __init__(self, n_bits: int = 1 << 23, n_hashes: int = 7):
+        if n_bits & (n_bits - 1):
+            raise ValueError("n_bits must be a power of two")
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.words = np.zeros(n_bits // 64, np.uint64)
+        self.n_added = 0
+
+    def _positions(self, col) -> np.ndarray:
+        h1 = hash_column(col)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.n_hashes, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) & np.uint64(self.n_bits - 1)
+
+    def add_batch(self, col) -> None:
+        pos = self._positions(col).ravel()
+        if pos.size == 0:
+            return
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        self.n_added += pos.size // self.n_hashes
+
+    def contains_batch(self, col) -> np.ndarray:
+        """Boolean per NON-NULL value of ``col`` (nulls are dropped by
+        ``hash_column``; use ``bloom_probe`` for row-aligned output)."""
+        pos = self._positions(col)
+        if pos.size == 0:
+            return np.zeros(0, bool)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> None:
+        if (other.n_bits, other.n_hashes) != (self.n_bits, self.n_hashes):
+            raise ValueError("bloom parameter mismatch")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_added += other.n_added
+
+    def fp_rate_bound(self) -> float:
+        """Theoretical false-positive rate at the current fill."""
+        import math
+
+        k, m, n = self.n_hashes, self.n_bits, max(self.n_added, 1)
+        return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def bloom_build(
+    ds,
+    col: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 7,
+    batch_size: int = 65536,
+    combine_fanin: int = 32,
+    max_driver_states: int = 64,
+) -> BloomFilter:
+    """Distributed Bloom build: per-block partial filters OR-merged
+    through the same bounded-fan-in tree as ``sketch_summary`` (states
+    are ``n_bits/8`` bytes — size ``combine_fanin`` to the object
+    store, never the driver). One streaming pass, no shuffle."""
+    import pickle
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, n_hashes)
+        bf.add_batch(t.column(col))
+        return pa.table({"state": pa.array([pickle.dumps(bf)], pa.large_binary())})
+
+    def merge_batch(t: pa.Table) -> pa.Table:
+        raw = t.column("state").to_pylist()
+        acc = pickle.loads(raw[0])
+        for b in raw[1:]:
+            acc.merge(pickle.loads(b))
+        return pa.table({"state": pa.array([pickle.dumps(acc)], pa.large_binary())})
+
+    cur = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    while True:
+        cur = cur.materialize()  # fixed-size filter states, never data
+        if cur.count() <= max_driver_states:
+            break
+        cur = cur.map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=combine_fanin
+        )
+    parts = [pickle.loads(r["state"]) for r in cur.take_all()]
+    acc = parts[0] if parts else BloomFilter(n_bits, n_hashes)
+    for s in parts[1:]:
+        acc.merge(s)
+    return acc
+
+
+def bloom_probe(ds, col: str, bloom: BloomFilter, out_col: str = "maybe_seen"):
+    """Row-aligned membership probe: adds a boolean ``maybe_seen`` column
+    (False is DEFINITIVE — the no-false-negative side is what makes the
+    sketch useful for incremental-crawl dedup; True needs an exact
+    recheck). The filter ships to each actor once via ``ray.put``; null
+    values probe False."""
+    import ray
+
+    ref = ray.put(bloom)
+
+    class _Probe:
+        def __init__(self):
+            self.bf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c = t.column(col)
+            arr = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            out = np.zeros(len(t), bool)
+            if valid.any():
+                out[valid] = self.bf.contains_batch(arr)
+            return t.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(
+        _Probe, batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 8), num_cpus=0.75,
+    )

@@ -176,6 +176,11 @@ RETIRED = [
     # window family stays oracle-green via user_running_value /
     # clicks_last_purchase / user_sessions
     "events_prev_value",
+    # round 4: GIF frame-sampling entry replaced by the Bloom-filter
+    # sketch guard (bloom_filter_guard); media decode + frame sampling
+    # stay oracle-green via media_features / jpeg_codec_guard /
+    # mjpeg_avi_guard / image_resize_guard / audio_codec_guard
+    "gif_frame_stats",
 ]
 
 
