@@ -351,7 +351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_orders_customers": q.referential_orders_customers,
         "doc_text_digests": q.doc_text_digests,
         # text analysis
-        "doc_token_counts": q.doc_token_counts,
+        # doc_token_counts retired round 4 for the URL-canonicalization
+        # slot (url_host_stats — the normalization before any url-keyed
+        # dedup): the token-count path stays oracle-green via top_tokens
+        # (same ws tokenizer, explode+pre-count) and lm_unigram_stats
+        # (per-doc n_tokens); the callable stays pytest-covered.
+        "url_host_stats": q.url_host_stats,
         "doc_word_stats": q.doc_word_stats,
         # PII scrub (planted spans — hash-pins Arrow-vs-DuckDB RE2
         # replacement semantics on every row; see queries.docs_pii_redacted)
@@ -674,11 +679,59 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN NULL ELSE md5(text) END AS text_md5
             FROM documents
         """,
-        "doc_token_counts": """
-            SELECT doc_id,
-                   CASE WHEN text IS NULL THEN 0
-                        ELSE len(regexp_extract_all(text, '\\S+')) END AS n_tokens
-            FROM documents
+        # URL canonicalization: the oracle REBUILDS the planted url from
+        # doc_id and re-derives every canonical rule with its own string
+        # machinery (regexp_extract + list_sort/list_filter + the eTLD+1
+        # CASE) — byte-exact per row vs engine/url.py
+        "url_host_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                     ELSE 'http' END || '://' ||
+                'Host' || CAST(doc_id % 7 AS VARCHAR) || '.Example' ||
+                CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.co.uk' END ||
+                CASE WHEN doc_id % 5 = 0 THEN '.' ELSE '' END ||
+                CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                     WHEN 2 THEN ':8080' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN ''
+                     ELSE '/P/' || CAST(doc_id AS VARCHAR) END ||
+                CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&a=0&' ELSE '' END ||
+                CASE WHEN doc_id % 3 = 0 THEN '#Sec' ELSE '' END AS url
+              FROM documents WHERE doc_id IS NOT NULL),
+            p AS (SELECT doc_id,
+                COALESCE(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+                COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]*)', 1), '') AS rawhost,
+                COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]*:([0-9]+)', 1), '') AS port,
+                COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+                COALESCE(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '') AS query
+              FROM d),
+            n AS (SELECT doc_id, scheme,
+                lower(rtrim(rawhost, '.')) AS host,
+                CASE WHEN (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                       OR port = '' THEN '' ELSE ':' || port END AS portseg,
+                CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                COALESCE(array_to_string(list_sort(list_filter(
+                    string_split(query, '&'), x -> x <> '')), '&'), '') AS q
+              FROM p),
+            r AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+                scheme || '://' || host || portseg || path ||
+                  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+                CASE WHEN q = '' THEN 0
+                     ELSE len(string_split(q, '&')) END AS n_params
+              FROM n)
+            SELECT doc_id, host,
+                   CASE WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
+                             AND list_contains(['co','com','ac','org','net','gov','edu'],
+                                               labels[len(labels)-1])
+                        THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+                        WHEN len(labels) >= 2
+                        THEN array_to_string(list_slice(labels, len(labels)-1, len(labels)), '.')
+                        ELSE host END AS registrable_domain,
+                   canonical_url,
+                   CAST(n_params AS BIGINT) AS n_params,
+                   TRUE AS url_ok
+            FROM r
         """,
         "doc_word_stats": """
             SELECT doc_id,

@@ -452,6 +452,22 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["dup_span_600k"], _ = _timed(dup_span)
 
+        # round 4: URL canonicalization over the full 600k-page url
+        # column (RE2 extract + per-row query sort + eTLD+1), the
+        # normalization in front of any url-keyed dedup
+        from medea_ray.engine import url as _url
+
+        def url_canon():
+            corpus = rd.read_parquet(pages_dir, columns=["url"])
+            out = _url.add_url_columns(corpus, "url")
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["url_canonicalize_600k"], _ = _timed(url_canon)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

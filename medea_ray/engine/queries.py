@@ -1211,6 +1211,58 @@ def dup_span_removal(sf_dir: str):
     return substr.mask_dup_spans(planted, "text", id_col="doc_id", k=DUPSPAN_K)
 
 
+def url_host_stats(sf_dir: str):
+    """URL canonicalization / host extraction (engine/url.py): planted
+    urls exercise every rule — scheme+host case, trailing host dot,
+    default vs explicit port (http:80 / https:443 stripped, :8080
+    kept), empty path → '/', query-param sort with empty-segment drop,
+    fragment removal, and the co.uk registrable-domain pattern — and
+    the DuckDB oracle recomputes the canonical string from scratch via
+    regexp_extract / list_sort / list_filter, so the value hash pins
+    the parsing semantics byte-exactly per row. The url is a pure
+    function of doc_id, built identically on both sides
+    (docs_pii_redacted precedent)."""
+    from medea_ray.engine import url as U
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        scheme = np.array(["HTTP", "https", "http"], object)[i % 3]
+        tld = np.array([".COM", ".co.uk"], object)[i % 2]
+        dot = np.array(["", "."], object)[(i % 5 == 0).astype(np.int64)]
+        port = np.array([":80", ":443", ":8080", ""], object)[i % 4]
+        ids = i.astype(str).astype(object)
+        path = np.where(i % 11 == 0, "", "/P/" + ids)
+        query = np.array(["?b=2&a=1&a=0&", ""], object)[(i % 2 != 0).astype(np.int64)]
+        frag = np.array(["#Sec", "", ""], object)[i % 3]
+        url = (
+            scheme + "://Host" + (i % 7).astype(str).astype(object)
+            + ".Example" + tld + dot + port + path + query + frag
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "url": pa.array(url, pa.string())}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        parsed = U.parse_urls(t.column("url"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "host": parsed.column("host"),
+                "registrable_domain": parsed.column("registrable_domain"),
+                "canonical_url": parsed.column("canonical_url"),
+                "n_params": parsed.column("n_params"),
+                "url_ok": parsed.column("url_ok"),
+            }
+        )
+
+    return planted.map_batches(project, batch_format="pyarrow")
+
+
 def bloom_filter_guard(sf_dir: str) -> pd.DataFrame:
     """Exactness guard for the mergeable Bloom filter (stats.BloomFilter,
     E6d — the fourth mergeable sketch next to HLL / TDigest /

@@ -181,6 +181,10 @@ RETIRED = [
     # stay oracle-green via media_features / jpeg_codec_guard /
     # mjpeg_avi_guard / image_resize_guard / audio_codec_guard
     "gif_frame_stats",
+    # round 4: per-doc ws token counts replaced by the URL
+    # canonicalization slot (url_host_stats); the tokenizer stays
+    # oracle-green via top_tokens and lm_unigram_stats' n_tokens
+    "doc_token_counts",
 ]
 
 
