@@ -85,6 +85,12 @@ def repetition_kernel(
     Returns ``{"n_words": ..., "top{n}_chars": ..., "dup{n}_chars": ...}``
     (int64 arrays, one entry per input row). Null texts count as ``''``.
     """
+    ns = set(top_ns) | set(dup_ns)
+    if not ns or min(ns) < 2:
+        # the incremental-id loop starts at bigrams; silently returning
+        # zeros for n=1 would mislead — unit-level duplicates are
+        # dup_line_stats' job
+        raise ValueError("repetition n-gram sizes must be >= 2")
     texts = _as_array(texts)
     texts = pc.fill_null(texts, "")
     cnts, flat, offsets = _split_words(texts)

@@ -131,3 +131,10 @@ def test_kernel_sliced_chunked_input():
     got = gopher.repetition_kernel(texts, top_ns=(2,), dup_ns=(2,))
     assert got["top2_chars"].tolist() == [9, 3, 3]
     assert got["dup2_chars"].tolist() == [4, 0, 0]
+
+
+def test_kernel_rejects_unigrams():
+    with pytest.raises(ValueError, match=">= 2"):
+        gopher.repetition_kernel(pa.array(["a a"], pa.string()), top_ns=(1, 2))
+    with pytest.raises(ValueError, match=">= 2"):
+        gopher.repetition_kernel(pa.array(["a a"], pa.string()), top_ns=(), dup_ns=())
