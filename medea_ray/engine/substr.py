@@ -106,25 +106,106 @@ def duplicated_grams(
     k: int = 5,
     min_count: int = 2,
     batch_size: int = 4096,
+    exchange: str = "string",
+    candidate_budget: int = 4_000_000,
+    _hash_fn=None,
 ):
     """Dataset of ``(gram, n)`` — word k-grams whose corpus-wide
     occurrence count is >= ``min_count``. The shuffle input is one row
-    per batch-unique gram (pre-counted), not per occurrence."""
+    per batch-unique gram (pre-counted), not per occurrence.
+
+    ``exchange="string"`` shuffles the gram strings themselves (exact in
+    one pass). ``exchange="hashed"`` is the web-scale path (the
+    ``uniqueness.duplicates_hashed`` two-phase shape): phase 1 shuffles
+    only 8-byte gram digests and finds duplicate DIGESTS; phase 2
+    re-counts the gram STRINGS of candidate digests only, so 64-bit
+    collision false positives drop out and the string exchange shrinks
+    to the (small, for mostly-unique corpora) candidate set. Results
+    are identical; ``candidate_budget`` bounds the broadcast digest set
+    and falls back to the exact string exchange with a log line above
+    it. ``_hash_fn`` is injectable for collision tests only."""
     from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
+    def batch_unique(t: pa.Table):
+        """(gram strings, counts) unique within this batch."""
         cnts, flat, offsets = _split(t.column(text_col))
         starts, _doc = _gram_starts(cnts, offsets, k)
         if starts.size == 0:
-            return pa.table({"gram": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
+            return pa.array([], pa.string()), np.empty(0, np.int64)
         ids, _ = _gram_ids(flat, starts, k)
         uniq, first, ucnt = np.unique(ids, return_index=True, return_counts=True)
-        grams = _gram_strings(flat, starts[first], k)
-        return pa.table({"gram": grams, "cnt": pa.array(ucnt, pa.int64())})
+        return _gram_strings(flat, starts[first], k), ucnt.astype(np.int64)
+
+    if exchange == "string":
+
+        def partial(t: pa.Table) -> pa.Table:
+            grams, ucnt = batch_unique(t)
+            return pa.table({"gram": grams, "cnt": pa.array(ucnt, pa.int64())})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+            .groupby("gram")
+            .aggregate(Sum("cnt", alias_name="n"))
+            .filter(expr=f"n >= {int(min_count)}")
+        )
+    if exchange != "hashed":
+        raise ValueError(f"unknown exchange {exchange!r}")
+
+    import ray
+
+    from medea_ray.engine.uniqueness import _hash64
+
+    hash_fn = _hash_fn or _hash64
+
+    def partial_hashed(t: pa.Table) -> pa.Table:
+        grams, ucnt = batch_unique(t)
+        h = np.asarray(hash_fn(grams)).view(np.int64) if len(grams) else np.empty(0, np.int64)
+        # same digest can repeat across batch-unique grams only via
+        # collision; per-batch re-group keeps the partial well-formed
+        g = pa.table({"h": pa.array(h, pa.int64()), "cnt": pa.array(ucnt, pa.int64())})
+        g = g.group_by(["h"]).aggregate([("cnt", "sum")])
+        return pa.table({"h": g.column("h"), "cnt": g.column("cnt_sum")})
+
+    dup_h = (
+        ds.map_batches(partial_hashed, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .filter(expr=f"n >= {int(min_count)}")
+    )
+    cands = [
+        b.column("h").to_numpy()
+        for b in dup_h.iter_batches(batch_format="pyarrow")
+    ]
+    cand = np.sort(np.concatenate(cands)) if cands else np.empty(0, np.int64)
+    if cand.size > candidate_budget:
+        _log.warning(
+            "duplicated_grams: %d candidate digests exceed budget %d — "
+            "falling back to the exact string exchange",
+            cand.size, candidate_budget,
+        )
+        return duplicated_grams(
+            ds, text_col, k=k, min_count=min_count,
+            batch_size=batch_size, exchange="string",
+        )
+    _log.info("duplicated_grams: %d candidate digests (hashed phase)", cand.size)
+    cand_ref = ray.put(cand)
+
+    def partial_candidates(t: pa.Table) -> pa.Table:
+        grams, ucnt = batch_unique(t)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        c = ray.get(cand_ref)
+        h = np.asarray(hash_fn(grams)).view(np.int64)
+        pos = np.searchsorted(c, h)
+        is_cand = (pos < c.size) & (c[np.minimum(pos, max(c.size - 1, 0))] == h) \
+            if c.size else np.zeros(h.size, bool)
+        keep = pa.array(is_cand)
+        return pa.table({"gram": grams.filter(keep),
+                         "cnt": pa.array(ucnt[is_cand], pa.int64())})
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        ds.map_batches(partial_candidates, batch_format="pyarrow", batch_size=batch_size)
         .groupby("gram")
         .aggregate(Sum("cnt", alias_name="n"))
         .filter(expr=f"n >= {int(min_count)}")
@@ -200,6 +281,7 @@ def mask_dup_spans(
     batch_size: int = 4096,
     concurrency=(1, 8),
     max_dup_grams: int = 4_000_000,
+    exchange: str = "string",
 ):
     """ExactSubstr-style dedup: remove every k-word span that occurs
     >= ``min_count`` times corpus-wide; emit per doc ``(id, n_words,
@@ -208,12 +290,13 @@ def mask_dup_spans(
     ``max_dup_grams`` bounds the broadcast set LOUDLY (silently capping
     would silently keep duplicated text). ``ds`` is consumed twice
     (count pass + mask pass) — pass a materialized/parquet-backed
-    Dataset, not an expensive lazy chain.
+    Dataset, not an expensive lazy chain. ``exchange="hashed"`` selects
+    the two-phase digest-prefilter count pass (see ``duplicated_grams``).
     """
     import ray
 
     dup = duplicated_grams(ds, text_col, k=k, min_count=min_count,
-                           batch_size=batch_size)
+                           batch_size=batch_size, exchange=exchange)
     grams: list[str] = []
     for b in dup.iter_batches(batch_format="pyarrow"):
         grams.extend(b.column("gram").to_pylist())

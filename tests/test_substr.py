@@ -105,3 +105,37 @@ def test_duplicated_grams_counts(ray_session):
         for r in b.to_pylist()
     }
     assert out == {"p q": 3, "q r": 2}
+
+
+def test_hashed_exchange_equals_string(ray_session):
+    import ray.data as rd
+
+    texts = ["a b c d e unique%d" % i for i in range(60)]
+    texts[7] = "x1 x2 x3 x4 x5 mid y1"
+    texts[41] = "pre x1 x2 x3 x4 x5 post"
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(6)
+
+    def collect(exchange, **kw):
+        return {
+            r["gram"]: r["n"]
+            for b in substr.duplicated_grams(
+                ds, "text", k=5, exchange=exchange, **kw
+            ).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+
+    assert collect("hashed") == collect("string")
+    # forced collisions: every gram maps to ONE digest — the exact
+    # phase-2 recount must still drop the non-duplicated grams
+    const_hash = lambda grams: np.zeros(len(grams), np.uint64)
+    assert collect("hashed", _hash_fn=const_hash) == collect("string")
+    # budget exceeded -> loud fallback to the exact string exchange
+    assert collect("hashed", candidate_budget=0, _hash_fn=const_hash) == collect("string")
+
+
+def test_mask_dup_spans_hashed_exchange(ray_session):
+    texts = ["z1 z2 z3 z4 z5"] * 3 + ["solo w%d x y z q" % i for i in range(20)]
+    got_h = run_mask(ray_session, texts, 5, exchange="hashed")
+    got_s = run_mask(ray_session, texts, 5, exchange="string")
+    assert got_h["clean_text"].tolist() == got_s["clean_text"].tolist()
+    assert got_h.loc[0, "clean_text"] == ""
