@@ -265,7 +265,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_by_nation) in favour of the
         # compressed-audio codec guard; callable stays pytest-covered.
         "orders_by_nation": q.orders_by_nation,
-        "events_daily": q.events_daily,
+        # events_daily retired round 4 (single-key daily groupby; the
+        # family stays oracle-green via source_counts_salted /
+        # orders_by_nation, and daily time bucketing via drift_guard's
+        # per-day PSI + events_hopping_12h) in favour of the GPT-style
+        # sequence-packing slot; callable stays pytest-covered.
+        "doc_pack_sequences": q.doc_pack_sequences,
         # events_by_type_daily retired round 4 (two-key daily groupby; the
         # family stays oracle-green via events_daily / events_tumbling_6h /
         # user_event_pivot) in favour of the MJPEG AVI video guard;
@@ -445,11 +450,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
-        "events_daily": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
-            FROM events GROUP BY 1
+        # GPT-style sequence packing: the oracle recomputes the global
+        # token stream with a window cumsum over doc_id order — the
+        # value hash pins the whitespace token counts, the distributed
+        # two-phase (bucket offsets + within-bucket cumsum) prefix sum,
+        # and the sequence-boundary integer math per row.
+        "doc_pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+              FROM documents WHERE doc_id IS NOT NULL
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+              FROM d
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start + n_tokens AS tok_end,
+                   tok_start // 256 AS seq_first,
+                   CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 256
+                        ELSE tok_start // 256 END AS seq_last
+            FROM c
         """,
         # Image resize, recomputed CLOSED-FORM: the Ray side decodes a
         # real PPM whose pixel (y,x,c) = (y*3w + 3x + c + doc_id*11) % 256

@@ -1403,6 +1403,34 @@ def lm_unigram_stats(sf_dir: str):
     )
 
 
+def doc_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (engine/pack.py): concatenate every
+    document in doc_id order into one global token stream (pinned
+    whitespace tokenization — ``count_substring + 1`` == DuckDB
+    ``len(string_split(text, ' '))``) and cut fixed-length training
+    sequences; emit each doc's global token interval [tok_start,
+    tok_end) and spanned sequence range seq_first..seq_last — all
+    int64, exact, independent of block layout. Null doc_ids have no
+    packing order and are excluded on both sides (the doc_split_counts
+    precedent). seq_len=256 makes most docs straddle a sequence
+    boundary; bucket_width=64 exercises multiple range buckets and the
+    cross-bucket offset stitching at every SF."""
+    from medea_ray.engine import pack
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_null_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("doc_id")))
+
+    return pack.pack_sequences(
+        ds.map_batches(drop_null_ids, batch_format="pyarrow"),
+        id_col="doc_id",
+        text_col="text",
+        seq_len=256,
+        bucket_width=64,
+    )
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

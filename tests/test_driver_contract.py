@@ -185,6 +185,12 @@ RETIRED = [
     # canonicalization slot (url_host_stats); the tokenizer stays
     # oracle-green via top_tokens and lm_unigram_stats' n_tokens
     "doc_token_counts",
+    # round 4: single-key daily groupby replaced by the GPT-style
+    # sequence-packing slot (doc_pack_sequences); the groupby-sum family
+    # stays oracle-green via source_counts_salted / orders_by_nation and
+    # daily time bucketing via drift_guard's per-day exact PSI +
+    # events_hopping_12h
+    "events_daily",
 ]
 
 
