@@ -347,7 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its band-shuffle code path stays driver-visible through
         # minhash_verified_pairs; the callable remains pytest-covered.
         # Its slot holds the oracle-checked baseline-JPEG codec guard.
-        "jpeg_codec_guard": q.jpeg_codec_guard,
+        # jpeg_codec_guard retired round 4: every '00dc' frame of
+        # mjpeg_avi_guard round-trips the same engine/jpeg.py encoder +
+        # entropy decoder (and image_resize_guard / media_features pin
+        # decode_pixels), so the JPEG codec stays oracle-green; its slot
+        # holds the C4 line-level cleaning query.
+        "c4_clean_docs": q.c4_clean_docs,
         # simhash_near_dup (candidate buckets, rows-only) upgraded round 4
         # to an oracle-checked exactness guard over the same code path:
         # co-bucket pairs == brute-force share-a-block pairs + pigeonhole
@@ -899,12 +904,50 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS fp_within_bound
             FROM documents WHERE doc_id IS NOT NULL
         """,
-        # baseline JPEG codec guard: encode → decode round-trip booleans
-        # (exact geometry, RMSE < 6 under the uniform quantizer); every
-        # row must be TRUE — see engine/jpeg.py
-        "jpeg_codec_guard": """
-            SELECT doc_id, true AS geometry_ok, true AS fidelity_ok
-            FROM documents
+        # C4 line-level cleaning: the oracle replants the same line
+        # structure from doc_id (7-word lines, punctuation by
+        # (doc_id+line_no)%5, lorem/brace tells on %97/%89) and replays
+        # the filter with list_filter — n_lines / n_kept_lines / kept /
+        # clean_text are all byte-exact per row.
+        "c4_clean_docs": """
+            WITH base AS (
+              SELECT doc_id, string_split(COALESCE(text,''), ' ') AS ws
+              FROM documents WHERE doc_id IS NOT NULL
+            ), g AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0, CAST((len(ws)-1)//7 AS BIGINT))) AS ln
+              FROM base
+            ), pl AS (
+              SELECT doc_id, ln,
+                     array_to_string(ws[ln*7+1 : ln*7+7], ' ')
+                     || CASE CAST((doc_id + ln) % 5 AS INTEGER)
+                          WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+                          WHEN 3 THEN '"' ELSE '' END AS line
+              FROM g
+            ), doc AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY ln)
+                     || CASE WHEN doc_id % 97 = 0
+                             THEN chr(10) || 'lorem ipsum dolor sit amet today.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 89 = 0
+                             THEN chr(10) || 'code sample with braces { inside }.'
+                             ELSE '' END AS text
+              FROM pl GROUP BY doc_id
+            ), split AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> right(l,1) IN ('.','!','?','"')
+                                      AND len(string_split(l,' ')) >= 5) AS kept_ls
+              FROM doc
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept_ls) AS BIGINT) AS n_kept_lines,
+                   (len(kept_ls) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS kept,
+                   COALESCE(array_to_string(kept_ls, chr(10)), '') AS clean_text
+            FROM split
         """,
         # compressed-audio guard: DuckDB re-expands the SAME deterministic
         # byte pattern ((i*37 + doc_id*13) % 256) through the public G.711

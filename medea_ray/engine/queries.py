@@ -1431,6 +1431,74 @@ def doc_pack_sequences(sf_dir: str):
     )
 
 
+_C4_LOREM = "lorem ipsum dolor sit amet today."
+_C4_BRACE = "code sample with braces { inside }."
+
+
+def _chunk(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def c4_clean_docs(sf_dir: str):
+    """C4-style line-level cleaning (engine/c4.py, arXiv:1910.10683
+    §2.2): keep lines ending in terminal punctuation with >= 5 words,
+    drop docs with < 3 kept lines or lorem-ipsum / curly-brace tells.
+
+    The synthetic corpus has no newlines or punctuation, so the query
+    PLANTS deterministic line structure from doc_id identically on both
+    sides (the docs_pii_redacted precedent): words are chunked into
+    7-word lines, each line gets '.', '!', '?', '\"' or nothing by
+    (doc_id + line_no) % 5, and docs with doc_id % 97 == 0 /
+    % 89 == 0 get a lorem-ipsum / curly-brace line appended. The
+    value-hash compare then pins the whole filter — including the
+    rebuilt clean_text — BYTE-EXACTLY per row vs DuckDB's list_filter
+    replay. Null doc_ids excluded on both sides (no stable plant)."""
+    from medea_ray.engine import c4
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        idn = _chunk(t.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = pc.fill_null(_chunk(t.column("text")), "")
+        la = _chunk(pc.split_pattern(texts, " "))
+        cnts = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = pc.cast(_chunk(la.flatten()), pa.string())
+        offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])
+        word_pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], cnts)
+        lines_per_doc = (cnts - 1) // 7 + 1
+        line_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lines_per_doc)])
+        total_lines = int(line_offsets[-1])
+        global_line = np.repeat(line_offsets[:-1], cnts) + word_pos // 7
+        lw = np.bincount(global_line, minlength=total_lines).astype(np.int64)
+        lo = np.concatenate([np.zeros(1, np.int64), np.cumsum(lw)])
+        line_arr = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(lo, pa.int32()), flat), " "
+        )
+        ln = np.arange(total_lines, dtype=np.int64) - np.repeat(
+            line_offsets[:-1], lines_per_doc
+        )
+        mod = ((np.repeat(idn, lines_per_doc) + ln) % 5).astype(np.int64)
+        punct = pa.array(
+            np.array([".", "!", "?", '"', ""], dtype=object)[mod], pa.string()
+        )
+        planted_line = pc.binary_join_element_wise(line_arr, punct, "")
+        doc_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(line_offsets, pa.int32()), planted_line),
+            "\n",
+        )
+        for mask, extra in ((idn % 97 == 0, _C4_LOREM), (idn % 89 == 0, _C4_BRACE)):
+            doc_text = pc.if_else(
+                pa.array(mask),
+                pc.binary_join_element_wise(doc_text, "\n" + extra, ""),
+                doc_text,
+            )
+        return pa.table({"doc_id": pa.array(idn, pa.int64()), "text": doc_text})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return c4.c4_line_clean(planted, text_col="text", id_col="doc_id")
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

@@ -191,6 +191,12 @@ RETIRED = [
     # daily time bucketing via drift_guard's per-day exact PSI +
     # events_hopping_12h
     "events_daily",
+    # round 4: the standalone JPEG round-trip guard replaced by the C4
+    # line-cleaning slot (c4_clean_docs); the JPEG codec stays
+    # oracle-green via mjpeg_avi_guard (every '00dc' frame round-trips
+    # the same encoder + entropy decoder), image_resize_guard and
+    # media_features (decode_pixels over all still formats)
+    "jpeg_codec_guard",
 ]
 
 
