@@ -331,7 +331,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tumbling callable stays pytest-covered (test_window.py).
         "lm_unigram_stats": q.lm_unigram_stats,
         "events_hopping_12h": q.events_hopping_12h,
-        "user_running_value": q.user_running_value,
+        # user_running_value retired round 4: the global sequence-packing
+        # slot (doc_pack_sequences) pins the same cumulative-sum machinery
+        # end-to-end (its two-phase prefix sum IS a distributed running
+        # sum), and the ordered window family stays oracle-green via
+        # user_sessions / clicks_last_purchase / top_events_per_user.
+        # Its slot holds the Naive-Bayes quality-classifier query.
+        "nb_classify_docs": q.nb_classify_docs,
         # events_prev_value retired round 4 for the ExactSubstr
         # duplicated-span-removal slot (dup_span_removal — the
         # arXiv:2107.06499 dedup verb): the ordered-per-group window
@@ -658,13 +664,68 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.sum_tok_count, 0) AS sum_tok_count
             FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
-        "user_running_value": """
-            SELECT user_id, event_id,
-                   CAST(sum(CAST(round(value * 1000) AS BIGINT))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS running_milli
-            FROM events
+        # Naive-Bayes quality classifier: the oracle retrains the exact
+        # add-one multinomial NB from scratch (per-(label, token) counts
+        # over the md5-prefix train split) and recomputes every doc's
+        # integer evidence AND the argmax prediction; planted class
+        # tokens keep the decision margin ~18 nats so float association
+        # differences cannot flip pred_label.
+        "nb_classify_docs": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     COALESCE(text,'')
+                     || repeat(' classtok' || CAST(doc_id % 2 AS VARCHAR), 3)
+                     || ' uniqtok' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM docs
+            ), train_tok AS (
+              SELECT t.doc_id, 'c' || CAST(t.doc_id % 2 AS VARCHAR) AS label, t.tok
+              FROM tok t
+              WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '2'
+            ), cc AS (
+              SELECT tok, label, CAST(count(*) AS BIGINT) AS n
+              FROM train_tok GROUP BY tok, label
+            ), vocab AS (
+              SELECT DISTINCT tok FROM train_tok
+            ), tot AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS t
+              FROM train_tok GROUP BY label
+            ), vsize AS (
+              SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+            ), priors AS (
+              SELECT 'c' || CAST(doc_id % 2 AS VARCHAR) AS label,
+                     CAST(count(*) AS BIGINT) AS nd
+              FROM docs WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'
+              GROUP BY 1
+            ), occ AS (
+              SELECT t.doc_id, v.tok IS NOT NULL AS iv,
+                     COALESCE(c0.n, 0) AS n0, COALESCE(c1.n, 0) AS n1
+              FROM tok t
+              LEFT JOIN vocab v ON t.tok = v.tok
+              LEFT JOIN cc c0 ON t.tok = c0.tok AND c0.label = 'c0'
+              LEFT JOIN cc c1 ON t.tok = c1.tok AND c1.label = 'c1'
+            ), per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                     CAST(sum(CASE WHEN iv THEN n0 ELSE 0 END) AS BIGINT) AS sum_cnt_c0,
+                     CAST(sum(CASE WHEN iv THEN n1 ELSE 0 END) AS BIGINT) AS sum_cnt_c1,
+                     sum(CASE WHEN iv THEN ln(n0 + 1) ELSE 0 END) AS s0,
+                     sum(CASE WHEN iv THEN ln(n1 + 1) ELSE 0 END) AS s1,
+                     sum(CASE WHEN iv THEN 1 ELSE 0 END) AS n_iv
+              FROM occ GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_tokens, p.n_oov, p.sum_cnt_c0, p.sum_cnt_c1,
+                   CASE WHEN (ln(CAST(pr1.nd AS DOUBLE) / (pr0.nd + pr1.nd)) + p.s1
+                              - p.n_iv * ln(t1.t + vs.v))
+                           > (ln(CAST(pr0.nd AS DOUBLE) / (pr0.nd + pr1.nd)) + p.s0
+                              - p.n_iv * ln(t0.t + vs.v))
+                        THEN 'c1' ELSE 'c0' END AS pred_label
+            FROM per p, vsize vs, tot t0, tot t1, priors pr0, priors pr1
+            WHERE t0.label = 'c0' AND t1.label = 'c1'
+              AND pr0.label = 'c0' AND pr1.label = 'c1'
         """,
         "dup_span_removal": _dupspan_sql(),
         "user_event_pivot": """

@@ -1499,6 +1499,58 @@ def c4_clean_docs(sf_dir: str):
     return c4.c4_line_clean(planted, text_col="text", id_col="doc_id")
 
 
+def nb_classify_docs(sf_dir: str):
+    """Multinomial Naive Bayes quality classification
+    (engine/classify.py — the GPT-3-style quality-classifier verb):
+    train on the md5-prefix TRAIN split with planted labels
+    label = 'c' || doc_id % 2, score EVERY document, and emit the
+    integer evidence the SQL oracle recomputes from scratch — n_tokens,
+    n_oov, per-class sums of training counts over in-vocab occurrences
+    — plus pred_label itself. Each doc gets 3 planted class-signal
+    tokens, so the NB log-posterior margin is ~18 nats (measured at
+    sf0.001/sf0.01) and the float argmax cannot flip between numpy and
+    DuckDB ln/sum associations; a doc-unique token keeps the OOV path
+    non-vacuous (the lm_unigram_stats precedent). The float margin
+    column stays out of the hash compare."""
+    from medea_ray.engine import classify, sampling
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        ids = _chunk(t.column("doc_id"))
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = pa.array((idn % 2).astype(str))
+        ctok = pc.binary_join_element_wise(" classtok", cls, "")
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(_chunk(t.column("text")), ""),
+            ctok, ctok, ctok,
+            " uniqtok", pa.array(idn.astype(str)),
+            "",
+        )
+        label = pc.binary_join_element_wise("c", cls, "")
+        return pa.table(
+            {"doc_id": pa.array(idn, pa.int64()), "text": planted,
+             "label": pc.cast(label, pa.string())}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    tagged = sampling.train_test_split(planted, "doc_id", "2")
+
+    def train_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("split"), "train"))
+
+    model = classify.train_nb(
+        tagged.map_batches(train_only, batch_format="pyarrow"),
+        text_col="text", label_col="label",
+    )
+    return classify.classify(
+        planted, model, text_col="text", id_col="doc_id"
+    ).select_columns(
+        ["doc_id", "n_tokens", "n_oov", "sum_cnt_c0", "sum_cnt_c1", "pred_label"]
+    )
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

@@ -197,6 +197,12 @@ RETIRED = [
     # the same encoder + entropy decoder), image_resize_guard and
     # media_features (decode_pixels over all still formats)
     "jpeg_codec_guard",
+    # round 4: per-group running sum replaced by the Naive-Bayes
+    # quality-classifier slot (nb_classify_docs); the cumulative-sum
+    # machinery stays oracle-green via doc_pack_sequences' two-phase
+    # global prefix sum, and the ordered window family via
+    # user_sessions / clicks_last_purchase / top_events_per_user
+    "user_running_value",
 ]
 
 
