@@ -316,7 +316,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # callable stays in engine.queries.
         "kmeans_guard": q.kmeans_guard,
         # benchmark decontamination (engine/decontam.py)
-        "docs_decontaminated": q.docs_decontaminated,
+        # docs_decontaminated retired round 4: corpus_prep's third CTE
+        # stage runs the same decontam.decontaminate broadcast anti-join
+        # (oracle-green), and the callable stays pytest-covered. Its slot
+        # holds the TF-IDF top-keyword query.
+        "doc_top_keyword": q.doc_top_keyword,
         # composed corpus-prep flagship (filter→dedup→decontaminate→sample)
         "corpus_prep": q.corpus_prep,
         # ordered / windowed operators (engine/window.py)
@@ -565,12 +569,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE key NOT IN (SELECT key FROM banned)
               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
         """,
-        "docs_decontaminated": """
-            SELECT doc_id FROM documents
-            WHERE text IS NOT NULL
-              AND md5(substr(text, 1, 40)) NOT IN (
-                SELECT md5(substr(text, 1, 40)) FROM documents
-                WHERE doc_id % 20 = 0 AND text IS NOT NULL)
+        # TF-IDF top keyword: tf, df and the (tf desc, df asc, token asc)
+        # row_number winner recomputed from scratch — integer/string only
+        "doc_top_keyword": r"""
+            WITH docs AS (
+              SELECT doc_id, COALESCE(text, '') AS text
+              FROM documents WHERE doc_id IS NOT NULL
+            ), tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM docs
+            ), tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, tok
+            ), df AS (
+              SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY tok
+            ), ranked AS (
+              SELECT t.doc_id, t.tok, t.tf, d.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.tf DESC, d.df ASC, t.tok ASC)
+                       AS rn
+              FROM tf t JOIN df d ON t.tok = d.tok
+            )
+            SELECT doc_id, tok AS top_token, tf, df FROM ranked WHERE rn = 1
         """,
         # thresholds mirror queries.STRATA_THRESHOLDS / default "2"
         "doc_stratified_sample": """

@@ -468,6 +468,121 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["url_canonicalize_600k"], _ = _timed(url_canon)
 
+        # round 4: C4 line-level cleaning over the full 600k-page text
+        # column (split + terminal-punct/word-count line filter +
+        # rejoin, all Arrow kernels — engine/c4.py)
+        from medea_ray.engine import c4 as _c4
+
+        def c4_clean():
+            corpus = rd.read_parquet(pages_dir, columns=["text"])
+            out = _c4.c4_line_clean(corpus, "text")
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["c4_clean_600k"], _ = _timed(c4_clean)
+
+        # round 4: GPT-style sequence packing over 600k pages — global
+        # token-stream prefix sum via range buckets on a derived
+        # 64-bit url digest id (engine/pack.py); no text shuffle, one
+        # int-only groupby
+        from medea_ray.engine import pack as _pack
+        from medea_ray.engine.uniqueness import _hash64
+
+        def pack_bench():
+            import pyarrow as pa
+            import pyarrow.compute as _pc
+
+            # pages plant ~1% exact-duplicate urls (the dup_urls bench),
+            # so the packing id digests (url, warc_ts) — unique in the
+            # generator; a residual 64-bit collision raises loudly
+            corpus = rd.read_parquet(
+                pages_dir, columns=["url", "warc_ts", "text"]
+            )
+
+            def with_id(t):
+                key = _pc.binary_join_element_wise(
+                    t.column("url"),
+                    _pc.cast(_pc.cast(t.column("warc_ts"), pa.int64()), pa.string()),
+                    "|",
+                )
+                h = np.asarray(_hash64(key)).view(np.int64)
+                return t.select(["url", "text"]).append_column(
+                    "page_id", pa.array(h, pa.int64())
+                )
+
+            out = _pack.pack_sequences(
+                corpus.map_batches(with_id, batch_format="pyarrow"),
+                id_col="page_id", text_col="text",
+                seq_len=2048, bucket_width=1 << 53,
+            )
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["pack_sequences_600k"], _ = _timed(pack_bench)
+
+        # round 4: Naive-Bayes quality classifier — train on a 600-page
+        # slice, score all 600k pages (engine/classify.py)
+        from medea_ray.engine import classify as _classify
+
+        def nb_bench():
+            import pyarrow as pa
+            import pyarrow.compute as _pc
+
+            train = rd.read_parquet(
+                pages_files[:1], columns=["text", "lang"]
+            ).limit(600)
+
+            def to_label(t):
+                lbl = _pc.if_else(
+                    _pc.equal(_pc.fill_null(t.column("lang"), "??"), "en"),
+                    "keep", "drop",
+                )
+                return t.select(["text"]).append_column(
+                    "label", _pc.cast(lbl, pa.string())
+                )
+
+            model = _classify.train_nb(
+                train.map_batches(to_label, batch_format="pyarrow")
+            )
+            corpus = rd.read_parquet(pages_dir, columns=["url", "text"])
+            out = _classify.classify(
+                corpus, model, text_col="text", id_col="url",
+                batch_size=4096, concurrency=pool,
+            )
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["nb_classify_600k"], _ = _timed(nb_bench)
+
+        # round 4: per-doc TF-IDF top keyword over 600k pages — df pass
+        # (one token groupby of integer partials) + broadcast df map +
+        # vectorized per-doc winner (engine/tfidf.py)
+        from medea_ray.engine import tfidf as _tfidf
+
+        def tfidf_bench():
+            corpus = rd.read_parquet(
+                pages_dir, columns=["url", "text"]
+            ).materialize()
+            out = _tfidf.top_keywords(
+                corpus, text_col="text", id_col="url",
+                batch_size=4096, concurrency=pool,
+            )
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+
+        results["tfidf_600k"], _ = _timed(tfidf_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

@@ -1551,6 +1551,27 @@ def nb_classify_docs(sf_dir: str):
     )
 
 
+def doc_top_keyword(sf_dir: str):
+    """Per-document TF-IDF top keyword (engine/tfidf.py): the term
+    with the highest tf·idf weight under the INTEGER-ONLY ranking
+    (tf desc, df asc, token asc bytewise) — monotone-equivalent to the
+    float weight for a fixed doc, so no float crosses the compare
+    boundary. The DuckDB oracle recomputes tf, df and the row_number
+    winner from scratch; the near-unique word soup forces heavy
+    tf/df/token tiebreak traffic. Null doc_ids excluded on both sides
+    (SQL's GROUP BY would merge them into one group); tokenless docs
+    emit no row on either side (the GROUP BY shape)."""
+    from medea_ray.engine import tfidf
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_null_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("doc_id")))
+
+    ds = ds.map_batches(drop_null_ids, batch_format="pyarrow").materialize()
+    return tfidf.top_keywords(ds, text_col="text", id_col="doc_id")
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

@@ -203,6 +203,11 @@ RETIRED = [
     # global prefix sum, and the ordered window family via
     # user_sessions / clicks_last_purchase / top_events_per_user
     "user_running_value",
+    # round 4: the standalone decontamination slot replaced by the
+    # TF-IDF top-keyword query (doc_top_keyword); the same
+    # decontam.decontaminate broadcast anti-join stays oracle-green as
+    # corpus_prep's third CTE-mirrored stage
+    "docs_decontaminated",
 ]
 
 

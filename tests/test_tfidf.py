@@ -1,0 +1,96 @@
+"""TF-IDF top-keyword extraction (engine/tfidf.py): integer-only
+ranking semantics, naive-reference parity across block layouts, and
+loud-failure contracts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from medea_ray.engine import tfidf
+
+
+def make_ds(rows, parts=1):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(rows, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(parts).materialize()
+
+
+def collect(ds):
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return {r["doc_id"]: (r["top_token"], r["tf"], r["df"]) for r in t.to_pylist()}
+
+
+def naive(rows):
+    docs = [(r or "").split() for r in rows]
+    df: dict = {}
+    for toks in docs:
+        for tok in set(toks):
+            df[tok] = df.get(tok, 0) + 1
+    out = {}
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        tf: dict = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        win = min(tf, key=lambda k: (-tf[k], df[k], k))
+        out[i] = (win, tf[win], df[win])
+    return out
+
+
+def test_hand_checked(ray_session):
+    rows = [
+        "apple apple banana",       # apple tf=2
+        "banana cherry banana",     # banana tf=2
+        "apple banana cherry",      # tf all 1 -> df tie apple/cherry (2) -> token
+    ]
+    got = collect(tfidf.top_keywords(make_ds(rows)))
+    assert got[0] == ("apple", 2, 2)
+    assert got[1] == ("banana", 2, 3)
+    assert got[2] == ("apple", 1, 2)
+
+
+def test_tf_and_df_and_token_tiebreaks(ray_session):
+    rows = [
+        "x y",        # tf tie, df tie (both df=1 in this doc... see below)
+        "a b a b",    # tf tie at 2; df: a=2, b=1 -> b wins (smaller df)
+        "a",          # makes df[a]=2
+    ]
+    got = collect(tfidf.top_keywords(make_ds(rows)))
+    assert got[1] == ("b", 2, 1)
+    # doc 0: tf tie, df tie -> bytewise smaller token
+    assert got[0] == ("x", 1, 1)
+
+
+def test_matches_naive_reference_across_layouts(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 60)).tolist())
+        for _ in range(120)
+    ] + ["", None]
+    want = naive(rows)
+    for parts in (1, 5):
+        got = collect(tfidf.top_keywords(make_ds(rows, parts)))
+        assert got == want, parts
+
+
+def test_empty_docs_emit_no_row(ray_session):
+    got = collect(tfidf.top_keywords(make_ds(["a b", "", None])))
+    assert set(got) == {0}
+
+
+def test_unicode_bytewise_tiebreak(ray_session):
+    # é (c3 a9) sorts after z (7a) bytewise — both Arrow and DuckDB
+    got = collect(tfidf.top_keywords(make_ds(["z é", "z é"])))
+    assert got[0][0] == "z"
+
+
+def test_vocab_budget_raises(ray_session):
+    with pytest.raises(ValueError, match="vocab_budget|budget"):
+        tfidf.top_keywords(make_ds(["a b c d e f"]), vocab_budget=3)
