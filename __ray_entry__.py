@@ -345,9 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_prev_value retired round 4 for the ExactSubstr
         # duplicated-span-removal slot (dup_span_removal — the
         # arXiv:2107.06499 dedup verb): the ordered-per-group window
-        # family stays oracle-green via user_running_value (cumulative),
-        # clicks_last_purchase (asof) and user_sessions; the lag callable
-        # stays pytest-covered (test_window.py).
+        # family stays oracle-green via clicks_last_purchase (asof),
+        # user_sessions and top_events_per_user (user_running_value was
+        # itself retired later this round — distributed cumulative sums
+        # stay green via doc_pack_sequences' prefix sum); the lag
+        # callable stays pytest-covered (test_window.py).
         "dup_span_removal": q.dup_span_removal,
         # long→wide pivot (engine/reshape.py)
         "user_event_pivot": q.user_event_pivot,
@@ -569,8 +571,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE key NOT IN (SELECT key FROM banned)
               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
         """,
-        # TF-IDF top keyword: tf, df and the (tf desc, df asc, token asc)
-        # row_number winner recomputed from scratch — integer/string only
+        # distinguishing keyword: candidates under the df ceiling
+        # (df*5 <= n_docs*4 == df <= floor(0.8*N), integer-only), winner
+        # by (tf desc, df asc, token asc) row_number — recomputed from
+        # scratch; integer/string only
         "doc_top_keyword": r"""
             WITH docs AS (
               SELECT doc_id, COALESCE(text, '') AS text
@@ -578,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
             ), tok AS (
               SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
               FROM docs
+            ), stats AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok
             ), tf AS (
               SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
               FROM tok GROUP BY doc_id, tok
@@ -589,7 +595,8 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY t.doc_id
                                         ORDER BY t.tf DESC, d.df ASC, t.tok ASC)
                        AS rn
-              FROM tf t JOIN df d ON t.tok = d.tok
+              FROM tf t JOIN df d ON t.tok = d.tok, stats s
+              WHERE d.df * 5 <= s.n * 4
             )
             SELECT doc_id, tok AS top_token, tf, df FROM ranked WHERE rn = 1
         """,

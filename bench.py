@@ -344,12 +344,7 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
             D, K, N = 64, 64, 200_000
 
-            def _mix(x):
-                # splitmix64 finalizer, vectorized on uint64
-                x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(-1)
-                x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(-1)
-                x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(-1)
-                return x ^ (x >> np.uint64(31))
+            from medea_ray.engine.stats import _splitmix64 as _mix
 
             bases = (_mix(np.arange(K, dtype=np.uint64)[:, None] * np.uint64(D)
                           + np.arange(D, dtype=np.uint64)).astype(np.float64)

@@ -35,10 +35,7 @@ import pyarrow.compute as pc
 TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def clean_batch(

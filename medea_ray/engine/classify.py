@@ -135,7 +135,15 @@ def train_nb(
             {"key": pa.concat_arrays(keys), "n": pa.concat_arrays(ns)}
         )
 
-    reduced = ds.map_batches(partial, batch_format="pyarrow").groupby("key").sum("n")
+    # materialize: the reduced (key, n) table is consumed twice (budget
+    # count + take_all) — without it the corpus tokenize + groupby
+    # shuffle would re-execute for each consumption
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+        .materialize()
+    )
     n_keys = reduced.count()
     if n_keys > vocab_budget:
         raise ValueError(

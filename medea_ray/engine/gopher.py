@@ -57,10 +57,7 @@ GOPHER_MAX_FRAC = {
 }
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def _split_words(texts: pa.Array, pattern: str = " "):

@@ -110,10 +110,14 @@ def train_unigram(
              "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
+    # materialize: the reduced (token, n) table is consumed twice
+    # (budget count + take_all) — without it the whole corpus tokenize
+    # + groupby shuffle would re-execute for each consumption
     reduced = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .sum("n")
+        .materialize()
     )
     n_vocab = reduced.count()
     if n_vocab > vocab_budget:

@@ -46,10 +46,7 @@ import pyarrow.compute as pc
 _log = logging.getLogger(__name__)
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def whitespace_token_counts(texts) -> np.ndarray:

@@ -1552,15 +1552,17 @@ def nb_classify_docs(sf_dir: str):
 
 
 def doc_top_keyword(sf_dir: str):
-    """Per-document TF-IDF top keyword (engine/tfidf.py): the term
-    with the highest tf·idf weight under the INTEGER-ONLY ranking
-    (tf desc, df asc, token asc bytewise) — monotone-equivalent to the
-    float weight for a fixed doc, so no float crosses the compare
-    boundary. The DuckDB oracle recomputes tf, df and the row_number
-    winner from scratch; the near-unique word soup forces heavy
-    tf/df/token tiebreak traffic. Null doc_ids excluded on both sides
-    (SQL's GROUP BY would merge them into one group); tokenless docs
-    emit no row on either side (the GROUP BY shape)."""
+    """Per-document distinguishing keyword (engine/tfidf.py): highest
+    tf among tokens under the df ceiling (df <= floor(0.8 * N_docs) —
+    stopword suppression, sklearn's max_df), ties → smaller df →
+    bytewise smaller token. Integer/string-only, so the DuckDB oracle
+    (df*5 <= n*4 + row_number replay) is hash-exact; the documents
+    soup has a 31-token vocab with df 25..415 of 500 docs, so the
+    ceiling genuinely excludes the most ubiquitous tokens at every SF
+    while the small vocab forces heavy tf/df/token tiebreak traffic.
+    Null doc_ids excluded on both sides (SQL's GROUP BY would merge
+    them into one group); docs with no candidate tokens emit no row on
+    either side (the WHERE + GROUP BY shape)."""
     from medea_ray.engine import tfidf
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1569,7 +1571,9 @@ def doc_top_keyword(sf_dir: str):
         return t.filter(pc.is_valid(t.column("doc_id")))
 
     ds = ds.map_batches(drop_null_ids, batch_format="pyarrow").materialize()
-    return tfidf.top_keywords(ds, text_col="text", id_col="doc_id")
+    return tfidf.top_keywords(
+        ds, text_col="text", id_col="doc_id", max_df_frac=0.8
+    )
 
 
 def docs_pii_redacted(sf_dir: str):

@@ -34,9 +34,12 @@ distributed group and the driver-side reference see bit-identical
 (m, d) inputs and the same BLAS shapes — cosines, greedy order and
 keep/drop sets are then bit-reproducible regardless of how Ray blocked
 or ordered the rows. The guard additionally asserts the data sits
-nowhere near a decision boundary (threshold margin, keep-order margin,
-centroid-argmin margin), so reproducibility never silently rests on
-ties.
+nowhere near a decision boundary (threshold margin, keep-order
+margin); the remaining boundary — the centroid-ARGMIN of the label
+step — is not asserted here but by ``kmeans_guard``, which runs
+``cluster.assign`` margin checks over the SAME embeddings table with
+the same K/iteration constants (queries.KMEANS_K / KMEANS_ITERS —
+keep the two queries' constants in lockstep or add the margin here).
 """
 
 from __future__ import annotations

@@ -47,10 +47,7 @@ import pyarrow.compute as pc
 _log = logging.getLogger(__name__)
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def _split(texts: pa.Array):
@@ -288,10 +285,13 @@ def mask_dup_spans(
     n_covered, clean_text)``.
 
     ``max_dup_grams`` bounds the broadcast set LOUDLY (silently capping
-    would silently keep duplicated text). ``ds`` is consumed twice
-    (count pass + mask pass) — pass a materialized/parquet-backed
-    Dataset, not an expensive lazy chain. ``exchange="hashed"`` selects
-    the two-phase digest-prefilter count pass (see ``duplicated_grams``).
+    would silently keep duplicated text). ``ds`` is re-consumed per
+    pass — twice with ``exchange="string"`` (count + mask), three times
+    with ``exchange="hashed"`` (digest count + candidate recount +
+    mask, four if the candidate-budget fallback re-runs the string
+    count) — so pass a materialized/parquet-backed Dataset, not an
+    expensive lazy chain. ``exchange="hashed"`` selects the two-phase
+    digest-prefilter count pass (see ``duplicated_grams``).
     """
     import ray
 

@@ -1,18 +1,26 @@
-"""TF-IDF keyword extraction over a document corpus.
+"""Distinguishing-keyword extraction over a document corpus (the
+practical tf-idf verb: keyword tagging / topic tells / index-term
+selection).
 
-The classic corpus-analysis verb (keyword tagging / topic tells /
-index-term selection): for every document, the term with the highest
-term frequency weighted against its document frequency. To keep the
-driver oracle hash-exact the RANKING IS INTEGER-ONLY — the float
-``tf * ln(N/df)`` weight is monotone in ``(tf desc, df asc)`` for a
-fixed doc, so the top keyword under the float weight with the
-deterministic tiebreak chain
+Pinned semantics — for every document, the top keyword is the most
+frequent term among the NON-UBIQUITOUS ones:
 
-    (tf DESC, df ASC, token ASC bytewise)
+    candidates = tokens with df <= floor(max_df_frac * N_docs)
+    winner     = max by (tf DESC, df ASC, token ASC bytewise)
 
-is computed without any float crossing the exchange or the compare
-boundary. (For equal tf, smaller df == larger idf; Arrow's bytewise
-string order equals DuckDB's binary collation for valid UTF-8.)
+This is deliberately NOT the float ``tf * ln(N/df)`` argmax. That
+weight is not reproducible across engines (``ln`` is not required to
+be correctly rounded, and exact cross-(tf, df) ties exist — e.g.
+``2*ln(16/4) == ln(16/1)`` — whose float winners flip between numpy
+and DuckDB), and a bare (tf desc) rank without the df ceiling
+degenerates to stopwords. The df ceiling is the standard practical
+stopword suppression (sklearn's ``max_df``); within the candidates
+the (tf desc, df asc) rank IS the tf-idf order whenever tf ties, and
+every comparison is integer/string-only so the driver oracle is
+hash-exact. Documents whose every token is over the ceiling emit no
+row (the SQL ``WHERE df <= limit`` + GROUP BY shape). Arrow's
+bytewise string order equals DuckDB's binary collation for valid
+UTF-8.
 
 Two streaming passes, mirroring ``lm.train_unigram``'s shape:
 
@@ -38,10 +46,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def _doc_tokens(t: pa.Table, text_col: str):
@@ -58,10 +63,13 @@ def _doc_tokens(t: pa.Table, text_col: str):
     return doc[real], flat.filter(pa.array(real))
 
 
-def document_frequencies(ds, text_col: str = "text"):
+def document_frequencies(ds, text_col: str = "text", _with_doc_count: bool = False):
     """Dataset of ``(token, df)`` — the number of documents containing
     each token. One integer-partial groupby; the input text never
-    shuffles."""
+    shuffles. With ``_with_doc_count`` (internal), one extra row under
+    the empty-string token carries the count of documents that have at
+    least one token (the empty token cannot occur — the \\S+ split
+    filters it), so N_docs rides the same exchange."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -79,10 +87,13 @@ def document_frequencies(ds, text_col: str = "text"):
         upair = np.unique(pair)
         ucode = (upair % len(vocab)).astype(np.int64)
         dfp = np.bincount(ucode, minlength=len(vocab)).astype(np.int64)
-        return pa.table(
-            {"token": pc.cast(vocab, pa.string()),
-             "df_part": pa.array(dfp, pa.int64())}
-        )
+        toks = pc.cast(vocab, pa.string())
+        dfs = pa.array(dfp, pa.int64())
+        if _with_doc_count:
+            n_docs = int(np.unique(doc).size)
+            toks = pa.concat_arrays([toks, pa.array([""], pa.string())])
+            dfs = pa.concat_arrays([dfs, pa.array([n_docs], pa.int64())])
+        return pa.table({"token": toks, "df_part": dfs})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -116,7 +127,8 @@ class _TopKeyword:
             ]
         )
         doc, flat = _doc_tokens(t, self.text_col)
-        if len(flat) == 0:
+        if len(flat) == 0 or len(self._vocab) == 0:
+            # no tokens in the batch, or no candidates under the ceiling
             return schema.empty_table()
         codes = _as_array(pc.dictionary_encode(flat))
         code_np = codes.indices.to_numpy().astype(np.int64)
@@ -132,16 +144,17 @@ class _TopKeyword:
         order = pc.sort_indices(vocab).to_numpy().astype(np.int64)
         rank = np.empty(V, np.int64)
         rank[order] = np.arange(V, dtype=np.int64)
-        # df lookup: batch tokens are a superset of any single doc's —
-        # every token was counted in the df pass, so index_in must hit
+        # candidate lookup: the broadcast map holds only tokens under
+        # the df ceiling — a miss means NOT A CANDIDATE, not an error
         idx = pc.index_in(vocab, value_set=self._vocab)
-        if idx.null_count:
-            missing = vocab.filter(pc.is_null(idx)).to_pylist()[:3]
-            raise ValueError(
-                f"tfidf: tokens missing from the df map (stale df pass?): "
-                f"{missing}"
-            )
-        df_per_code = self._df[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        is_cand_code = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        df_per_code = self._df[
+            pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        keep = is_cand_code[ucode]
+        if not keep.any():
+            return schema.empty_table()
+        udoc, ucode, tf = udoc[keep], ucode[keep], tf[keep]
         df_occ = df_per_code[ucode]
         # winner per doc: (doc asc, tf desc, df asc, token-rank asc)
         sel = np.lexsort((rank[ucode], df_occ, -tf, udoc))
@@ -163,18 +176,25 @@ def top_keywords(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_frac: float = 1.0,
     vocab_budget: int = 5_000_000,
     batch_size: int = 1024,
     concurrency=(1, 8),
 ):
-    """Per-document top TF-IDF keyword: ``(id_col, top_token, tf, df)``
-    under the integer-only ranking in the module docstring. ``ds`` is
-    consumed twice (df pass + scoring pass) — pass a
-    materialized/parquet-backed Dataset. The df map is collected under
-    a LOUD ``vocab_budget`` and broadcast once."""
+    """Per-document distinguishing keyword: ``(id_col, top_token, tf,
+    df)`` under the integer-only ranking in the module docstring, with
+    candidacy limited to tokens whose df <= floor(max_df_frac * N_docs)
+    (``max_df_frac=1.0`` disables the ceiling). ``ds`` is consumed
+    twice (df pass + scoring pass) — pass a materialized/parquet-backed
+    Dataset. Only the CANDIDATE df map is broadcast, collected under a
+    LOUD ``vocab_budget``."""
+    import math
+
     import ray
 
-    red = document_frequencies(ds, text_col)
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac in (0, 1] required, got {max_df_frac}")
+    red = document_frequencies(ds, text_col, _with_doc_count=True).materialize()
     n_vocab = red.count()
     if n_vocab > vocab_budget:
         raise ValueError(
@@ -184,14 +204,23 @@ def top_keywords(
         )
     toks: list[str] = []
     dfs: list[int] = []
+    n_docs = 0
     for b in red.iter_batches(batch_format="pyarrow"):
-        toks.extend(b.column("token").to_pylist())
-        dfs.extend(b.column("df").to_pylist())
+        for tok, df in zip(b.column("token").to_pylist(), b.column("df").to_pylist()):
+            if tok == "":
+                n_docs = int(df)
+            else:
+                toks.append(tok)
+                dfs.append(int(df))
+    limit = math.floor(max_df_frac * n_docs)
+    df_np = np.asarray(dfs, np.int64)
+    cand = df_np <= limit
     # sort bytewise via Arrow to match the rank convention
-    tok_arr = pa.array(toks, pa.string())
+    tok_arr = pa.array(toks, pa.string()).filter(pa.array(cand))
+    df_cand = df_np[cand]
     sidx = pc.sort_indices(tok_arr).to_numpy().astype(np.int64)
     tok_sorted = tok_arr.take(pa.array(sidx))
-    df_sorted = np.asarray(dfs, np.int64)[sidx]
+    df_sorted = df_cand[sidx]
     ref = ray.put((tok_sorted, df_sorted))
     return ds.map_batches(
         _TopKeyword,

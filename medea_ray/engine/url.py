@@ -49,10 +49,7 @@ DEFAULT_PORTS = {"http": "80", "https": "443"}
 SECOND_LEVEL_REGISTRIES = frozenset({"co", "com", "ac", "org", "net", "gov", "edu"})
 
 
-def _as_array(col) -> pa.Array:
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return col
+from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def _sorted_query(query: pa.Array):

@@ -242,14 +242,20 @@ def _write_chunk(args) -> str:
             if fmt == "jsonl.gz":
                 import gzip
 
-                # mtime=0: byte-stable output, matching the pure-in-
-                # (seed, index) idempotency contract of the parquet path
-                opener = lambda p: gzip.GzipFile(p, "wb", mtime=0)  # noqa: E731
+                # mtime=0 AND fileobj with an empty filename: byte-stable
+                # output — GzipFile(path) embeds the PID-suffixed tmp
+                # filename in the gzip FNAME header, breaking the
+                # pure-in-(seed, index) same-bytes idempotency contract
+                # of the parquet path
+                with open(tmp, "wb") as raw, gzip.GzipFile(
+                    filename="", mode="wb", fileobj=raw, mtime=0
+                ) as f:
+                    for row in t.select(JSONL_COLUMNS).to_pylist():
+                        f.write(orjson.dumps(row) + b"\n")
             else:
-                opener = lambda p: open(p, "wb")  # noqa: E731
-            with opener(tmp) as f:
-                for row in t.select(JSONL_COLUMNS).to_pylist():
-                    f.write(orjson.dumps(row) + b"\n")
+                with open(tmp, "wb") as f:
+                    for row in t.select(JSONL_COLUMNS).to_pylist():
+                        f.write(orjson.dumps(row) + b"\n")
         os.replace(tmp, path)
     return path
 

@@ -173,8 +173,9 @@ RETIRED = [
     "orders_no_lineitems",
     # round 4: per-group lag entry replaced by the ExactSubstr
     # duplicated-span-removal slot (dup_span_removal); the ordered
-    # window family stays oracle-green via user_running_value /
-    # clicks_last_purchase / user_sessions
+    # window family stays oracle-green via clicks_last_purchase /
+    # user_sessions / top_events_per_user (user_running_value was
+    # itself retired later this round — see its entry below)
     "events_prev_value",
     # round 4: GIF frame-sampling entry replaced by the Bloom-filter
     # sketch guard (bloom_filter_guard); media decode + frame sampling

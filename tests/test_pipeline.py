@@ -397,6 +397,23 @@ def test_jsonl_input_format_matches_parquet(ray_session, tmp_path):
     assert report2["n_files_skipped"] == len(files)
 
 
+def test_gzipped_jsonl_output_is_byte_stable(tmp_path, monkeypatch):
+    """The same (seed, index) chunk must produce the SAME BYTES wherever
+    and whenever it is written — resume and parallel generation rely on
+    it. A GzipFile opened by path embeds the (PID-suffixed tmp) filename
+    in the gzip FNAME header and silently breaks this across worker
+    processes, so the writer must gzip through a fileobj with an empty
+    filename; the fake pids below reproduce the cross-process layout."""
+    from medea_ray.fixtures import gen as genmod
+
+    monkeypatch.setattr(genmod.os, "getpid", lambda: 11111)
+    a = write_pages(str(tmp_path / "a"), 500, rows_per_file=500, fmt="jsonl.gz")
+    monkeypatch.setattr(genmod.os, "getpid", lambda: 22222)
+    b = write_pages(str(tmp_path / "b"), 500, rows_per_file=500, fmt="jsonl.gz")
+    with open(a[0], "rb") as fa, open(b[0], "rb") as fb:
+        assert fa.read() == fb.read()
+
+
 def test_gzipped_jsonl_input_matches_parquet(ray_session, tmp_path):
     """.jsonl.gz inputs (the Common-Crawl export layout) ride the jsonl
     path — Ray/Arrow detect gzip by extension — and must produce the same

@@ -94,3 +94,40 @@ def test_unicode_bytewise_tiebreak(ray_session):
 def test_vocab_budget_raises(ray_session):
     with pytest.raises(ValueError, match="vocab_budget|budget"):
         tfidf.top_keywords(make_ds(["a b c d e f"]), vocab_budget=3)
+
+
+def test_df_ceiling_suppresses_ubiquitous_tokens(ray_session):
+    # 'the' appears in all 4 docs (df=4); ceiling 0.5 -> limit 2
+    rows = [
+        "the the the cat",   # without ceiling 'the' wins; with it: cat
+        "the dog dog",
+        "the fish",
+        "the cat",
+    ]
+    got = collect(tfidf.top_keywords(make_ds(rows), max_df_frac=0.5))
+    assert got[0] == ("cat", 1, 2)
+    assert got[1] == ("dog", 2, 1)
+    # unthresholded default keeps 'the'
+    got_all = collect(tfidf.top_keywords(make_ds(rows)))
+    assert got_all[0][0] == "the"
+
+
+def test_all_tokens_over_ceiling_emit_no_row(ray_session):
+    rows = ["the", "the", "the cat"]
+    got = collect(tfidf.top_keywords(make_ds(rows), max_df_frac=0.5))
+    # 'the' df=3 > floor(0.5*3)=1; 'cat' df=1 <= 1
+    assert set(got) == {2}
+    assert got[2] == ("cat", 1, 1)
+
+
+def test_empty_candidate_vocab_yields_no_rows(ray_session):
+    # n_docs=1, limit = floor(0.5*1) = 0 -> every token over the ceiling
+    got = collect(tfidf.top_keywords(make_ds(["the cat"]), max_df_frac=0.5))
+    assert got == {}
+
+
+def test_max_df_frac_validation(ray_session):
+    with pytest.raises(ValueError, match="max_df_frac"):
+        tfidf.top_keywords(make_ds(["a"]), max_df_frac=0.0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        tfidf.top_keywords(make_ds(["a"]), max_df_frac=1.5)
