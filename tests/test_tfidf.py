@@ -21,7 +21,10 @@ def make_ds(rows, parts=1):
 
 
 def collect(ds):
-    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return {}
+    t = pa.concat_tables(batches)
     return {r["doc_id"]: (r["top_token"], r["tf"], r["df"]) for r in t.to_pylist()}
 
 
