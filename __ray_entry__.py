@@ -277,7 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # callable stays pytest-covered.
         # top_users_by_events retired round 4 (global top-k by count; the
         # family stays oracle-green via top_events_per_user (per-group
-        # top-k), top_tokens (explode → count → top-k) and
+        # top-k), doc_top_keyword (per-doc keyword rank) and
         # source_counts_salted) in favour of the image-resize guard —
         # the decode → RESIZE → feature verb of the multimodal brief;
         # callable stays pytest-covered.
@@ -375,7 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         # doc_token_counts retired round 4 for the URL-canonicalization
         # slot (url_host_stats — the normalization before any url-keyed
-        # dedup): the token-count path stays oracle-green via top_tokens
+        # dedup): the token-count path stays oracle-green via lm_unigram_stats
         # (same ws tokenizer, explode+pre-count) and lm_unigram_stats
         # (per-doc n_tokens); the callable stays pytest-covered.
         "url_host_stats": q.url_host_stats,
@@ -385,7 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redacted": q.docs_pii_redacted,
         # doc_text_features retired round 3 (its token/word/char code paths
         # are oracle-green via doc_token_counts / doc_word_stats /
-        # top_tokens) in favour of the oracle-checked GIF frame-sampling
+        # lm_unigram_stats) in favour of the oracle-checked GIF frame-sampling
         # path, itself retired round 4 for the Bloom-filter sketch guard
         # (bloom_filter_guard — E6d, the fourth mergeable sketch): the
         # media-decode family stays oracle-green via media_features /
@@ -393,7 +393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio_codec_guard (frame sampling itself via mjpeg_avi_guard's
         # per-frame stats); both callables stay pytest-covered.
         "bloom_filter_guard": q.bloom_filter_guard,
-        "top_tokens": q.top_tokens,
+        # top_tokens retired round 4: the exact value-domain token
+        # shuffle it pinned is oracle-green through four other slots
+        # (lm_unigram_stats' vocab groupby, dup_span_removal's gram
+        # groupby, doc_top_keyword's df groupby, nb_classify_docs'
+        # (label, token) groupby); its slot holds the overlapping
+        # document-chunking query. Callable stays pytest-covered.
+        "doc_chunks": q.doc_chunks,
         # Medea validation (E3, the per-row kernel end-to-end)
         "validate_documents_payload": q.validate_documents_payload,
         "validation_verdict_counts": q.validation_verdict_counts,
@@ -873,15 +879,27 @@ def oracle_sql() -> dict[str, str]:
                    ({_pii_flag_sql('t')}) AS pii_found
             FROM aug
         """,
-        # ties broken by token asc on both sides; ASCII token class keeps
-        # Python re and DuckDB RE2 in lockstep
-        "top_tokens": """
-            SELECT token, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
-                  FROM documents WHERE text IS NOT NULL)
-            GROUP BY token
-            ORDER BY n DESC, token
-            LIMIT 50
+        # overlapping chunk windows: geometry (stride 48, clamped ends)
+        # and the re-joined chunk text replayed via generate_series +
+        # list slice — byte-exact per row
+        "doc_chunks": """
+            WITH d AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+              FROM documents WHERE doc_id IS NOT NULL
+            ), k AS (
+              SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                     unnest(generate_series(0,
+                       CAST(CASE WHEN len(ws) <= 64 THEN 0
+                                 ELSE (len(ws) - 64 + 47) // 48 END AS BIGINT)))
+                       AS ck
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(ck AS BIGINT) AS chunk_id,
+                   CAST(least(ck*48 + 64, n) - ck*48 AS BIGINT) AS n_chunk_tokens,
+                   COALESCE(array_to_string(ws[ck*48 + 1 : ck*48 + 64], ' '), '')
+                     AS chunk_text
+            FROM k
         """,
         "validate_documents_payload": f"""
             SELECT doc_id,

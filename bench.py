@@ -578,6 +578,24 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["tfidf_600k"], _ = _timed(tfidf_bench)
 
+        # round 4: overlapping chunk windows over 600k pages (RAG /
+        # context-window prep — stateless, shuffle-free; engine/chunk.py)
+        from medea_ray.engine import chunk as _chunk
+
+        def chunk_bench():
+            corpus = rd.read_parquet(pages_dir, columns=["url", "text"])
+            out = _chunk.chunk_docs(
+                corpus, text_col="text", id_col="url",
+                chunk_tokens=128, overlap=32, batch_size=2048,
+            )
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n >= n_pages, n
+            return n
+
+        results["chunk_600k"], _ = _timed(chunk_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

@@ -1576,6 +1576,32 @@ def doc_top_keyword(sf_dir: str):
     )
 
 
+def doc_chunks(sf_dir: str):
+    """Overlapping document chunking (engine/chunk.py — the RAG /
+    context-window verb): 64-token windows with 16-token overlap
+    (stride 48) over the single-space tokenization; every chunk's text
+    is re-joined and matched BYTE-EXACTLY against DuckDB's
+    generate_series + list-slice replay, pinning the window geometry,
+    coverage and the flat-gather re-join per row. Stateless and
+    shuffle-free on the Ray side. Null doc_ids excluded on both sides;
+    empty/null text yields exactly one empty chunk (single-space split
+    convention)."""
+    from medea_ray.engine import chunk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def drop_null_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("doc_id")))
+
+    return chunk.chunk_docs(
+        ds.map_batches(drop_null_ids, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+        chunk_tokens=64,
+        overlap=16,
+    )
+
+
 def docs_pii_redacted(sf_dir: str):
     """PII redaction over the documents table (text.redact_pii — the
     scrub pass every training-data pipeline runs first). The synthetic

@@ -147,7 +147,8 @@ RETIRED = [
     "lang_histogram",
     # round 4: global top-k-by-count entry replaced by the image-resize
     # guard (the multimodal decode -> RESIZE -> feature verb); family
-    # stays oracle-green via top_events_per_user / top_tokens
+    # stays oracle-green via top_events_per_user / doc_top_keyword
+    # (top_tokens was itself retired later this round, see below)
     "top_users_by_events",
     # round 4: plain filter+project entry replaced by the hopping-window
     # slot (events_hopping_12h); the filter+project path stays
@@ -184,7 +185,8 @@ RETIRED = [
     "gif_frame_stats",
     # round 4: per-doc ws token counts replaced by the URL
     # canonicalization slot (url_host_stats); the tokenizer stays
-    # oracle-green via top_tokens and lm_unigram_stats' n_tokens
+    # oracle-green via lm_unigram_stats' n_tokens and doc_pack_sequences
+    # (top_tokens was itself retired later this round, see below)
     "doc_token_counts",
     # round 4: single-key daily groupby replaced by the GPT-style
     # sequence-packing slot (doc_pack_sequences); the groupby-sum family
@@ -209,6 +211,11 @@ RETIRED = [
     # decontam.decontaminate broadcast anti-join stays oracle-green as
     # corpus_prep's third CTE-mirrored stage
     "docs_decontaminated",
+    # round 4: the global token count slot replaced by the overlapping
+    # document-chunking query (doc_chunks); the exact value-domain token
+    # shuffle stays oracle-green via lm_unigram_stats / dup_span_removal
+    # / doc_top_keyword / nb_classify_docs (all token-keyed groupbys)
+    "top_tokens",
 ]
 
 
