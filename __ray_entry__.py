@@ -15,6 +15,12 @@ from collections.abc import Callable
 from typing import Any
 
 from medea_ray.engine import queries as q
+from medea_ray.engine.normalize import sql_replay as _norm_sql_replay
+
+#: DuckDB array literal mirroring queries.NORMALIZE_DECO (docs_normalized).
+_NORM_DECO_SQL = "[" + ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in q.NORMALIZE_DECO
+) + "]"
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -371,7 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Hamming recall. The bucket-emitting callable stays pytest-covered.
         "simhash_recall_guard": q.simhash_recall_guard,
         "referential_orders_customers": q.referential_orders_customers,
-        "doc_text_digests": q.doc_text_digests,
+        # doc_text_digests superseded round 4 by docs_normalized: the same
+        # raw-text md5 column rides in the new query (E12 byte-identity
+        # keeps its oracle row) PLUS the CCNet-style normalization chain
+        # (engine/normalize.py) byte-exact vs DuckDB's independent replay.
+        "docs_normalized": q.docs_normalized,
         # text analysis
         # doc_token_counts retired round 4 for the URL-canonicalization
         # slot (url_host_stats — the normalization before any url-keyed
@@ -796,10 +806,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey IS NOT NULL
               AND o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
         """,
-        "doc_text_digests": """
+        # CCNet-style normalization: the oracle REBUILDS the planted raw
+        # string from (text, doc_id) and replays the exact kernel chain —
+        # the replay expression is GENERATED from the same PUNCT_TABLE /
+        # flag semantics via normalize.sql_replay, so operator and oracle
+        # cannot drift. text_md5 carries the retired doc_text_digests
+        # byte-identity check.
+        "docs_normalized": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     text || chr(10) ||
+                     ({_NORM_DECO_SQL})[(doc_id % 6) + 1] ||
+                     chr(7) || ' No.' || CAST(doc_id AS VARCHAR) AS raw
+              FROM documents WHERE doc_id IS NOT NULL)
             SELECT doc_id,
-                   CASE WHEN text IS NULL THEN NULL ELSE md5(text) END AS text_md5
-            FROM documents
+                   CASE WHEN text IS NULL THEN NULL ELSE md5(text) END AS text_md5,
+                   {_norm_sql_replay("raw")} AS norm_text
+            FROM d
         """,
         # URL canonicalization: the oracle REBUILDS the planted url from
         # doc_id and re-derives every canonical rule with its own string

@@ -479,6 +479,23 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["c4_clean_600k"], _ = _timed(c4_clean)
 
+        # round 4: CCNet-style normalization over the full 600k-page
+        # text column (nonprint strip + punct table + Unicode lower +
+        # NFD accent strip + digit/ws collapse, all Arrow kernels —
+        # engine/normalize.py, the pre-dedup canonicalization verb)
+        from medea_ray.engine import normalize as _norm
+
+        def normalize_bench():
+            corpus = rd.read_parquet(pages_dir, columns=["text"])
+            out = _norm.normalize_text(corpus, "text")
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["normalize_600k"], _ = _timed(normalize_bench)
+
         # round 4: GPT-style sequence packing over 600k pages — global
         # token-stream prefix sum via range buckets on a derived
         # 64-bit url digest id (engine/pack.py); no text shuffle, one

@@ -1007,6 +1007,67 @@ def doc_text_digests(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+#: planted decorations for docs_normalized — each row appends
+#: deco[doc_id % 6] so every normalization rule fires non-vacuously
+#: (curly quotes/dashes/ellipsis, accents incl. dotted-I and Ё, Greek
+#: case fold, NBSP, guillemets/primes, double spaces). Mirrored as a
+#: DuckDB array literal in __ray_entry__.oracle_sql.
+NORMALIZE_DECO = (
+    "“Héllo—Wörld”…",
+    "CAFÉ № ½",
+    "naïve  résumé",
+    "ВЕРХНИЙ Ёё",
+    "İstanbul ΣΙΓΜΑΣ",
+    "a’b′c«d»",
+)
+
+
+def docs_normalized(sf_dir: str):
+    """CCNet-style text normalization (engine/normalize.py), plus the
+    raw-text md5 of the retired ``doc_text_digests`` slot so the E12
+    byte-identical-roundtrip invariant keeps its oracle row.
+
+    Each row's input is ``text || '\\n' || deco[doc_id%6] || BEL ||
+    ' No.' || doc_id`` — a pure function of (text, doc_id) built
+    identically in the SQL oracle — so the value-hash compare pins the
+    full normalization chain (non-printing strip, punct table, Unicode
+    lower, accent strip, digit collapse, whitespace collapse) BYTE-
+    EXACTLY per row against DuckDB's independent replay
+    (lower/strip_accents/replace-chain/regexp_replace)."""
+    import hashlib
+
+    from medea_ray.engine import normalize as N
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        extra = (
+            np.array(NORMALIZE_DECO, object)[i % 6]
+            + "\x07 No."
+            + i.astype(str).astype(object)
+        )
+        raw = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            pa.array(extra, pa.string()),
+            "\n",
+        )
+        h = [
+            None if x is None else hashlib.md5(x.encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_md5": pa.array(h, pa.string()),
+                "norm_text": N.normalize_array(raw),
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
 def warc_extract_pages(sf_dir: str):
     """Common-Crawl-shape source path, oracle-checked byte-exactly: each
     batch of documents is serialized as a REAL WARC stream (gzip members,
