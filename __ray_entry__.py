@@ -173,6 +173,40 @@ def _dupspan_sql() -> str:
     """
 
 
+def _paradedup_sql() -> str:
+    """From-scratch DuckDB recomputation of corpus-wide keep-first
+    paragraph dedup (engine/paradedup.py contract): explode with
+    generate_series positions, the same packed rank doc_id*2^20+(idx),
+    ownership via GROUP BY para HAVING count(*)>1 over candidates
+    (len >= min_chars=1), keep iff non-candidate / non-dup / owner.
+    Planted from queries.PARADEDUP_SHARED (single source of truth)."""
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 COALESCE(text,'') || chr(10) || s || chr(10) || s AS raw
+          FROM (SELECT doc_id, text,
+                       '{q.PARADEDUP_SHARED}' || CAST(doc_id % 7 AS VARCHAR) AS s
+                FROM documents WHERE doc_id IS NOT NULL)),
+        s AS (SELECT doc_id, string_split(raw, chr(10)) AS ps FROM d),
+        p AS (SELECT doc_id, i, ps[i] AS para,
+                     doc_id * 1048576 + (i - 1) AS rnk,
+                     length(ps[i]) >= 1 AS cand
+              FROM (SELECT doc_id, ps,
+                           unnest(generate_series(1, len(ps))) AS i FROM s)),
+        o AS (SELECT para, min(rnk) AS owner
+              FROM p WHERE cand GROUP BY para HAVING count(*) > 1),
+        k AS (SELECT p.doc_id, p.i, p.para,
+                     ((NOT p.cand) OR o.para IS NULL OR p.rnk = o.owner) AS keep
+              FROM p LEFT JOIN o ON p.para = o.para)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept_paras,
+               COALESCE(string_agg(para, chr(10) ORDER BY i) FILTER (keep), '')
+                 AS clean_text
+        FROM k GROUP BY doc_id
+    """
+
+
 def _knn_query_literals() -> list[str]:
     import numpy as np
 
@@ -298,9 +332,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lang_nchars_sketch_guard / tdigest_nchars_guard / drift_guard;
         # callable stays pytest-covered).
         "warc_extract_pages": q.warc_extract_pages,
-        # large×large shuffle join (engine/join.py) + skew-resistant salted
-        "orders_lineitem_join": q.orders_lineitem_join,
+        # large×large shuffle join (engine/join.py) + skew-resistant salted.
+        # orders_lineitem_join (unsalted) retired round 4 for the
+        # paragraph-dedup slot: salted_join delegates to the SAME
+        # shuffle_join/native hash-join path (join.py:370) under an
+        # IDENTICAL oracle SQL, so the native join stays oracle-green via
+        # the salted slot; the unsalted callable stays pytest-covered
+        # (test_join.py).
         "orders_lineitem_salted_join": q.orders_lineitem_salted_join,
+        # corpus-wide keep-first paragraph dedup (engine/paradedup.py —
+        # the RefinedWeb exact-line-dedup verb)
+        "dedup_paragraphs_docs": q.dedup_paragraphs_docs,
         # orders_no_lineitems retired round 4 for the Gopher repetition
         # slot (gopher_repetition_stats — the arXiv:2112.11446 Table A1
         # repetition-removal family, the standard web-corpus quality
@@ -564,11 +606,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events, (SELECT unnest([0, 1]) AS i) i
             GROUP BY 1
         """,
-        "orders_lineitem_join": """
-            SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
-            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        """,
-        # salting must be result-invariant: identical SQL to the unsalted join
+        # keep-first paragraph dedup: ownership recomputed from scratch
+        # (explode with generate_series positions, the same packed rank
+        # doc_id*2^20+idx, HAVING count>1 over candidates) — byte-exact
+        # clean_text per row vs engine/paradedup.py
+        "dedup_paragraphs_docs": _paradedup_sql(),
+        # salting must be result-invariant: identical SQL to the (retired)
+        # unsalted join
         "orders_lineitem_salted_join": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey

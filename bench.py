@@ -496,6 +496,40 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["normalize_600k"], _ = _timed(normalize_bench)
 
+        # round 4: corpus-wide keep-first paragraph dedup over 600k
+        # pages (engine/paradedup.py — explode to per-batch-unique
+        # (md5, rank) combiner rows, ONE hash groupby, owner-map
+        # broadcast, local re-join; the text never crosses an exchange)
+        from medea_ray.engine import paradedup as _pd
+        from medea_ray.engine.uniqueness import _hash64 as _h64
+
+        def paradedup_bench():
+            import pyarrow as pa
+            import pyarrow.compute as _pc
+
+            corpus = rd.read_parquet(pages_dir, columns=["url", "warc_ts", "text"])
+
+            def with_id(t):
+                key = _pc.binary_join_element_wise(
+                    t.column("url"), _pc.cast(t.column("warc_ts"), pa.string()), "|"
+                )
+                ids = _h64(key)
+                # mask into the packable id range; a residual 42-bit tie
+                # keeps both instances (deterministic under-dedup, fine
+                # at bench granularity)
+                ids = (ids & ((1 << 42) - 1)).astype(np.int64)
+                return t.append_column("pid", pa.array(ids, pa.int64()))
+
+            withid = corpus.map_batches(with_id, batch_format="pyarrow")
+            out = _pd.dedup_paragraphs(withid, "text", "pid")
+            n = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            assert n == n_pages, n
+            return n
+
+        results["paradedup_600k"], _ = _timed(paradedup_bench)
+
         # round 4: GPT-style sequence packing over 600k pages — global
         # token-stream prefix sum via range buckets on a derived
         # 64-bit url digest id (engine/pack.py); no text shuffle, one

@@ -1068,6 +1068,43 @@ def docs_normalized(sf_dir: str):
     return ds.map_batches(plant, batch_format="pyarrow")
 
 
+#: planted shared-line prefix for dedup_paragraphs_docs — mirrored
+#: verbatim in the DuckDB oracle (__ray_entry__._paradedup_sql).
+PARADEDUP_SHARED = "shared fact number "
+
+
+def dedup_paragraphs_docs(sf_dir: str):
+    """Corpus-wide keep-first paragraph dedup (engine/paradedup.py —
+    the RefinedWeb exact-line-dedup verb). Each doc's text gets TWO
+    planted copies of ``'shared fact number <doc_id%7>'`` appended, so
+    every hash group spans ~71 docs (cross-doc dups) AND each doc holds
+    a within-doc repeat: the min-doc_id owner keeps exactly its first
+    planted instance, every other instance drops. The DuckDB oracle
+    recomputes ownership from scratch (explode + rank window + HAVING
+    count>1) and matches (n_paras, n_kept_paras, clean_text)
+    BYTE-EXACTLY per row."""
+    from medea_ray.engine import paradedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pa.array(
+            PARADEDUP_SHARED + (i % 7).astype(str).astype(object), pa.string()
+        )
+        raw = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t.column("text"), pa.string()), ""),
+            s,
+            s,
+            "\n",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": raw})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return paradedup.dedup_paragraphs(planted, "text", "doc_id")
+
+
 def warc_extract_pages(sf_dir: str):
     """Common-Crawl-shape source path, oracle-checked byte-exactly: each
     batch of documents is serialized as a REAL WARC stream (gzip members,
