@@ -431,13 +431,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same ws tokenizer, explode+pre-count) and lm_unigram_stats
         # (per-doc n_tokens); the callable stays pytest-covered.
         "url_host_stats": q.url_host_stats,
-        "doc_word_stats": q.doc_word_stats,
+        # doc_word_stats retired round 4 for the schema-inference slot
+        # (schema_infer_profile — the Deequ-style constraint-suggestion
+        # verb: profile a JSON column, induce a Medea schema, prove the
+        # roundtrip): per-doc word/distinct-word stats stay oracle-green
+        # via gopher_repetition_stats (word n-gram repetition over the
+        # same tokenizer) and doc_top_keyword (per-doc tf machinery);
+        # the callable stays pytest-covered (test_training_data_ops.py).
+        "schema_infer_profile": q.schema_infer_profile,
         # PII scrub (planted spans — hash-pins Arrow-vs-DuckDB RE2
         # replacement semantics on every row; see queries.docs_pii_redacted)
         "docs_pii_redacted": q.docs_pii_redacted,
         # doc_text_features retired round 3 (its token/word/char code paths
-        # are oracle-green via doc_token_counts / doc_word_stats /
-        # lm_unigram_stats) in favour of the oracle-checked GIF frame-sampling
+        # are oracle-green via lm_unigram_stats / gopher_repetition_stats —
+        # doc_token_counts and doc_word_stats, its round-3 pins, were
+        # themselves retired round 4) in favour of the oracle-checked GIF frame-sampling
         # path, itself retired round 4 for the Bloom-filter sketch guard
         # (bloom_filter_guard — E6d, the fourth mergeable sketch): the
         # media-decode family stays oracle-green via media_features /
@@ -922,15 +930,53 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS url_ok
             FROM r
         """,
-        "doc_word_stats": """
-            SELECT doc_id,
-                   CASE WHEN text IS NULL THEN 0
-                        ELSE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) END
-                     AS n_words,
-                   CASE WHEN text IS NULL THEN 0
-                        ELSE len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) END
-                     AS n_distinct_words
-            FROM documents
+        # schema inference: DuckDB replays the top-level profile
+        # closed-form from the payload construction rule (build_payload,
+        # fixtures/gen.py: url='doc://'||doc_id so distinct==n_docs;
+        # lang passes through incl. NULLs; meta dropped at
+        # doc_id%100==97; extra bool added at ==96; tags always array).
+        # enum rule mirrored exactly: distinct string values <= 16 and
+        # every value <= 128 bytes. roundtrip_valid is TRUE by the
+        # inducer's construction (enums hold every observed value,
+        # unions every observed type, absence-shaped optionality) —
+        # the Ray side COMPUTES it with a real validate_dataset pass.
+        "schema_infer_profile": """
+            WITH d AS (SELECT doc_id, lang, doc_id % 100 AS m FROM documents),
+            t AS (SELECT count(*) AS n_docs FROM d),
+            types AS (
+              SELECT 'url' AS prop, 'string' AS jtype, count(*) AS n_type FROM d
+              UNION ALL SELECT 'lang', 'string', count(lang) FROM d
+              UNION ALL SELECT 'lang', 'null', count(*) - count(lang) FROM d
+              UNION ALL SELECT 'meta', 'object', count(*) FILTER (WHERE m <> 97) FROM d
+              UNION ALL SELECT 'tags', 'array', count(*) FROM d
+              UNION ALL SELECT 'extra', 'boolean', count(*) FILTER (WHERE m = 96) FROM d
+            ),
+            pres AS (SELECT prop, sum(n_type) AS n_present FROM types GROUP BY prop),
+            en AS (
+              SELECT 'lang' AS prop,
+                     CASE WHEN count(DISTINCT lang) <= 16
+                               AND max(strlen(lang)) <= 128
+                          THEN count(DISTINCT lang) ELSE 0 END AS enum_size
+              FROM d WHERE lang IS NOT NULL
+              UNION ALL
+              SELECT 'url',
+                     CASE WHEN count(DISTINCT doc_id) <= 16
+                          THEN count(DISTINCT doc_id) ELSE 0 END
+              FROM d
+            )
+            SELECT ty.prop AS prop,
+                   ty.jtype AS jtype,
+                   CAST(ty.n_type AS BIGINT) AS n_type,
+                   CAST(pres.n_present AS BIGINT) AS n_present,
+                   CAST(t.n_docs AS BIGINT) AS n_docs,
+                   pres.n_present < t.n_docs AS optional,
+                   CAST(COALESCE(en.enum_size, 0) AS BIGINT) AS enum_size,
+                   TRUE AS roundtrip_valid
+            FROM types ty
+            JOIN pres USING (prop)
+            LEFT JOIN en USING (prop)
+            CROSS JOIN t
+            WHERE ty.n_type > 0
         """,
         "docs_pii_redacted": f"""
             WITH aug AS (

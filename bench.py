@@ -647,6 +647,22 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["chunk_600k"], _ = _timed(chunk_bench)
 
+        # round 4: schema inference over 600k JSON payloads — profile
+        # (one integer-partial groupby), induce a Medea schema, compile
+        # it (engine/infer.py); the enum/over-cap exchange stays tiny
+        from medea_ray.engine import infer as _infer
+
+        def infer_bench():
+            corpus = rd.read_parquet(pages_dir, columns=["payload"])
+            text, prof = _infer.infer_schema(
+                corpus, "payload", batch_size=4096
+            )
+            assert prof.n_docs == n_pages, prof.n_docs
+            assert "$schema $start" in text
+            return prof.n_docs
+
+        results["schema_infer_600k"], _ = _timed(infer_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

@@ -1846,6 +1846,52 @@ def validation_verdict_counts(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def schema_infer_profile(sf_dir: str) -> pd.DataFrame:
+    """Schema inference (engine/infer.py) end-to-end over the derived
+    payload corpus: profile every top-level property, induce a Medea
+    schema, and prove the roundtrip (every profiled doc validates
+    against the induced schema).
+
+    One row per observed (property, JSON type): integer occurrence /
+    presence / corpus counts, the optionality verdict, the enum size
+    (0 = not an enum under cap 16 / 128 bytes), and the roundtrip
+    boolean (constant across rows; computed, not assumed — a real
+    validate_dataset pass over the induced text). Everything is
+    integer/boolean, so the oracle is hash-exact: DuckDB replays the
+    profile closed-form from the payload construction rule
+    (build_payload: url='doc://'||doc_id, lang as-is, meta dropped at
+    doc_id%100==97, extra bool added at ==96, tags always an array)."""
+    from medea_ray.engine import infer
+
+    text_schema, prof = infer.infer_schema(_docs_with_payload(sf_dir), "payload")
+    v = validate_dataset(
+        _docs_with_payload(sf_dir), text_schema, id_col="doc_id", concurrency=(1, 8)
+    )
+    roundtrip_ok = v.filter(expr="valid == False").count() == 0
+    rows = []
+    for prop in sorted(prof.props):
+        pp = prof.props[prop]
+        for jt in infer.JTYPES:
+            n = pp.type_counts.get(jt, 0)
+            if not n:
+                continue
+            rows.append(
+                {
+                    "prop": prop,
+                    "jtype": jt,
+                    "n_type": np.int64(n),
+                    "n_present": np.int64(pp.present),
+                    "n_docs": np.int64(prof.n_docs),
+                    "optional": bool(pp.present < prof.n_object_roots),
+                    "enum_size": np.int64(
+                        len(pp.enum_values) if pp.enum_values is not None else 0
+                    ),
+                    "roundtrip_valid": bool(roundtrip_ok),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 EVENTS_PROPS_SCHEMA = """$schema $start
     $type
         $object

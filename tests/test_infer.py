@@ -1,0 +1,182 @@
+"""Schema inference (engine/infer.py): profile exactness, batching
+invariance, enum bounds, grammar-safe rendering, and the roundtrip
+guarantee (every profiled doc validates against the induced schema)."""
+
+import json
+
+import pytest
+
+from medea_ray import compile_schema, validate
+from medea_ray.engine import infer
+
+
+def _ds(docs, batch_size=None):
+    import ray.data as rd
+
+    items = [{"payload": None if d is None else json.dumps(d)} for d in docs]
+    ds = rd.from_items(items)
+    return ds
+
+
+def _profile(docs, **kw):
+    return infer.profile_json(_ds(docs), "payload", **kw)
+
+
+def _all_valid(docs, schema_text):
+    scm = compile_schema(schema_text)
+    for d in docs:
+        v = validate(scm, json.dumps(d).encode())
+        assert v is not None
+    return True
+
+
+CORPUS = (
+    [{"a": 1, "b": "x", "c": [1, 2]} for _ in range(5)]
+    + [{"a": None, "b": "y"} for _ in range(3)]
+    + [{"a": 2.5, "b": "x", "d": {"k": 1}} for _ in range(2)]
+)
+
+
+def test_profile_counts_hand_checked(ray_session):
+    p = _profile(CORPUS)
+    assert p.n_docs == 10
+    assert p.n_invalid == 0
+    assert p.root_type_counts == {"object": 10}
+    a = p.props["a"]
+    assert a.type_counts == {"number": 7, "null": 3}
+    assert a.present == 10
+    b = p.props["b"]
+    assert b.type_counts == {"string": 10}
+    assert b.enum_values == ["x", "y"]
+    assert p.props["c"].type_counts == {"array": 5}
+    assert p.props["d"].type_counts == {"object": 2}
+    assert p.props["d"].present == 2  # optional (absent in 8 docs)
+
+
+def test_profile_batching_invariant(ray_session):
+    # one prop with per-doc-unique values (over-cap only globally when
+    # batches are tiny), one enum prop — identical profile either way
+    docs = [{"u": f"v{i}", "lang": ["en", "de"][i % 2]} for i in range(60)]
+    p1 = infer.profile_json(_ds(docs), "payload", batch_size=1)
+    p2 = infer.profile_json(_ds(docs), "payload", batch_size=4096)
+    for p in (p1, p2):
+        assert p.props["u"].enum_values is None  # 60 distinct > cap 16
+        assert p.props["lang"].enum_values == ["de", "en"]
+        assert p.props["u"].type_counts == {"string": 60}
+    assert p1.props.keys() == p2.props.keys()
+
+
+def test_enum_cap_and_value_length(ray_session):
+    docs = [{"many": f"m{i}", "long": "x" * 300, "ok": "good"} for i in range(17)]
+    p = _profile(docs)
+    assert p.props["many"].enum_values is None   # 17 distinct > 16
+    assert p.props["long"].enum_values is None   # value > 128 bytes
+    assert p.props["ok"].enum_values == ["good"]
+
+
+def test_induced_schema_roundtrip_and_rejection(ray_session):
+    text, prof = infer.infer_schema(_ds(CORPUS), "payload")
+    assert _all_valid(CORPUS, text)
+    scm = compile_schema(text)
+    # unknown property -> additional_prop_banned
+    from medea_ray.validate.kernel import MedeaValidationError
+
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"a": 1, "b": "x", "zzz": true}')
+    # enum miss -> invalid
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"a": 1, "b": "not-in-enum"}')
+    # missing required prop -> invalid (b is present in all 10 docs)
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"a": 1}')
+    # optional prop absent -> valid
+    validate(scm, b'{"a": null, "b": "y"}')
+
+
+def test_optional_vs_null_distinct(ray_session):
+    docs = [{"p": None}, {"p": None}, {}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    pp = prof.props["p"]
+    assert pp.type_counts == {"null": 2}
+    assert pp.present == 2 < prof.n_object_roots
+    scm = compile_schema(text)
+    validate(scm, b'{"p": null}')
+    validate(scm, b"{}")
+    from medea_ray.validate.kernel import MedeaValidationError
+
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"p": 1}')  # null-only union
+
+
+def test_non_object_roots(ray_session):
+    docs = [{"k": 1}, {"k": 2}, "bare string", 42]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert prof.root_type_counts == {"object": 2, "string": 1, "number": 1}
+    # k present in BOTH object docs -> required (relative to object roots)
+    assert prof.props["k"].present == prof.n_object_roots
+    scm = compile_schema(text)
+    validate(scm, b'"another string"')
+    validate(scm, b"7")
+    validate(scm, b'{"k": 3}')
+    from medea_ray.validate.kernel import MedeaValidationError
+
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b"true")  # boolean root never observed
+
+
+def test_weird_property_names_and_values(ray_session):
+    docs = [
+        {
+            "has space": "a\"b",
+            "x" * 40: "tab\tnl\nquote\"end",
+            "प्रकार": "πξ",
+            "$reserved": "v",
+        }
+    ] * 2
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert _all_valid(docs, text)
+    scm = compile_schema(text)
+    from medea_ray.validate.kernel import MedeaValidationError
+
+    with pytest.raises(MedeaValidationError):
+        validate(scm, json.dumps({**docs[0], "has space": "not-enum"}).encode())
+
+
+def test_invalid_json_raise_and_skip(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"payload": '{"a": 1}'}, {"payload": "{oops"}])
+    with pytest.raises(Exception, match="unparseable JSON"):
+        infer.profile_json(ds, "payload")
+    p = infer.profile_json(
+        rd.from_items([{"payload": '{"a": 1}'}, {"payload": "{oops"}, {"payload": None}]),
+        "payload",
+        on_invalid="skip",
+    )
+    assert p.n_docs == 1 and p.n_invalid == 2
+
+
+def test_empty_profile_raises(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"payload": "nope"}])
+    p = infer.profile_json(ds, "payload", on_invalid="skip")
+    with pytest.raises(ValueError, match="empty profile"):
+        infer.induce_schema(p)
+
+
+def test_multi_type_union_schema(ray_session):
+    docs = [{"v": 1}, {"v": "s"}, {"v": [1]}, {"v": {"x": 1}}, {"v": True}, {"v": None}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert sorted(prof.props["v"].type_counts) == sorted(
+        ["number", "string", "array", "object", "boolean", "null"]
+    )
+    assert _all_valid(docs, text)
+
+
+def test_identifier_collision_resolved(ray_session):
+    # both sanitize to p_a_b -> hash suffixes must disambiguate; force
+    # aux schemas via multi-type values
+    docs = [{"a b": 1, "a_b": "x"}, {"a b": "y", "a_b": 2}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert _all_valid(docs, text)

@@ -268,6 +268,33 @@ def test_token_counts_vs_duckdb(docs_ds):
     assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
 
 
+def test_word_stats_vs_duckdb(ray_session):
+    """doc_word_stats callable (retired from the 50-slot registry round 4
+    for schema_infer_profile) stays pinned against the same DuckDB replay
+    its oracle used."""
+    from medea_ray.engine import queries as q
+
+    got = (
+        q.doc_word_stats(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT doc_id, "
+        " CASE WHEN text IS NULL THEN 0 "
+        "  ELSE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) END AS n_words, "
+        " CASE WHEN text IS NULL THEN 0 "
+        "  ELSE len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) END "
+        "  AS n_distinct_words "
+        f"FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    assert (got["n_words"].to_numpy() == exp["n_words"].to_numpy()).all()
+    assert (
+        got["n_distinct_words"].to_numpy() == exp["n_distinct_words"].to_numpy()
+    ).all()
+
+
 def test_redact_pii_rules_and_flags(ray_session):
     """redact_pii: sequential RE2 redaction, flags on the ORIGINAL text,
     nulls pass through, out_col copies instead of replacing, and the
