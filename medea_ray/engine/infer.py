@@ -27,16 +27,23 @@ Given a Dataset with a JSON string column, two stages:
    (``$optional-property`` when present-count < object-root count),
    builtin primitive targets (``$string``/``$number``/...) for
    single-type properties, and a named auxiliary schema per property
-   that needs a type union ($type permutation, Analysis.hs typesAs)
-   or a ``$string-values`` enum. Additional properties stay banned
-   (the default), which is sound because every observed property is
-   enumerated.
+   that needs a type union ($type permutation, Analysis.hs typesAs),
+   a ``$string-values`` enum, observed array-length bounds
+   (``$min-length``/``$max-length`` — a 0 bound is omitted because
+   the natural-number literal cannot express it, which errs loose),
+   or a single observed ``$element-type``. Additional properties stay
+   banned (the default), which is sound because every observed
+   property is enumerated. This is the full constraint surface the
+   Medea language offers (types, enums, optionality,
+   additional-props, array bounds, element types, object props).
 
 **Roundtrip guarantee**: every document that contributed to the
 profile validates against the induced schema — enums contain every
 observed value (or degrade to bare ``$string``), unions contain every
-observed type, nested arrays/objects are typed loose (top-level-only
-profiling, documented), and optionality mirrors observed absence.
+observed type, array bounds span every observed length, element types
+are emitted only when a single one was ever observed, nested objects
+are typed loose (top-level-only profiling, documented), and
+optionality mirrors observed absence.
 ``infer_schema`` compiles the induced text through the real
 parse+compile path (schema/parser.py, schema/compile.py) before
 returning it, so the output is a *compiled-valid* Medea graph, not
@@ -59,13 +66,18 @@ import json as _json
 JTYPES = ("null", "boolean", "number", "string", "array", "object")
 _PRIM = {t: "$" + t for t in JTYPES}
 
-# Exchange row kinds (the groupby key space).
-_K_TYPE = "type"        # (prop, jtype) -> count
-_K_ROOT = "root"        # ("", jtype)   -> count
-_K_TOTAL = "total"      # ("", "")      -> docs profiled
+# Exchange row kinds (the groupby key space). Every kind rides the SAME
+# single exchange; the aggregate computes sum/min/max of n per key and
+# each kind reads the one that means something for it (type/root/elem
+# counts read the sum, array-length bounds read min/max).
+_K_TYPE = "type"        # (prop, jtype) -> count (sum)
+_K_ROOT = "root"        # ("", jtype)   -> count (sum)
+_K_TOTAL = "total"      # ("", "")      -> docs profiled (sum)
 _K_INVALID = "invalid"  # ("", "")      -> unparseable docs (on_invalid="skip")
 _K_ENUM = "enum"        # (prop, value) -> seen (count meaningless)
 _K_OVER = "enumover"    # (prop, "")    -> batch exceeded cap/len
+_K_ELEM = "elem"        # (prop, jtype) -> array-element occurrences (sum)
+_K_ALEN = "alen"        # (prop, "")    -> batch array-length extreme (min/max)
 
 
 def _jtype(v) -> str:
@@ -95,6 +107,11 @@ class PropProfile:
     # sorted observed string values if the property qualifies as an
     # enum under (enum_cap, enum_max_len); None otherwise
     enum_values: list[str] | None = None
+    # observed array-length bounds + element-type occurrence counts
+    # (populated only when the property was ever an array)
+    array_min: int | None = None
+    array_max: int | None = None
+    elem_type_counts: dict[str, int] = field(default_factory=dict)
 
     @property
     def present(self) -> int:
@@ -122,6 +139,8 @@ def _profile_partial(col: str, enum_cap: int, enum_max_len: int, on_invalid: str
         root_counts: dict[str, int] = {}
         enum_vals: dict[str, set] = {}
         enum_over: set = set()
+        alen: dict[str, tuple[int, int]] = {}
+        elem_counts: dict[tuple[str, str], int] = {}
         n_docs = 0
         n_invalid = 0
         for p in payloads:
@@ -150,6 +169,16 @@ def _profile_partial(col: str, enum_cap: int, enum_max_len: int, on_invalid: str
                 jt = _jtype(v)
                 key = (k, jt)
                 type_counts[key] = type_counts.get(key, 0) + 1
+                if jt == "array":
+                    lo, hi = alen.get(k, (None, None))
+                    n_el = len(v)
+                    alen[k] = (
+                        n_el if lo is None or n_el < lo else lo,
+                        n_el if hi is None or n_el > hi else hi,
+                    )
+                    for el in v:
+                        ek = (k, _jtype(el))
+                        elem_counts[ek] = elem_counts.get(ek, 0) + 1
                 if jt == "string" and k not in enum_over:
                     if len(v.encode("utf-8", "surrogatepass")) > enum_max_len:
                         enum_over.add(k)
@@ -181,6 +210,11 @@ def _profile_partial(col: str, enum_cap: int, enum_max_len: int, on_invalid: str
                 emit(_K_ENUM, k, v, 1)
         for k in enum_over:
             emit(_K_OVER, k, "", 1)
+        for (k, jt), n in elem_counts.items():
+            emit(_K_ELEM, k, jt, n)
+        for k, (lo, hi) in alen.items():
+            emit(_K_ALEN, k, "min", lo)
+            emit(_K_ALEN, k, "max", hi)
         return pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -211,7 +245,7 @@ def profile_json(
     (kind, prop, detail) keys outside the enum space and ``enum_cap``
     values per surviving enum property.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     if on_invalid not in ("raise", "skip"):
         raise ValueError(f"on_invalid must be 'raise' or 'skip', got {on_invalid!r}")
@@ -223,7 +257,11 @@ def profile_json(
             batch_size=batch_size,
         )
         .groupby(["kind", "prop", "detail"])
-        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("n", alias_name="n_min"),
+            Max("n", alias_name="n_max"),
+        )
         .materialize()
     )
 
@@ -242,6 +280,7 @@ def profile_json(
     root_counts: dict[str, int] = {}
     props: dict[str, PropProfile] = {}
     over: set = set()
+    alen_rows = []
     for r in meta_rows:
         kind, prop, detail, n = r["kind"], r["prop"], r["detail"], int(r["n"])
         if kind == _K_TOTAL:
@@ -255,6 +294,17 @@ def profile_json(
         elif kind == _K_TYPE:
             pp = props.setdefault(prop, PropProfile(prop))
             pp.type_counts[detail] = n
+        elif kind == _K_ELEM:
+            pp = props.setdefault(prop, PropProfile(prop))
+            pp.elem_type_counts[detail] = n
+        elif kind == _K_ALEN:
+            alen_rows.append((prop, detail, int(r["n_min"]), int(r["n_max"])))
+    for prop, detail, n_min, n_max in alen_rows:
+        pp = props.setdefault(prop, PropProfile(prop))
+        if detail == "min":
+            pp.array_min = n_min  # min over per-batch minima
+        else:
+            pp.array_max = n_max  # max over per-batch maxima
 
     # enum guard: per-prop distinct counts on the reduced table (tiny
     # second groupby), values collected only for surviving props
@@ -354,11 +404,36 @@ def induce_schema(profile: JsonProfile, *, start_name: str = "$start") -> str:
     for prop in sorted(profile.props):
         pp = profile.props[prop]
         types = [t for t in JTYPES if pp.type_counts.get(t, 0) > 0]
-        needs_aux = len(types) > 1 or pp.enum_values is not None
+        # array constraints worth writing: observed length bounds (the
+        # grammar's natural-number literal cannot express 0, so a 0
+        # bound is simply omitted — absent == unbounded, which is the
+        # loose direction) and a single observed element type
+        is_array = "array" in types
+        a_min = pp.array_min if (is_array and (pp.array_min or 0) >= 1) else None
+        a_max = pp.array_max if (is_array and (pp.array_max or 0) >= 1) else None
+        elem = (
+            next(iter(pp.elem_type_counts))
+            if is_array and len(pp.elem_type_counts) == 1
+            else None
+        )
+        needs_aux = (
+            len(types) > 1
+            or pp.enum_values is not None
+            or a_min is not None
+            or a_max is not None
+            or elem is not None
+        )
         if needs_aux:
             ident = _ident_for(prop, taken)
             lines = [f"$schema {ident}", "    $type"]
             lines += [f"        {_PRIM[t]}" for t in types]
+            if a_min is not None:
+                lines.append(f"    $min-length {a_min}")
+            if a_max is not None:
+                lines.append(f"    $max-length {a_max}")
+            if elem is not None:
+                lines.append("    $element-type")
+                lines.append(f"        {_PRIM[elem]}")
             if pp.enum_values is not None:
                 lines.append("    $string-values")
                 lines += [f"        {_quote(v)}" for v in pp.enum_values]

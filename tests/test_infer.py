@@ -174,6 +174,62 @@ def test_multi_type_union_schema(ray_session):
     assert _all_valid(docs, text)
 
 
+def test_array_bounds_and_element_type(ray_session):
+    docs = [{"t": ["a"]}, {"t": ["a", "b", "c"]}, {"t": ["x", "y"]}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    pp = prof.props["t"]
+    assert (pp.array_min, pp.array_max) == (1, 3)
+    assert pp.elem_type_counts == {"string": 6}
+    assert "$min-length 1" in text and "$max-length 3" in text
+    assert "$element-type" in text
+    assert _all_valid(docs, text)
+    scm = compile_schema(text)
+    from medea_ray.validate.kernel import MedeaValidationError
+
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"t": []}')  # below observed min
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"t": ["a","b","c","d"]}')  # above observed max
+    with pytest.raises(MedeaValidationError):
+        validate(scm, b'{"t": [1]}')  # element type never observed
+
+
+def test_array_bounds_batching_invariant(ray_session):
+    docs = [{"t": list(range(i % 5))} for i in range(40)]  # lengths 0..4
+    p1 = infer.profile_json(_ds(docs), "payload", batch_size=1)
+    p2 = infer.profile_json(_ds(docs), "payload", batch_size=4096)
+    for p in (p1, p2):
+        assert (p.props["t"].array_min, p.props["t"].array_max) == (0, 4)
+        # 8 cycles of lengths 0+1+2+3+4 = 80 element occurrences
+        assert p.props["t"].elem_type_counts == {"number": 80}
+
+
+def test_empty_arrays_stay_loose(ray_session):
+    # all arrays empty: 0 bounds are unwritable naturals -> omitted,
+    # no element type -> bare $array accepts anything
+    docs = [{"t": []}, {"t": []}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert "$min-length" not in text and "$max-length" not in text
+    assert "$element-type" not in text
+    scm = compile_schema(text)
+    validate(scm, b'{"t": [1, "mixed", null]}')
+
+
+def test_mixed_element_types_no_element_constraint(ray_session):
+    docs = [{"t": ["a", 1]}, {"t": [True]}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert "$element-type" not in text
+    assert _all_valid(docs, text)
+
+
+def test_min_zero_max_written(ray_session):
+    docs = [{"t": []}, {"t": ["a", "b"]}]
+    text, prof = infer.infer_schema(_ds(docs), "payload")
+    assert "$min-length" not in text  # 0 unwritable -> loose
+    assert "$max-length 2" in text
+    assert _all_valid(docs, text)
+
+
 def test_identifier_collision_resolved(ray_session):
     # both sanitize to p_a_b -> hash suffixes must disambiguate; force
     # aux schemas via multi-type values
