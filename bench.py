@@ -663,6 +663,23 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["schema_infer_600k"], _ = _timed(infer_bench)
 
+        # round 4: key/FD discovery over 600k pages — url/lang/(url,lang)
+        # distinct counts in ONE digest exchange + the HLL prescreen path
+        # (engine/constraints.py); url is NOT a key here (planted dups)
+        from medea_ray.engine import constraints as _constraints
+
+        def keys_bench():
+            corpus = rd.read_parquet(pages_dir, columns=["url", "lang"])
+            res = _constraints.suggest_keys(
+                corpus, [["url"], ["lang"], ["url", "lang"]], prescreen=True
+            )
+            assert res[("lang",)]["screened"], res
+            assert not res[("lang",)]["is_key"]
+            assert not res[("url",)]["is_key"]  # ~1% planted dup urls
+            return res[("url",)]["distinct"]
+
+        results["key_discovery_600k"], _ = _timed(keys_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),
