@@ -680,6 +680,39 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["key_discovery_600k"], _ = _timed(keys_bench)
 
+        # round 4: declarative check suite over 600k pages — ONE suite
+        # composing the sketch pass, the unique digest exchange, the
+        # accepted-values scan and the Medea schema actor pool
+        # (engine/checks.py), the engine's user-facing validation run
+        from medea_ray.engine import checks as _ck
+
+        def suite_bench():
+            corpus = rd.read_parquet(
+                pages_dir, columns=["url", "lang", "payload"]
+            )
+            out = _ck.run_checks(
+                corpus,
+                [
+                    _ck.row_count(min_rows=1),
+                    _ck.not_null("url"),
+                    _ck.not_null("lang", max_null_frac=0.1),
+                    _ck.unique("url"),  # fails: ~1% planted dup urls
+                    _ck.accepted_values(
+                        "lang", ["en", "de", "fr", "es", "hi", "zh"]
+                    ),
+                    _ck.matches_schema(
+                        "payload", flagship_schema_text(), "url",
+                        max_invalid_frac=0.06,
+                    ),
+                ],
+            )
+            assert len(out) == 6
+            assert not out[out["check"] == "unique(url)"]["passed"].iloc[0]
+            assert out[out["check"] == "matches_schema(payload)"]["passed"].iloc[0]
+            return int(out["passed"].sum())
+
+        results["check_suite_600k"], _ = _timed(suite_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

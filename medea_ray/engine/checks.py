@@ -1,0 +1,239 @@
+"""Declarative constraint-check suite — the engine's user-facing
+"validation run" API (the north-star's "schema + constraint validation
+engine (column stats, uniqueness, referential, distribution-drift
+checks)" as ONE composable surface).
+
+A suite is a list of small check declarations; ``run_checks`` plans
+them into the minimum number of passes over the Dataset and returns
+one verdict row per check: ``(check, target, metric, value, threshold,
+passed)``. Pass planning:
+
+- every stats-backed check (``not_null``, ``in_range``, ``row_count``)
+  shares ONE ``stats.sketch_summary`` streaming pass (shuffle-free,
+  tree-combined sketch states);
+- every ``unique`` check shares ONE ``constraints.distinct_counts``
+  digest exchange (all column sets ride the same (set_id, 16B) shuffle);
+- every ``accepted_values`` check shares ONE map_batches violation-count
+  pass (the small accepted sets broadcast once via ``ray.put``);
+- ``referential`` delegates to ``referential.referential_check``
+  (broadcast anti-join with the bucketed fallback), one per check;
+- ``max_psi`` delegates to ``drift.drift_report`` (partial histograms →
+  one groupby), one per (value_col, ts_col);
+- ``matches_schema`` delegates to ``pipeline.validate_dataset`` (the
+  Medea actor-pool kernel), one per schema.
+
+Verdicts are deterministic and integer/float-exact (null fractions and
+PSI are ratios of exact integer counts), so suites are reproducible
+across cluster sizes and batch layouts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    target: str
+    params: tuple = ()
+    extra: Any = field(default=None, compare=False, hash=False)
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.target})"
+
+
+def not_null(col: str, max_null_frac: float = 0.0) -> Check:
+    return Check("not_null", col, (float(max_null_frac),))
+
+
+def in_range(col: str, min=None, max=None) -> Check:
+    if min is None and max is None:
+        raise ValueError("in_range: at least one bound required")
+    return Check("in_range", col, (min, max))
+
+
+def unique(*cols: str) -> Check:
+    if not cols:
+        raise ValueError("unique: at least one column required")
+    return Check("unique", ",".join(cols), tuple(cols))
+
+
+def accepted_values(col: str, values) -> Check:
+    vals = sorted(set(values))
+    if not vals:
+        raise ValueError("accepted_values: empty accepted set")
+    return Check("accepted_values", col, tuple(vals))
+
+
+def row_count(min_rows: int | None = None, max_rows: int | None = None) -> Check:
+    if min_rows is None and max_rows is None:
+        raise ValueError("row_count: at least one bound required")
+    return Check("row_count", "*", (min_rows, max_rows))
+
+
+def referential(fk_col: str, referenced_ds, pk_col: str, max_orphans: int = 0) -> Check:
+    return Check(
+        "referential", fk_col, (pk_col, int(max_orphans)), extra=referenced_ds
+    )
+
+
+def max_psi(value_col: str, ts_col: str, threshold: float,
+            numeric_bins=None) -> Check:
+    return Check(
+        "max_psi", value_col, (ts_col, float(threshold)), extra=numeric_bins
+    )
+
+
+def matches_schema(
+    payload_col: str, schema_text: str, id_col: str, max_invalid_frac: float = 0.0
+) -> Check:
+    return Check(
+        "matches_schema", payload_col, (id_col, float(max_invalid_frac)),
+        extra=schema_text,
+    )
+
+
+def _verdict(check: Check, metric: str, value, threshold, passed: bool) -> dict:
+    return {
+        "check": check.name,
+        "target": check.target,
+        "metric": metric,
+        "value": value,
+        "threshold": threshold,
+        "passed": bool(passed),
+    }
+
+
+def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
+    """Execute a suite with family-level pass sharing (module docstring).
+    Returns one row per check, in the suite's order."""
+    from medea_ray.engine import constraints, drift, referential as ref_mod, stats
+    from medea_ray.engine.pipeline import validate_dataset
+
+    by_kind: dict[str, list[int]] = {}
+    for i, c in enumerate(checks):
+        by_kind.setdefault(c.kind, []).append(i)
+    results: dict[int, dict] = {}
+
+    needs_rows = set(by_kind) & {"not_null", "unique", "row_count", "matches_schema"}
+    n_rows = ds.count() if needs_rows else None
+
+    # -- stats family: one sketch pass over the union of columns
+    stats_cols = sorted(
+        {checks[i].target for k in ("not_null", "in_range") for i in by_kind.get(k, ())}
+    )
+    if stats_cols:
+        summary = stats.sketch_summary(ds, stats_cols=stats_cols)
+        for i in by_kind.get("not_null", ()):
+            c = checks[i]
+            s = summary[c.target]
+            frac = (s["n_null"] / n_rows) if n_rows else 0.0
+            results[i] = _verdict(
+                c, "null_frac", frac, c.params[0], frac <= c.params[0]
+            )
+        for i in by_kind.get("in_range", ()):
+            c = checks[i]
+            s = summary[c.target]
+            lo, hi = c.params
+            ok = True
+            if s["n"] - s["n_null"] > 0:
+                if lo is not None and s["min"] is not None and s["min"] < lo:
+                    ok = False
+                if hi is not None and s["max"] is not None and s["max"] > hi:
+                    ok = False
+            results[i] = _verdict(
+                c,
+                "observed_range",
+                f"[{s['min']}, {s['max']}]",
+                f"[{lo}, {hi}]",
+                ok,
+            )
+    for i in by_kind.get("row_count", ()):
+        c = checks[i]
+        n = ds.count() if n_rows is None else n_rows
+        lo, hi = c.params
+        ok = (lo is None or n >= lo) and (hi is None or n <= hi)
+        results[i] = _verdict(c, "row_count", n, f"[{lo}, {hi}]", ok)
+
+    # -- unique family: one digest exchange for every column set
+    uniq_idx = by_kind.get("unique", ())
+    if uniq_idx:
+        sets = [list(checks[i].params) for i in uniq_idx]
+        counts = constraints.distinct_counts(ds, sets, batch_size=batch_size)
+        for i, n_distinct in zip(uniq_idx, counts):
+            c = checks[i]
+            dups = n_rows - n_distinct
+            results[i] = _verdict(c, "duplicate_tuples", dups, 0, dups == 0)
+
+    # -- accepted_values family: one violation-count pass, sets broadcast
+    av_idx = by_kind.get("accepted_values", ())
+    if av_idx:
+        import ray
+        from ray.data.aggregate import Sum
+
+        spec_ref = ray.put([(checks[i].target, list(checks[i].params)) for i in av_idx])
+
+        def violations(t: pa.Table) -> pa.Table:
+            spec = ray.get(spec_ref)
+            ns = []
+            for col, vals in spec:
+                arr = t.column(col)
+                bad = pc.and_(
+                    pc.invert(pc.is_in(arr, value_set=pa.array(vals))),
+                    pc.is_valid(arr),  # nulls are not_null's job
+                )
+                ns.append(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)
+            return pa.table(
+                {
+                    "ci": pa.array(range(len(spec)), pa.int64()),
+                    "bad": pa.array(ns, pa.int64()),
+                }
+            )
+
+        per_check = (
+            ds.map_batches(violations, batch_format="pyarrow", batch_size=batch_size)
+            .groupby("ci")
+            .aggregate(Sum("bad", alias_name="n_bad"))
+            .take_all()
+        )
+        bad_by_ci = {int(r["ci"]): int(r["n_bad"]) for r in per_check}
+        for pos, i in enumerate(av_idx):
+            c = checks[i]
+            n_bad = bad_by_ci.get(pos, 0)
+            results[i] = _verdict(c, "unexpected_values", n_bad, 0, n_bad == 0)
+
+    # -- referential / drift / schema: delegate per check
+    for i in by_kind.get("referential", ()):
+        c = checks[i]
+        pk_col, max_orphans = c.params
+        n_orph = ref_mod.referential_check(ds, c.target, c.extra, pk_col)["n_orphans"]
+        results[i] = _verdict(c, "orphan_rows", n_orph, max_orphans, n_orph <= max_orphans)
+
+    for i in by_kind.get("max_psi", ()):
+        c = checks[i]
+        ts_col, threshold = c.params
+        rep = drift.drift_report(ds, c.target, ts_col=ts_col, numeric_bins=c.extra)
+        worst = max((r["psi"] for r in rep), default=0.0)
+        results[i] = _verdict(c, "max_psi", worst, threshold, worst <= threshold)
+
+    for i in by_kind.get("matches_schema", ()):
+        c = checks[i]
+        id_col, max_frac = c.params
+        verdicts = validate_dataset(
+            ds, c.extra, payload_col=c.target, id_col=id_col, batch_size=batch_size
+        )
+        n_invalid = verdicts.filter(expr="valid == False").count()
+        frac = (n_invalid / n_rows) if n_rows else 0.0
+        results[i] = _verdict(c, "invalid_frac", frac, max_frac, frac <= max_frac)
+
+    unknown = [checks[i].kind for i in range(len(checks)) if i not in results]
+    if unknown:
+        raise ValueError(f"run_checks: unknown check kind(s) {sorted(set(unknown))}")
+    return pd.DataFrame([results[i] for i in range(len(checks))])

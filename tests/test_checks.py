@@ -1,0 +1,171 @@
+"""Declarative check suite (engine/checks.py): verdict exactness vs
+DuckDB-computed metrics, family pass sharing, suite ordering, and the
+failure directions of every check kind."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from medea_ray.engine import checks as ck
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read(table, cols):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/{table}.parquet", columns=cols)
+
+
+def test_stats_family_verdicts(ray_session):
+    ds = _read("documents", ["doc_id", "n_chars", "lang"])
+    (lo, hi, n) = duckdb.sql(
+        f"SELECT min(n_chars), max(n_chars), count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    out = ck.run_checks(
+        ds,
+        [
+            ck.not_null("doc_id"),
+            ck.in_range("n_chars", min=lo, max=hi),         # exact bounds -> pass
+            ck.in_range("n_chars", max=hi - 1),             # just too tight -> fail
+            ck.row_count(min_rows=n, max_rows=n),
+            ck.row_count(max_rows=n - 1),                   # fail
+        ],
+    )
+    assert list(out["passed"]) == [True, True, False, True, False]
+    # suite order preserved
+    assert list(out["check"])[0] == "not_null(doc_id)"
+
+
+def test_not_null_fraction_exact(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"v": 1}] * 3 + [{"v": None}] * 2 + [{"v": 7}] * 5
+    )
+    out = ck.run_checks(
+        ds,
+        [
+            ck.not_null("v"),                      # 0.2 null frac -> fail
+            ck.not_null("v", max_null_frac=0.2),   # boundary -> pass
+            ck.not_null("v", max_null_frac=0.19),  # just under -> fail
+            ck.in_range("v", min=1, max=7),        # nulls ignored -> pass
+        ],
+    )
+    assert list(out["passed"]) == [False, True, False, True]
+    assert out.iloc[0]["value"] == pytest.approx(0.2)
+
+
+def test_unique_family_vs_duckdb(ray_session):
+    ds = _read("orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    (n,) = duckdb.sql(f"SELECT count(*) FROM '{SF}/orders.parquet'").fetchone()
+    (d_cust,) = duckdb.sql(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()
+    out = ck.run_checks(
+        ds,
+        [
+            ck.unique("o_orderkey"),
+            ck.unique("o_custkey"),
+            ck.unique("o_custkey", "o_orderstatus"),
+        ],
+    )
+    assert out.iloc[0]["passed"] and out.iloc[0]["value"] == 0
+    assert not out.iloc[1]["passed"]
+    assert out.iloc[1]["value"] == n - d_cust  # exact duplicate count
+
+
+def test_accepted_values_vs_duckdb(ray_session):
+    ds = _read("documents", ["lang"])
+    langs = [r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT lang FROM '{SF}/documents.parquet' WHERE lang IS NOT NULL"
+    ).fetchall()]
+    (n_not_en_de,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet' "
+        f"WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de')"
+    ).fetchone()
+    out = ck.run_checks(
+        ds,
+        [
+            ck.accepted_values("lang", langs),          # pass
+            ck.accepted_values("lang", ["en", "de"]),   # fail, exact count
+        ],
+    )
+    assert out.iloc[0]["passed"] and out.iloc[0]["value"] == 0
+    assert not out.iloc[1]["passed"]
+    assert out.iloc[1]["value"] == n_not_en_de
+
+
+def test_referential_check(ray_session):
+    orders = _read("orders", ["o_orderkey", "o_custkey"])
+    customers = _read("customer", ["c_custkey"])
+    out = ck.run_checks(
+        orders,
+        [ck.referential("o_custkey", customers, "c_custkey")],
+    )
+    assert out.iloc[0]["passed"] and out.iloc[0]["value"] == 0
+
+
+def test_max_psi_directions(ray_session):
+    from medea_ray.engine.queries import DRIFT_BINS
+
+    ds = _read("events", ["ts", "value"])
+    out = ck.run_checks(
+        ds,
+        [
+            ck.max_psi("value", "ts", threshold=10.0, numeric_bins=DRIFT_BINS),
+            ck.max_psi("value", "ts", threshold=-1.0, numeric_bins=DRIFT_BINS),
+        ],
+    )
+    assert out.iloc[0]["passed"] is True or bool(out.iloc[0]["passed"])
+    assert not out.iloc[1]["passed"]
+    assert out.iloc[0]["value"] == out.iloc[1]["value"] >= 0.0
+
+
+def test_matches_schema_fraction(ray_session):
+    from medea_ray.engine.queries import _docs_with_payload
+    from medea_ray.fixtures.gen import flagship_schema_text
+
+    ds = _docs_with_payload(SF)
+    out = ck.run_checks(
+        ds,
+        [
+            ck.matches_schema("payload", flagship_schema_text(), "doc_id",
+                              max_invalid_frac=0.06),
+            ck.matches_schema("payload", flagship_schema_text(), "doc_id"),
+        ],
+    )
+    # 5% seeded defects: 25 of 500
+    assert out.iloc[0]["value"] == pytest.approx(0.05)
+    assert out.iloc[0]["passed"] and not out.iloc[1]["passed"]
+
+
+def test_constructor_validation(ray_session):
+    with pytest.raises(ValueError):
+        ck.in_range("x")
+    with pytest.raises(ValueError):
+        ck.unique()
+    with pytest.raises(ValueError):
+        ck.accepted_values("x", [])
+    with pytest.raises(ValueError):
+        ck.row_count()
+
+
+def test_unknown_kind_raises(ray_session):
+    ds = _read("documents", ["lang"])
+    with pytest.raises(ValueError, match="unknown check kind"):
+        ck.run_checks(ds, [ck.Check("bogus", "lang")])
+
+
+def test_mixed_suite_order_and_shapes(ray_session):
+    ds = _read("documents", ["doc_id", "lang", "n_chars"])
+    suite = [
+        ck.unique("doc_id"),
+        ck.not_null("lang"),
+        ck.row_count(min_rows=1),
+        ck.accepted_values("lang", ["en", "de", "fr", "es", "hi", "zh"]),
+    ]
+    out = ck.run_checks(ds, suite)
+    assert list(out["check"]) == [c.name for c in suite]
+    assert set(out.columns) == {"check", "target", "metric", "value",
+                                "threshold", "passed"}
