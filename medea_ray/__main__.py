@@ -227,6 +227,137 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _read_table(files, fmt, columns=None):
+    import ray.data as rd
+
+    if fmt == "jsonl":
+        ds = rd.read_json(files, file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"])
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    return rd.read_parquet(files, columns=columns)
+
+
+def _cmd_infer_schema(args) -> int:
+    """Induce a Medea schema from a JSON column (engine/infer.py) and
+    print it (or write it to --out), plus a one-line JSON profile
+    summary."""
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+
+    from medea_ray.engine import infer
+
+    ds = _read_table(files, fmt, columns=[args.col])
+    try:
+        text, prof = infer.infer_schema(
+            ds,
+            args.col,
+            enum_cap=args.enum_cap,
+            enum_max_len=args.enum_max_len,
+            on_invalid=args.on_invalid,
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    summary = {
+        "n_docs": prof.n_docs,
+        "n_invalid": prof.n_invalid,
+        "root_types": prof.root_type_counts,
+        "n_props": len(prof.props),
+        "enums": {p: len(pp.enum_values) for p, pp in prof.props.items()
+                  if pp.enum_values is not None},
+        "out": args.out,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    else:
+        summary["schema"] = text
+    print(json.dumps(summary))
+    return 0
+
+
+_CHECK_USAGE = (
+    "suite entries: {kind: not_null|in_range|unique|accepted_values|"
+    "row_count|matches_schema|max_psi|referential, ...kind-specific keys}"
+)
+
+
+def _build_check(spec: dict, fmt_resolver):
+    from medea_ray.engine import checks as ck
+
+    kind = spec.get("kind")
+    if kind == "not_null":
+        return ck.not_null(spec["col"], spec.get("max_null_frac", 0.0))
+    if kind == "in_range":
+        return ck.in_range(spec["col"], spec.get("min"), spec.get("max"))
+    if kind == "unique":
+        return ck.unique(*spec["cols"])
+    if kind == "accepted_values":
+        return ck.accepted_values(spec["col"], spec["values"])
+    if kind == "row_count":
+        return ck.row_count(spec.get("min_rows"), spec.get("max_rows"))
+    if kind == "matches_schema":
+        with open(spec["schema"]) as f:
+            text = f.read()
+        return ck.matches_schema(
+            spec["col"], text, spec["id_col"], spec.get("max_invalid_frac", 0.0)
+        )
+    if kind == "max_psi":
+        return ck.max_psi(spec["col"], spec["ts_col"], spec["threshold"])
+    if kind == "referential":
+        ref_files, ref_fmt = fmt_resolver(spec["ref_input"])
+        if ref_files is None:
+            raise ValueError(ref_fmt)
+        ref_ds = _read_table(ref_files, ref_fmt, columns=[spec["ref_col"]])
+        return ck.referential(
+            spec["col"], ref_ds, spec["ref_col"], spec.get("max_orphans", 0)
+        )
+    raise ValueError(f"unknown check kind {kind!r} — {_CHECK_USAGE}")
+
+
+def _cmd_check(args) -> int:
+    """Run a declarative check suite (engine/checks.py) from a JSON
+    spec file. Exit 0 = all checks passed, 1 = at least one failed,
+    2 = usage / spec error."""
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+    try:
+        with open(args.suite) as f:
+            specs = json.load(f)
+        if not isinstance(specs, list) or not specs:
+            raise ValueError("suite file must hold a non-empty JSON list")
+    except (OSError, ValueError) as e:
+        print(f"bad suite file: {e}", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+
+    from medea_ray.engine import checks as ck
+
+    try:
+        suite = [_build_check(s, _resolve_inputs) for s in specs]
+    except (KeyError, TypeError, ValueError) as e:
+        print(f"bad suite entry: {e}", file=sys.stderr)
+        return 2
+    ds = _read_table(files, fmt)
+    out = ck.run_checks(ds, suite)
+    print(out.to_json(orient="records"))
+    return 0 if bool(out["passed"].all()) else 1
+
+
 def _cmd_gen_pages(args) -> int:
     from medea_ray.fixtures.gen import write_pages
 
@@ -297,6 +428,24 @@ def main(argv=None) -> int:
     e.add_argument("--columns", default="", help="comma-separated columns to keep")
     e.add_argument("--max-rows-per-file", type=int, default=200_000)
     e.set_defaults(fn=_cmd_export)
+
+    inf = sub.add_parser(
+        "infer-schema", help="induce a Medea schema from a JSON column"
+    )
+    inf.add_argument("--input", required=True, help="parquet/jsonl dir or glob")
+    inf.add_argument("--col", default="payload")
+    inf.add_argument("--enum-cap", type=int, default=16)
+    inf.add_argument("--enum-max-len", type=int, default=128)
+    inf.add_argument("--on-invalid", choices=("raise", "skip"), default="raise")
+    inf.add_argument("--out", help="write the schema here instead of stdout")
+    inf.set_defaults(fn=_cmd_infer_schema)
+
+    c = sub.add_parser(
+        "check", help="run a declarative check suite from a JSON spec"
+    )
+    c.add_argument("--input", required=True, help="parquet/jsonl dir or glob")
+    c.add_argument("--suite", required=True, help="JSON list of check specs")
+    c.set_defaults(fn=_cmd_check)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
     g.add_argument("--out", required=True)

@@ -70,8 +70,13 @@ def _hexlify(col) -> pa.Array:
     )
 
 
-def tuple_digests(t: pa.Table, cols: list[str]) -> list[bytes]:
-    """16-byte BLAKE2b digest per row of the framed (cols) tuple."""
+def tuple_digests(
+    t: pa.Table, cols: list[str], unique: bool = False
+) -> list[bytes]:
+    """16-byte BLAKE2b digest per row of the framed (cols) tuple. With
+    ``unique=True`` the framed tuples dedup batch-side FIRST (one Arrow
+    ``pc.unique``), so the Python digest loop only touches distinct
+    values — for low-cardinality sets that is the whole speedup."""
     framed = [_framed_cell(t.column(c)) for c in cols]
     if len(framed) == 1:
         joined = framed[0]
@@ -80,6 +85,8 @@ def tuple_digests(t: pa.Table, cols: list[str]) -> list[bytes]:
         for f in framed:
             parts.extend((f, "\x00;"))
         joined = _as_array(pc.binary_join_element_wise(*parts[:-1], ""))
+    if unique:
+        joined = pc.unique(joined)
     return [
         hashlib.blake2b(v.encode("utf-8", "surrogatepass"), digest_size=16).digest()
         for v in joined.to_pylist()
@@ -106,7 +113,7 @@ def distinct_counts(
 
         sids, digs = [], []
         for sid, cs in enumerate(col_sets):
-            uniq = set(tuple_digests(t, cs))
+            uniq = tuple_digests(t, cs, unique=True)
             sids.extend([sid] * len(uniq))
             digs.extend(uniq)
         # 16-byte digests ride the exchange as two int64 columns (Ray's

@@ -258,3 +258,58 @@ def test_cli_run_fragment_partition_unit(tmp_path):
     )
     assert r.returncode == 2, (r.stdout, r.stderr)
     assert "partition_unit" in r.stderr and "Traceback" not in r.stderr
+
+
+def test_cli_infer_schema_and_check(tmp_path):
+    pages = tmp_path / "pages"
+    r = _run("gen-pages", "--out", str(pages), "--rows", "2000",
+             "--rows-per-file", "1000")
+    assert r.returncode == 0, r.stderr
+
+    # infer-schema: writes a compilable schema + prints a profile summary
+    schema = tmp_path / "inferred.medea"
+    r = _run("infer-schema", "--input", str(pages), "--col", "payload",
+             "--out", str(schema), env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 2000 and summary["n_invalid"] == 0
+    assert summary["enums"].get("lang", 0) >= 1
+    from medea_ray import compile_schema
+
+    compile_schema(schema.read_text())
+
+    # check: failing suite (planted dup urls) -> exit 1, verdict rows out
+    suite = tmp_path / "suite.json"
+    suite.write_text(json.dumps([
+        {"kind": "not_null", "col": "url"},
+        {"kind": "unique", "cols": ["url"]},
+        {"kind": "row_count", "min_rows": 1},
+        {"kind": "matches_schema", "col": "payload",
+         "schema": str(schema), "id_col": "url"},
+    ]))
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 1, (r.stdout, r.stderr)
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    verdicts = {x["check"]: x for x in rows}
+    assert verdicts["unique(url)"]["passed"] is False
+    assert verdicts["unique(url)"]["value"] == 20  # 1% planted dups
+    assert verdicts["matches_schema(payload)"]["passed"] is True
+
+    # all-pass suite -> exit 0
+    suite.write_text(json.dumps([{"kind": "not_null", "col": "url"}]))
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+
+    # error paths: clean exit 2, stderr message, no worker traceback
+    suite.write_text(json.dumps([{"kind": "bogus"}]))
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 2 and "bad suite entry" in r.stderr
+    assert "Traceback" not in r.stderr
+    suite.write_text("not json")
+    r = _run("check", "--input", str(pages), "--suite", str(suite))
+    assert r.returncode == 2 and "bad suite file" in r.stderr
+    r = _run("check", "--input", str(tmp_path / "missing"), "--suite", str(suite))
+    assert r.returncode == 2
