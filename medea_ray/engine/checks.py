@@ -237,3 +237,101 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
     if unknown:
         raise ValueError(f"run_checks: unknown check kind(s) {sorted(set(unknown))}")
     return pd.DataFrame([results[i] for i in range(len(checks))])
+
+
+def suggest_suite(
+    ds,
+    columns: list[str],
+    *,
+    enum_cap: int = 16,
+    key_candidates: bool = True,
+    range_slack: float = 0.0,
+    batch_size: int = 8192,
+) -> list[Check]:
+    """Deequ-style suggestion loop: derive a check suite FROM the data,
+    to be enforced on future data (run the result through ``run_checks``
+    on tomorrow's partition). Two shared passes:
+
+    - one ``sketch_summary`` pass: ``not_null`` for columns observed
+      null-free, ``in_range`` for numeric columns (observed min/max,
+      widened by ``range_slack`` fractionally on each side);
+    - one ``distinct_counts`` digest exchange over all columns:
+      ``unique`` for columns whose distinct count equals the row count
+      (if ``key_candidates``), plus ``accepted_values`` for string
+      columns with ≤ ``enum_cap`` distinct values (the values are
+      collected engine-side only for those columns, via one extra
+      tiny pass over just the qualifying columns).
+
+    Every suggested check passes on the profiled data by construction
+    (the same observed-bounds soundness argument as
+    ``infer.induce_schema``)."""
+    from medea_ray.engine import constraints, stats
+
+    columns = list(columns)
+    if not columns:
+        raise ValueError("suggest_suite: no columns given")
+    n_rows = ds.count()
+    summary = stats.sketch_summary(ds, stats_cols=columns, batch_size=batch_size)
+    counts = constraints.distinct_counts(
+        ds, [[c] for c in columns], batch_size=batch_size
+    )
+    distinct = dict(zip(columns, counts))
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+
+    def _is_numeric(c):
+        t = types[c]
+        return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+    def _is_string(c):
+        t = types[c]
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+    suite: list[Check] = [row_count(min_rows=1)]
+    enum_cols = []
+    for c in columns:
+        s = summary[c]
+        if s["n_null"] == 0 and n_rows > 0:
+            suite.append(not_null(c))
+        if _is_numeric(c) and s["min"] is not None:
+            lo, hi = s["min"], s["max"]
+            pad = (hi - lo) * range_slack
+            suite.append(in_range(c, min=lo - pad, max=hi + pad))
+        if key_candidates and distinct[c] == n_rows and n_rows > 0:
+            suite.append(unique(c))
+        # a null-free requirement is NOT implied: accepted_values
+        # ignores nulls by design (not_null owns them)
+        if _is_string(c) and 0 < distinct[c] - (1 if s["n_null"] else 0) <= enum_cap:
+            enum_cols.append(c)
+
+    if enum_cols:
+        import ray
+        from ray.data.aggregate import Max
+
+        def vals_partial(t: pa.Table) -> pa.Table:
+            cols_out, vals_out = [], []
+            for c in enum_cols:
+                for v in pc.unique(pc.drop_null(t.column(c))).to_pylist():
+                    cols_out.append(c)
+                    vals_out.append(v)
+            return pa.table(
+                {
+                    "col": pa.array(cols_out, pa.string()),
+                    "val": pa.array(vals_out, pa.large_string()),
+                    "one": pa.array([1] * len(cols_out), pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(vals_partial, batch_format="pyarrow", batch_size=batch_size)
+            .groupby(["col", "val"])
+            .aggregate(Max("one", alias_name="one"))
+            .take_all()  # bounded: ≤ enum_cap values per qualifying column
+        )
+        by_col: dict[str, list] = {c: [] for c in enum_cols}
+        for r in rows:
+            by_col[r["col"]].append(r["val"])
+        for c in enum_cols:
+            suite.append(accepted_values(c, by_col[c]))
+    return suite

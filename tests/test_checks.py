@@ -157,6 +157,59 @@ def test_unknown_kind_raises(ray_session):
         ck.run_checks(ds, [ck.Check("bogus", "lang")])
 
 
+def test_suggest_suite_passes_on_itself(ray_session):
+    ds = _read("documents", ["doc_id", "lang", "n_chars", "source"])
+    suite = ck.suggest_suite(ds, ["doc_id", "lang", "n_chars", "source"])
+    names = {c.name for c in suite}
+    assert "unique(doc_id)" in names
+    assert "in_range(doc_id)" in names
+    assert "accepted_values(lang)" in names  # low-cardinality string
+    # source has 20 distinct values > the 16 enum cap: no value check
+    assert "accepted_values(source)" not in names
+    # the suggestion guarantee: every suggested check passes on the
+    # data it was derived from
+    out = ck.run_checks(_read("documents", ["doc_id", "lang", "n_chars", "source"]), suite)
+    assert out["passed"].all(), out[~out["passed"]].to_string()
+
+
+def test_suggest_suite_catches_drifted_data(ray_session):
+    import ray.data as rd
+
+    base = [{"id": i, "lang": ["en", "de"][i % 2], "score": 10 + i % 5}
+            for i in range(50)]
+    suite = ck.suggest_suite(rd.from_items(base), ["id", "lang", "score"])
+    # tomorrow's partition: a dup id, a new lang, an out-of-range score
+    drifted = base + [{"id": 0, "lang": "zz", "score": 99}]
+    out = ck.run_checks(rd.from_items(drifted), suite)
+    failed = set(out[~out["passed"]]["check"])
+    assert "unique(id)" in failed
+    assert "accepted_values(lang)" in failed
+    assert "in_range(score)" in failed
+    # and the unaffected checks still pass
+    assert "not_null(id)" not in failed
+
+
+def test_suggest_suite_range_slack(ray_session):
+    import ray.data as rd
+
+    base = [{"v": float(i)} for i in range(11)]  # 0..10
+    suite = ck.suggest_suite(rd.from_items(base), ["v"], range_slack=0.1)
+    rng = [c for c in suite if c.kind == "in_range"][0]
+    assert rng.params == (-1.0, 11.0)  # widened by 10% of span each side
+
+
+def test_suggest_suite_skips_nullable_not_null(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"v": 1}, {"v": None}, {"v": 3}])
+    suite = ck.suggest_suite(ds, ["v"])
+    kinds = {c.name for c in suite}
+    assert "not_null(v)" not in kinds
+    assert "in_range(v)" in kinds  # bounds from non-null values
+    out = ck.run_checks(rd.from_items([{"v": 2}, {"v": None}]), suite)
+    assert out["passed"].all()
+
+
 def test_mixed_suite_order_and_shapes(ray_session):
     ds = _read("documents", ["doc_id", "lang", "n_chars"])
     suite = [
