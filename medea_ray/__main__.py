@@ -172,14 +172,9 @@ def _cmd_stats(args) -> int:
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
-    import ray.data as rd
-
     from medea_ray.engine.stats import sketch_summary
 
-    if fmt == "jsonl":
-        ds = rd.read_json(files, file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"])
-    else:
-        ds = rd.read_parquet(files)
+    ds = _read_table(files, fmt)
     out = sketch_summary(
         ds,
         stats_cols=[c for c in args.columns.split(",") if c],
@@ -204,20 +199,12 @@ def _cmd_export(args) -> int:
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
-    import ray.data as rd
-
     parts = [c for c in args.partition_by.split(",") if c]
     cols = [c for c in args.columns.split(",") if c] or None
     if cols:
         # partition columns must survive the projection to name the dirs
         cols += [p for p in parts if p not in cols]
-    if fmt == "jsonl":
-        # JSONL is a row format: prune after parse
-        ds = rd.read_json(files, file_extensions=["jsonl", "json", "jsonl.gz", "json.gz"])
-        if cols:
-            ds = ds.select_columns(cols)
-    else:
-        ds = rd.read_parquet(files, columns=cols)
+    ds = _read_table(files, fmt, columns=cols)
     ds.write_parquet(
         args.out,
         partition_cols=parts or None,
@@ -349,7 +336,9 @@ def _cmd_check(args) -> int:
 
     try:
         suite = [_build_check(s, _resolve_inputs) for s in specs]
-    except (KeyError, TypeError, ValueError) as e:
+    except (KeyError, TypeError, ValueError, AttributeError, OSError) as e:
+        # AttributeError: non-dict entry; OSError: matches_schema file —
+        # all spec problems exit 2, never the exit-1 "checks failed" code
         print(f"bad suite entry: {e}", file=sys.stderr)
         return 2
     ds = _read_table(files, fmt)

@@ -117,6 +117,16 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
     from medea_ray.engine import constraints, drift, referential as ref_mod, stats
     from medea_ray.engine.pipeline import validate_dataset
 
+    _KNOWN = {
+        "not_null", "in_range", "unique", "accepted_values", "row_count",
+        "referential", "max_psi", "matches_schema",
+    }
+    unknown = sorted({c.kind for c in checks if c.kind not in _KNOWN})
+    if unknown:
+        # reject BEFORE any pass runs — a typo'd kind must not cost a
+        # full validation/digest pass first
+        raise ValueError(f"run_checks: unknown check kind(s) {unknown}")
+
     by_kind: dict[str, list[int]] = {}
     for i, c in enumerate(checks):
         by_kind.setdefault(c.kind, []).append(i)
@@ -216,11 +226,18 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
         n_orph = ref_mod.referential_check(ds, c.target, c.extra, pk_col)["n_orphans"]
         results[i] = _verdict(c, "orphan_rows", n_orph, max_orphans, n_orph <= max_orphans)
 
+    psi_memo: dict = {}  # one drift_report per (value_col, ts_col, bins)
     for i in by_kind.get("max_psi", ()):
         c = checks[i]
         ts_col, threshold = c.params
-        rep = drift.drift_report(ds, c.target, ts_col=ts_col, numeric_bins=c.extra)
-        worst = max((r["psi"] for r in rep), default=0.0)
+        bins_key = None if c.extra is None else tuple(c.extra)
+        memo_key = (c.target, ts_col, bins_key)
+        if memo_key not in psi_memo:
+            rep = drift.drift_report(
+                ds, c.target, ts_col=ts_col, numeric_bins=c.extra
+            )
+            psi_memo[memo_key] = max((r["psi"] for r in rep), default=0.0)
+        worst = psi_memo[memo_key]
         results[i] = _verdict(c, "max_psi", worst, threshold, worst <= threshold)
 
     for i in by_kind.get("matches_schema", ()):
@@ -244,6 +261,7 @@ def suggest_suite(
     columns: list[str],
     *,
     enum_cap: int = 16,
+    enum_max_len: int = 128,
     key_candidates: bool = True,
     range_slack: float = 0.0,
     batch_size: int = 8192,
@@ -258,9 +276,11 @@ def suggest_suite(
     - one ``distinct_counts`` digest exchange over all columns:
       ``unique`` for columns whose distinct count equals the row count
       (if ``key_candidates``), plus ``accepted_values`` for string
-      columns with ≤ ``enum_cap`` distinct values (the values are
-      collected engine-side only for those columns, via one extra
-      tiny pass over just the qualifying columns).
+      columns with ≤ ``enum_cap`` distinct values, each value at most
+      ``enum_max_len`` UTF-8 bytes (over-length values disqualify the
+      column map-side so they never ride the exchange; the surviving
+      values are collected via one extra tiny pass over just the
+      qualifying columns).
 
     Every suggested check passes on the profiled data by construction
     (the same observed-bounds soundness argument as
@@ -271,6 +291,11 @@ def suggest_suite(
     if not columns:
         raise ValueError("suggest_suite: no columns given")
     n_rows = ds.count()
+    if n_rows == 0:
+        # nothing can be suggested from zero observations; failing loudly
+        # beats emitting a row_count check that breaks the
+        # passes-on-itself guarantee
+        raise ValueError("suggest_suite: empty dataset")
     summary = stats.sketch_summary(ds, stats_cols=columns, batch_size=batch_size)
     counts = constraints.distinct_counts(
         ds, [[c] for c in columns], batch_size=batch_size
@@ -306,20 +331,35 @@ def suggest_suite(
             enum_cols.append(c)
 
     if enum_cols:
-        import ray
         from ray.data.aggregate import Max
 
+        max_len = enum_max_len
+
         def vals_partial(t: pa.Table) -> pa.Table:
-            cols_out, vals_out = [], []
+            cols_out, vals_out, marks = [], [], []
             for c in enum_cols:
-                for v in pc.unique(pc.drop_null(t.column(c))).to_pylist():
+                uniq = pc.unique(pc.drop_null(t.column(c)))
+                over = False
+                for v in uniq.to_pylist():
+                    if len(v.encode("utf-8", "surrogatepass")) > max_len:
+                        # huge values disqualify the column MAP-side (the
+                        # same enum_max_len rule as infer.profile_json) —
+                        # they must never ride the exchange or the
+                        # broadcast Check.params
+                        over = True
+                        continue
                     cols_out.append(c)
                     vals_out.append(v)
+                    marks.append(1)
+                if over:
+                    cols_out.append(c)
+                    vals_out.append("")
+                    marks.append(2)  # over-length marker, drops the column
             return pa.table(
                 {
                     "col": pa.array(cols_out, pa.string()),
                     "val": pa.array(vals_out, pa.large_string()),
-                    "one": pa.array([1] * len(cols_out), pa.int64()),
+                    "one": pa.array(marks, pa.int64()),
                 }
             )
 
@@ -327,11 +367,16 @@ def suggest_suite(
             ds.map_batches(vals_partial, batch_format="pyarrow", batch_size=batch_size)
             .groupby(["col", "val"])
             .aggregate(Max("one", alias_name="one"))
-            .take_all()  # bounded: ≤ enum_cap values per qualifying column
+            .take_all()  # bounded: ≤ enum_cap + 1 rows per qualifying column
         )
         by_col: dict[str, list] = {c: [] for c in enum_cols}
+        dropped = set()
         for r in rows:
-            by_col[r["col"]].append(r["val"])
+            if r["one"] == 2:
+                dropped.add(r["col"])
+            else:
+                by_col[r["col"]].append(r["val"])
         for c in enum_cols:
-            suite.append(accepted_values(c, by_col[c]))
+            if c not in dropped:
+                suite.append(accepted_values(c, by_col[c]))
     return suite

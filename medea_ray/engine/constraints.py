@@ -71,13 +71,22 @@ def _hexlify(col) -> pa.Array:
 
 
 def tuple_digests(
-    t: pa.Table, cols: list[str], unique: bool = False
+    t: pa.Table, cols: list[str], unique: bool = False, _frame_cache=None
 ) -> list[bytes]:
     """16-byte BLAKE2b digest per row of the framed (cols) tuple. With
     ``unique=True`` the framed tuples dedup batch-side FIRST (one Arrow
     ``pc.unique``), so the Python digest loop only touches distinct
-    values — for low-cardinality sets that is the whole speedup."""
-    framed = [_framed_cell(t.column(c)) for c in cols]
+    values — for low-cardinality sets that is the whole speedup.
+    ``_frame_cache`` (a per-batch dict) lets callers requesting many
+    column sets frame each column once instead of once per set."""
+    if _frame_cache is None:
+        framed = [_framed_cell(t.column(c)) for c in cols]
+    else:
+        framed = []
+        for c in cols:
+            if c not in _frame_cache:
+                _frame_cache[c] = _framed_cell(t.column(c))
+            framed.append(_frame_cache[c])
     if len(framed) == 1:
         joined = framed[0]
     else:
@@ -112,8 +121,11 @@ def distinct_counts(
         import numpy as np
 
         sids, digs = [], []
+        frame_cache: dict = {}  # each column framed ONCE per batch,
+        # however many sets it appears in (discover_fds asks for k
+        # singles + k(k-1)/2 pairs)
         for sid, cs in enumerate(col_sets):
-            uniq = tuple_digests(t, cs, unique=True)
+            uniq = tuple_digests(t, cs, unique=True, _frame_cache=frame_cache)
             sids.extend([sid] * len(uniq))
             digs.extend(uniq)
         # 16-byte digests ride the exchange as two int64 columns (Ray's

@@ -94,10 +94,31 @@ def _jtype(v) -> str:
     return "object"
 
 
+def _bad_strings(v) -> bool:
+    """True if any string in the doc cannot encode as strict UTF-8
+    (lone surrogates from \\uD800-style escapes). orjson rejects these
+    at parse time; the stdlib fallback must match, or the same corpus
+    would profile on one machine and crash Arrow on another."""
+    if isinstance(v, str):
+        try:
+            v.encode("utf-8")
+            return False
+        except UnicodeEncodeError:
+            return True
+    if isinstance(v, list):
+        return any(_bad_strings(x) for x in v)
+    if isinstance(v, dict):
+        return any(_bad_strings(k) or _bad_strings(x) for k, x in v.items())
+    return False
+
+
 def _loads(payload):
     if _fastjson is not None:
         return _fastjson.loads(payload)
-    return _json.loads(payload)
+    doc = _json.loads(payload)
+    if _bad_strings(doc):
+        raise ValueError("invalid UTF-8 in JSON strings (lone surrogate)")
+    return doc
 
 
 @dataclass
@@ -319,10 +340,23 @@ def profile_json(
         if c <= enum_cap and p not in over and p in props
     }
     if keep:
+        # filter ENGINE-side before take_all: a clustered high-cardinality
+        # prop (every batch locally under the cap, global way over it)
+        # can leave millions of (prop, value) rows in the reduced table;
+        # only the kept props' rows (<= enum_cap each) may reach the driver
+        keep_frozen = frozenset(keep)
+
+        def only_kept(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            mask = _pc.is_in(
+                t.column("prop"), value_set=pa.array(sorted(keep_frozen))
+            )
+            return t.filter(mask)
+
         vals: dict[str, list[str]] = {p: [] for p in keep}
-        for r in enum_rows.take_all():
-            if r["prop"] in keep:
-                vals[r["prop"]].append(r["detail"])
+        for r in enum_rows.map_batches(only_kept, batch_format="pyarrow").take_all():
+            vals[r["prop"]].append(r["detail"])
         for p in keep:
             props[p].enum_values = sorted(vals[p])
 

@@ -210,6 +210,53 @@ def test_suggest_suite_skips_nullable_not_null(ray_session):
     assert out["passed"].all()
 
 
+def test_suggest_suite_drops_oversized_enum_values(ray_session):
+    import ray.data as rd
+
+    big = "x" * 4096
+    ds = rd.from_items(
+        [{"k": ["a", "b", big][i % 3], "ok": ["u", "v"][i % 2]} for i in range(30)]
+    )
+    suite = ck.suggest_suite(ds, ["k", "ok"])
+    names = {c.name for c in suite}
+    # k has only 3 distinct values but one is >128 bytes: no value check
+    assert "accepted_values(k)" not in names
+    assert "accepted_values(ok)" in names
+
+
+def test_suggest_suite_empty_raises(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    with pytest.raises(ValueError, match="empty dataset"):
+        ck.suggest_suite(ds, ["v"])
+
+
+def test_max_psi_single_pass_memo(ray_session, monkeypatch):
+    from medea_ray.engine import drift
+    from medea_ray.engine.queries import DRIFT_BINS
+
+    calls = []
+    real = drift.drift_report
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(drift, "drift_report", counting)
+    ds = _read("events", ["ts", "value"])
+    out = ck.run_checks(
+        ds,
+        [
+            ck.max_psi("value", "ts", threshold=10.0, numeric_bins=DRIFT_BINS),
+            ck.max_psi("value", "ts", threshold=0.0, numeric_bins=DRIFT_BINS),
+        ],
+    )
+    assert len(calls) == 1  # identical (col, ts, bins) -> one report
+    assert out.iloc[0]["value"] == out.iloc[1]["value"]
+
+
 def test_mixed_suite_order_and_shapes(ray_session):
     ds = _read("documents", ["doc_id", "lang", "n_chars"])
     suite = [

@@ -311,5 +311,19 @@ def test_cli_infer_schema_and_check(tmp_path):
     suite.write_text("not json")
     r = _run("check", "--input", str(pages), "--suite", str(suite))
     assert r.returncode == 2 and "bad suite file" in r.stderr
+    # missing schema file inside a matches_schema entry and a non-dict
+    # entry are SPEC errors (exit 2, no traceback), never exit-1
+    # "checks failed" (review finding, tenth pass)
+    suite.write_text(json.dumps([{"kind": "matches_schema", "col": "payload",
+                                  "schema": "/nonexistent.medea", "id_col": "url"}]))
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 2 and "bad suite entry" in r.stderr
+    assert "Traceback" not in r.stderr
+    suite.write_text(json.dumps(["not_null"]))
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 2 and "bad suite entry" in r.stderr
+    assert "Traceback" not in r.stderr
     r = _run("check", "--input", str(tmp_path / "missing"), "--suite", str(suite))
     assert r.returncode == 2

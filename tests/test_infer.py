@@ -156,6 +156,32 @@ def test_invalid_json_raise_and_skip(ray_session):
     assert p.n_docs == 1 and p.n_invalid == 2
 
 
+def test_stdlib_fallback_rejects_lone_surrogates(monkeypatch):
+    # orjson rejects \uD800 at parse time; the stdlib fallback must agree
+    # or the same corpus would profile on one machine and crash Arrow on
+    # another (review finding, tenth pass). Unit-level: the fallback
+    # only engages when orjson is absent, which no Ray worker here is.
+    monkeypatch.setattr(infer, "_fastjson", None)
+    assert infer._loads('{"k": "fine"}') == {"k": "fine"}
+    with pytest.raises(ValueError, match="lone surrogate"):
+        infer._loads('{"k": "\\ud800"}')
+    with pytest.raises(ValueError, match="lone surrogate"):
+        infer._loads('{"a": [{"\\udfff": 1}]}')  # nested + in a key
+
+
+def test_surrogate_payload_counts_invalid(ray_session):
+    # end-to-end (orjson path): the surrogate doc counts under
+    # on_invalid="skip" instead of crashing the profile
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"payload": '{"k": "\\ud800"}'}, {"payload": '{"k": "fine"}'}]
+    )
+    p = infer.profile_json(ds, "payload", on_invalid="skip")
+    assert p.n_docs == 1 and p.n_invalid == 1
+    assert p.props["k"].enum_values == ["fine"]
+
+
 def test_empty_profile_raises(ray_session):
     import ray.data as rd
 
