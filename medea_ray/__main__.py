@@ -271,6 +271,57 @@ def _cmd_infer_schema(args) -> int:
     return 0
 
 
+def _cmd_suggest_suite(args) -> int:
+    """Derive a check suite from the data (engine/checks.suggest_suite)
+    and write it as a `check`-compatible JSON spec file: profile
+    today's partition, enforce the suite on tomorrow's."""
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+    columns = [c for c in args.columns.split(",") if c]
+    if not columns:
+        print("--columns requires at least one column", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+
+    from medea_ray.engine import checks as ck
+
+    ds = _read_table(files, fmt, columns=columns)
+    try:
+        suite = ck.suggest_suite(
+            ds, columns, enum_cap=args.enum_cap, range_slack=args.range_slack
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    specs = []
+    for c in suite:
+        if c.kind == "not_null":
+            specs.append({"kind": "not_null", "col": c.target,
+                          "max_null_frac": c.params[0]})
+        elif c.kind == "in_range":
+            specs.append({"kind": "in_range", "col": c.target,
+                          "min": c.params[0], "max": c.params[1]})
+        elif c.kind == "unique":
+            specs.append({"kind": "unique", "cols": list(c.params)})
+        elif c.kind == "accepted_values":
+            specs.append({"kind": "accepted_values", "col": c.target,
+                          "values": list(c.params)})
+        elif c.kind == "row_count":
+            specs.append({"kind": "row_count", "min_rows": c.params[0],
+                          "max_rows": c.params[1]})
+    with open(args.out, "w") as f:
+        json.dump(specs, f, indent=1)
+    print(json.dumps({"out": args.out, "n_checks": len(specs),
+                      "kinds": sorted({s["kind"] for s in specs})}))
+    return 0
+
+
 _CHECK_USAGE = (
     "suite entries: {kind: not_null|in_range|unique|accepted_values|"
     "row_count|matches_schema|max_psi|referential, ...kind-specific keys}"
@@ -435,6 +486,17 @@ def main(argv=None) -> int:
     c.add_argument("--input", required=True, help="parquet/jsonl dir or glob")
     c.add_argument("--suite", required=True, help="JSON list of check specs")
     c.set_defaults(fn=_cmd_check)
+
+    sg = sub.add_parser(
+        "suggest-suite",
+        help="derive a check suite from the data, as a `check` spec file",
+    )
+    sg.add_argument("--input", required=True, help="parquet/jsonl dir or glob")
+    sg.add_argument("--columns", required=True, help="comma-separated columns")
+    sg.add_argument("--out", required=True, help="where to write the suite JSON")
+    sg.add_argument("--enum-cap", type=int, default=16)
+    sg.add_argument("--range-slack", type=float, default=0.0)
+    sg.set_defaults(fn=_cmd_suggest_suite)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
     g.add_argument("--out", required=True)

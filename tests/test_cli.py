@@ -327,3 +327,36 @@ def test_cli_infer_schema_and_check(tmp_path):
     assert "Traceback" not in r.stderr
     r = _run("check", "--input", str(tmp_path / "missing"), "--suite", str(suite))
     assert r.returncode == 2
+
+
+def test_cli_suggest_suite_roundtrip(tmp_path):
+    pages = tmp_path / "pages"
+    r = _run("gen-pages", "--out", str(pages), "--rows", "2000",
+             "--rows-per-file", "1000")
+    assert r.returncode == 0, r.stderr
+
+    suite = tmp_path / "suite.json"
+    r = _run("suggest-suite", "--input", str(pages), "--columns", "url,lang",
+             "--out", str(suite), env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_checks"] >= 2
+    specs = json.loads(suite.read_text())
+    kinds = {s["kind"] for s in specs}
+    assert "accepted_values" in kinds  # lang enum
+    assert {"kind": "not_null", "col": "url", "max_null_frac": 0.0} in specs
+    # no unique(url): ~1% planted dup urls, and lang has nulls
+    assert not any(s["kind"] == "unique" for s in specs)
+
+    # the suggested suite passes on the data it came from (exit 0)
+    r = _run("check", "--input", str(pages), "--suite", str(suite),
+             env={"RAY_ADDRESS": "local"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+
+    # usage errors exit 2
+    r = _run("suggest-suite", "--input", str(pages), "--columns", "",
+             "--out", str(suite))
+    assert r.returncode == 2
+    r = _run("suggest-suite", "--input", str(tmp_path / "nope"),
+             "--columns", "url", "--out", str(suite))
+    assert r.returncode == 2
