@@ -132,19 +132,29 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
         by_kind.setdefault(c.kind, []).append(i)
     results: dict[int, dict] = {}
 
-    needs_rows = set(by_kind) & {"not_null", "unique", "row_count", "matches_schema"}
-    n_rows = ds.count() if needs_rows else None
-
     # -- stats family: one sketch pass over the union of columns
     stats_cols = sorted(
         {checks[i].target for k in ("not_null", "in_range") for i in by_kind.get(k, ())}
     )
-    if stats_cols:
-        summary = stats.sketch_summary(ds, stats_cols=stats_cols)
+    summary = stats.sketch_summary(ds, stats_cols=stats_cols) if stats_cols else None
+
+    _n_memo: list = []
+
+    def get_n() -> int:
+        # the sketch pass already knows the row count (n includes nulls);
+        # only a stats-free suite pays for a count() execution of ds
+        if not _n_memo:
+            if summary is not None:
+                _n_memo.append(int(summary[stats_cols[0]]["n"]))
+            else:
+                _n_memo.append(ds.count())
+        return _n_memo[0]
+
+    if summary is not None:
         for i in by_kind.get("not_null", ()):
             c = checks[i]
             s = summary[c.target]
-            frac = (s["n_null"] / n_rows) if n_rows else 0.0
+            frac = (s["n_null"] / get_n()) if get_n() else 0.0
             results[i] = _verdict(
                 c, "null_frac", frac, c.params[0], frac <= c.params[0]
             )
@@ -167,7 +177,7 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
             )
     for i in by_kind.get("row_count", ()):
         c = checks[i]
-        n = ds.count() if n_rows is None else n_rows
+        n = get_n()
         lo, hi = c.params
         ok = (lo is None or n >= lo) and (hi is None or n <= hi)
         results[i] = _verdict(c, "row_count", n, f"[{lo}, {hi}]", ok)
@@ -179,7 +189,7 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
         counts = constraints.distinct_counts(ds, sets, batch_size=batch_size)
         for i, n_distinct in zip(uniq_idx, counts):
             c = checks[i]
-            dups = n_rows - n_distinct
+            dups = get_n() - n_distinct
             results[i] = _verdict(c, "duplicate_tuples", dups, 0, dups == 0)
 
     # -- accepted_values family: one violation-count pass, sets broadcast
@@ -246,8 +256,25 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
         verdicts = validate_dataset(
             ds, c.extra, payload_col=c.target, id_col=id_col, batch_size=batch_size
         )
-        n_invalid = verdicts.filter(expr="valid == False").count()
-        frac = (n_invalid / n_rows) if n_rows else 0.0
+
+        # one execution: per-batch (rows, invalid) partials — a
+        # filter+count would re-run the validator pool a second time
+        # for the denominator
+        def vparts(t: pa.Table) -> pa.Table:
+            bad = pc.sum(
+                pc.cast(pc.invert(t.column("valid")), pa.int64())
+            ).as_py() or 0
+            return pa.table(
+                {
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "bad": pa.array([bad], pa.int64()),
+                }
+            )
+
+        parts = verdicts.map_batches(vparts, batch_format="pyarrow").take_all()
+        n_total = sum(p["n"] for p in parts)
+        n_invalid = sum(p["bad"] for p in parts)
+        frac = (n_invalid / n_total) if n_total else 0.0
         results[i] = _verdict(c, "invalid_frac", frac, max_frac, frac <= max_frac)
 
     unknown = [checks[i].kind for i in range(len(checks)) if i not in results]

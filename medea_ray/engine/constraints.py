@@ -19,10 +19,11 @@ negligible at corpus scale — the same contract ``exact_dup_texts``
 pins for md5). ALL requested sets ride ONE exchange of
 (set_id: int64, digest: 16B) pairs, pre-deduped per batch; the
 original values never shuffle. An optional HyperLogLog prescreen
-(``suggest_keys(prescreen=True)``) drops sets whose approximate
-distinct count is far below the row count WITHOUT any shuffle (HLL
-partials tree-combine, engine/stats.py), so at web scale only
-plausible keys pay for an exact pass.
+(``suggest_keys(prescreen=True)``) drops SINGLE-column sets whose
+approximate distinct count is far below the row count WITHOUT any
+shuffle (HLL partials tree-combine, engine/stats.py) — multi-column
+sets always pay the exact pass (no multi-column HLL is kept) — so at
+web scale only plausible single-column keys join the digest exchange.
 
 Distinctness is computed on each value's canonical Arrow string
 rendering (exact for integer/string/bool/date columns; float columns
