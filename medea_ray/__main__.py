@@ -392,7 +392,11 @@ def _cmd_check(args) -> int:
         # all spec problems exit 2, never the exit-1 "checks failed" code
         print(f"bad suite entry: {e}", file=sys.stderr)
         return 2
-    ds = _read_table(files, fmt)
+    # project to the columns the suite touches: a url/lang suite must
+    # not read+decode the dominant text column (same projection the
+    # infer-schema / suggest-suite commands apply)
+    cols = ck.suite_columns(suite)
+    ds = _read_table(files, fmt, columns=cols or None)
     out = ck.run_checks(ds, suite)
     print(out.to_json(orient="records"))
     return 0 if bool(out["passed"].all()) else 1

@@ -72,6 +72,28 @@ def accepted_values(col: str, values) -> Check:
     return Check("accepted_values", col, tuple(vals))
 
 
+def suite_columns(suite) -> list[str] | None:
+    """Union of input-table columns a suite's checks touch (sorted), or
+    None if any check's column set cannot be derived — callers use this
+    to project the read (a suite over url/lang must not decode the text
+    column). The referenced side of ``referential`` is a separate
+    Dataset and does not appear here."""
+    cols: set[str] = set()
+    for c in suite:
+        if c.kind in ("not_null", "in_range", "accepted_values", "referential"):
+            cols.add(c.target)
+        elif c.kind == "unique":
+            cols.update(c.params)
+        elif c.kind in ("max_psi", "matches_schema"):
+            cols.add(c.target)
+            cols.add(c.params[0])
+        elif c.kind == "row_count":
+            pass
+        else:  # unknown kind: be safe, read everything
+            return None
+    return sorted(cols)
+
+
 def row_count(min_rows: int | None = None, max_rows: int | None = None) -> Check:
     if min_rows is None and max_rows is None:
         raise ValueError("row_count: at least one bound required")
@@ -277,9 +299,15 @@ def run_checks(ds, checks: list[Check], batch_size: int = 8192) -> pd.DataFrame:
         frac = (n_invalid / n_total) if n_total else 0.0
         results[i] = _verdict(c, "invalid_frac", frac, max_frac, frac <= max_frac)
 
-    unknown = [checks[i].kind for i in range(len(checks)) if i not in results]
-    if unknown:
-        raise ValueError(f"run_checks: unknown check kind(s) {sorted(set(unknown))}")
+    # Internal invariant: the upfront _KNOWN guard already rejected
+    # unknown kinds, so every index must have been filled by its family
+    # pass above. A gap here is a run_checks bug, not a caller error.
+    missing = [checks[i].kind for i in range(len(checks)) if i not in results]
+    if missing:
+        raise AssertionError(
+            f"run_checks internal error: no result produced for check "
+            f"kind(s) {sorted(set(missing))}"
+        )
     return pd.DataFrame([results[i] for i in range(len(checks))])
 
 
@@ -317,13 +345,16 @@ def suggest_suite(
     columns = list(columns)
     if not columns:
         raise ValueError("suggest_suite: no columns given")
-    n_rows = ds.count()
+    summary = stats.sketch_summary(ds, stats_cols=columns, batch_size=batch_size)
+    # the sketch pass already carries the exact row count (n includes
+    # nulls) — a separate ds.count() would execute the whole upstream
+    # pipeline one extra time (the same class ff727e1 removed)
+    n_rows = summary[columns[0]]["n"]
     if n_rows == 0:
         # nothing can be suggested from zero observations; failing loudly
         # beats emitting a row_count check that breaks the
         # passes-on-itself guarantee
         raise ValueError("suggest_suite: empty dataset")
-    summary = stats.sketch_summary(ds, stats_cols=columns, batch_size=batch_size)
     counts = constraints.distinct_counts(
         ds, [[c] for c in columns], batch_size=batch_size
     )

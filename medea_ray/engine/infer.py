@@ -112,10 +112,18 @@ def _bad_strings(v) -> bool:
     return False
 
 
+def _reject_const(_s):
+    # orjson (and kernel.loads_json on both paths) rejects NaN/Infinity;
+    # the stdlib fallback must too, or the roundtrip guarantee breaks on
+    # machines without orjson (the doc would profile as a number here but
+    # validate as not_json in the kernel).
+    raise ValueError("non-standard JSON constant")
+
+
 def _loads(payload):
     if _fastjson is not None:
         return _fastjson.loads(payload)
-    doc = _json.loads(payload)
+    doc = _json.loads(payload, parse_constant=_reject_const)
     if _bad_strings(doc):
         raise ValueError("invalid UTF-8 in JSON strings (lone surrogate)")
     return doc

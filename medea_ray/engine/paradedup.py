@@ -54,6 +54,24 @@ import pyarrow as pa
 
 _log = logging.getLogger(__name__)
 
+# Per-worker-process cache of the deserialized owner map. ray.get of a
+# dict re-deserializes on EVERY call (only buffer types are zero-copy),
+# so a per-batch ray.get would pay a full unpickle of a potentially
+# multi-million-entry map ~150× per 600k rows. One entry only: a new
+# ref evicts the old map.
+_OWNER_CACHE: dict[bytes, dict] = {}
+
+
+def _cached_owner_map(ref) -> dict:
+    import ray
+
+    key = ref.binary()
+    omap = _OWNER_CACHE.get(key)
+    if omap is None:
+        _OWNER_CACHE.clear()
+        omap = _OWNER_CACHE[key] = ray.get(ref)
+    return omap
+
 
 def _check_rank_parts(ids: np.ndarray, idx_bits: int) -> None:
     if len(ids) and (ids.min() < 0 or ids.max() >= 1 << (63 - idx_bits)):
@@ -163,7 +181,7 @@ def dedup_paragraphs(
     ref = ray.put(owners)
 
     def rejoin(t: pa.Table) -> pa.Table:
-        omap = ray.get(ref)
+        omap = _cached_owner_map(ref)
         texts = t.column(text_col).to_pylist()
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         _check_rank_parts(ids, idx_bits)

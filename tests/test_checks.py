@@ -157,6 +157,25 @@ def test_unknown_kind_raises(ray_session):
         ck.run_checks(ds, [ck.Check("bogus", "lang")])
 
 
+def test_suite_columns_projection_set(ray_session):
+    import ray.data as rd
+
+    suite = [
+        ck.not_null("url"),
+        ck.in_range("n", min=0),
+        ck.unique("url", "lang"),
+        ck.accepted_values("lang", ["en"]),
+        ck.row_count(min_rows=1),
+        ck.max_psi("n", "ts", 0.2),
+        ck.referential("cust", rd.from_items([{"pk": 1}]), "pk"),
+    ]
+    assert ck.suite_columns(suite) == ["cust", "lang", "n", "ts", "url"]
+    # unknown kind → None (callers must read everything)
+    assert ck.suite_columns([ck.Check("bogus", "x")]) is None
+    # pure row_count suite touches no named columns
+    assert ck.suite_columns([ck.row_count(min_rows=1)]) == []
+
+
 def test_suggest_suite_passes_on_itself(ray_session):
     ds = _read("documents", ["doc_id", "lang", "n_chars", "source"])
     suite = ck.suggest_suite(ds, ["doc_id", "lang", "n_chars", "source"])

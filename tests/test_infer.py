@@ -169,6 +169,18 @@ def test_stdlib_fallback_rejects_lone_surrogates(monkeypatch):
         infer._loads('{"a": [{"\\udfff": 1}]}')  # nested + in a key
 
 
+def test_stdlib_fallback_rejects_nonstandard_constants(monkeypatch):
+    # orjson AND kernel.loads_json (both paths) reject NaN/Infinity; the
+    # stdlib fallback must agree or a NaN doc would profile as a number
+    # here but validate as not_json in the kernel, breaking the induced
+    # schema's roundtrip guarantee on machines without orjson.
+    monkeypatch.setattr(infer, "_fastjson", None)
+    for payload in ('{"a": NaN}', '{"a": Infinity}', '{"a": -Infinity}', "[NaN]"):
+        with pytest.raises(ValueError, match="constant"):
+            infer._loads(payload)
+    assert infer._loads('{"a": 1.5}') == {"a": 1.5}
+
+
 def test_surrogate_payload_counts_invalid(ray_session):
     # end-to-end (orjson path): the surrogate doc counts under
     # on_invalid="skip" instead of crashing the profile

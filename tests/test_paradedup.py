@@ -129,3 +129,19 @@ def test_owners_table(ray_session):
     h = hashlib.md5(b"SHARED LINE").hexdigest()
     # owner = doc 1, idx 1 -> rank 1*2^20 + 1; 4 instances corpus-wide
     assert owners == {h: ((1 << 20) + 1, 4)}
+
+
+def test_owner_map_cached_per_process(ray_session):
+    # ray.get of a dict re-deserializes on every call; the rejoin stage
+    # must pay that once per worker process, not once per batch (review
+    # finding, this pass). Identity check: the second lookup returns the
+    # SAME object; a new ref evicts the old entry (bounded cache).
+    import ray
+
+    ref1 = ray.put({"a": 1})
+    m1 = paradedup._cached_owner_map(ref1)
+    assert paradedup._cached_owner_map(ref1) is m1
+    ref2 = ray.put({"b": 2})
+    m2 = paradedup._cached_owner_map(ref2)
+    assert m2 == {"b": 2}
+    assert len(paradedup._OWNER_CACHE) == 1  # old map evicted
