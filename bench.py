@@ -713,6 +713,35 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["check_suite_600k"], _ = _timed(suite_bench)
 
+        # round 4: 13-gram benchmark decontamination over 600k pages —
+        # benchmark side = 512 sampled pages, probe = one actor-pool
+        # map_batches pass over the vectorized gram kernels
+        # (engine/decontam.py ngram family)
+        from medea_ray.engine import decontam as _decontam
+
+        def ngram_decontam_bench():
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            corpus = rd.read_parquet(pages_dir, columns=["url", "text"])
+            bench_side = rd.read_parquet(
+                pages_files[:1], columns=["text"]
+            ).limit(512)
+            out = _decontam.contamination_stats(
+                corpus, bench_side, "text", n=13, id_col="url",
+                batch_size=4096,
+            )
+            n_rows = 0
+            n_bad = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n_rows += b.num_rows
+                n_bad += pc.sum(pc.cast(b.column("contaminated"), pa.int64())).as_py() or 0
+            assert n_rows == n_pages, n_rows
+            assert 0 < n_bad < n_pages, n_bad
+            return n_bad
+
+        results["ngram_decontam_600k"], _ = _timed(ngram_decontam_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import logging
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -277,3 +278,203 @@ def decontaminate(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram decontamination (GPT-3 appendix C / PaLM style): a corpus doc is
+# contaminated if ANY of its word n-grams (default n=13) also occurs in the
+# benchmark suite. Whole-doc digest matching above misses partial overlap
+# (a benchmark question quoted inside a larger page); this catches it.
+#
+# Scale shape: the benchmark side is small by contract (~1e4-1e6 rows) but
+# its GRAM set is ~100x its row count. Two broadcast layouts:
+#   match="string" (default): Arrow string value set, EXACT matching — the
+#     layout the DuckDB lockstep test replays verbatim; loud byte budget.
+#   match="hashed": sorted int64 xxhash array (8 B/gram) for web-scale
+#     benchmark suites. 64-bit collisions can only flag EXTRA docs as
+#     contaminated (conservative direction — never keeps a leaked doc);
+#     the direction is documented and pinned by a forced-collision test.
+# The corpus is never shuffled; probing is one map_batches pass reusing
+# substr.py's vectorized gram kernels (split/starts/ids/strings).
+# ---------------------------------------------------------------------------
+
+
+def benchmark_gram_set(
+    bench_ds,
+    text_col: str,
+    n: int,
+    *,
+    match: str = "string",
+    budget_bytes: int = 1 << 30,
+):
+    """Distinct word ``n``-grams of the benchmark side, collected on the
+    driver (per-batch-unique partials → set union; same small-side
+    contract as ``banned_digests``). Returns a sorted ``pa.Array`` of
+    gram strings (``match="string"``) or a sorted ``np.int64`` hash
+    array (``match="hashed"``), plus the distinct-gram count."""
+    from medea_ray.engine.substr import _gram_ids, _gram_starts, _gram_strings, _split
+
+    if n < 1:
+        raise ValueError(f"ngram n must be >= 1, got {n}")
+    if match not in ("string", "hashed"):
+        raise ValueError(f"match must be 'string' or 'hashed', got {match!r}")
+
+    def batch_grams(t: pa.Table) -> pa.Table:
+        cnts, flat, offsets = _split(t.column(text_col))
+        starts, _ = _gram_starts(cnts, offsets, n)
+        if starts.size == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        ids, _ = _gram_ids(flat, starts, n)
+        _, first_pos = np.unique(ids, return_index=True)
+        return pa.table({"gram": _gram_strings(flat, starts[first_pos], n)})
+
+    grams: set[str] = set()
+    nbytes = 0
+    for b in bench_ds.map_batches(batch_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g in b.column("gram").to_pylist():
+            if g not in grams:
+                grams.add(g)
+                nbytes += len(g) + 56  # str object overhead estimate
+                if nbytes > budget_bytes:
+                    raise ValueError(
+                        f"benchmark_gram_set: gram set exceeds budget_bytes="
+                        f"{budget_bytes} at {len(grams)} grams; use "
+                        "match='hashed' (8 B/gram) or raise the budget "
+                        "(truncating would silently keep leaked docs)"
+                    )
+    _log.info(
+        "benchmark_gram_set: %d distinct %d-grams (~%d bytes, match=%s)",
+        len(grams), n, nbytes, match,
+    )
+    if match == "hashed":
+        from medea_ray.engine.uniqueness import _hash64
+
+        if not grams:
+            return np.empty(0, np.int64), 0
+        arr = pa.array(sorted(grams), pa.string())
+        h = np.unique(np.asarray(_hash64(arr)).view(np.int64))
+        return h, len(grams)
+    return pa.array(sorted(grams), pa.string()), len(grams)
+
+
+class _GramProbe:
+    """Actor-pool stage: per-doc n-gram hit counts vs the broadcast
+    benchmark gram set (materialized once per actor in ``__init__``)."""
+
+    def __init__(self, set_ref, text_col: str, id_col: str, n: int, match: str):
+        import ray
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.match = match
+        self.value_set = ray.get(set_ref) if not isinstance(
+            set_ref, (pa.Array, np.ndarray)
+        ) else set_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from medea_ray.engine.substr import _gram_ids, _gram_starts, _gram_strings, _split
+
+        n = self.n
+        texts = t.column(self.text_col)
+        cnts, flat, offsets = _split(texts)
+        ndocs = len(t)
+        starts, doc_idx_flat = _gram_starts(cnts, offsets, n)
+        n_grams = np.maximum(cnts - n + 1, 0)
+        n_hits = np.zeros(ndocs, np.int64)
+        if starts.size and len(self.value_set):
+            ids, _ = _gram_ids(flat, starts, n)
+            uniq, first_pos = np.unique(ids, return_index=True)
+            grams = _gram_strings(flat, starts[first_pos], n)
+            if self.match == "string":
+                hit_u = pc.is_in(grams, value_set=self.value_set).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                from medea_ray.engine.uniqueness import _hash64
+
+                h = np.asarray(_hash64(grams)).view(np.int64)
+                c = self.value_set
+                pos = np.searchsorted(c, h)
+                hit_u = (pos < c.size) & (c[np.minimum(pos, c.size - 1)] == h)
+            hit_u = np.asarray(hit_u, bool)
+            hit_per_start = hit_u[ids]
+            gram_docs = doc_idx_flat[starts]
+            n_hits = np.bincount(
+                gram_docs[hit_per_start], minlength=ndocs
+            ).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "n_grams": pa.array(n_grams),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+
+def contamination_stats(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    match: str = "string",
+    budget_bytes: int = 1 << 30,
+    batch_size: int = 4096,
+    concurrency=None,
+):
+    """Per-doc n-gram contamination stats vs a benchmark Dataset:
+    ``(id_col, n_grams, n_hits, contaminated)``. A doc with fewer than
+    ``n`` words has 0 grams and is never contaminated; null text counts
+    as the empty string (0 grams)."""
+    import ray
+
+    from medea_ray.engine.pipeline import ACTOR_NUM_CPUS, default_pool
+
+    value_set, n_set = benchmark_gram_set(
+        bench_ds, bench_text_col or text_col, n, match=match,
+        budget_bytes=budget_bytes,
+    )
+    ref = ray.put(value_set)
+    pool = concurrency if concurrency is not None else default_pool()
+    return ds.map_batches(
+        _GramProbe,
+        fn_constructor_kwargs=dict(
+            set_ref=ref, text_col=text_col, id_col=id_col, n=n, match=match,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool,
+        num_cpus=ACTOR_NUM_CPUS,
+    )
+
+
+def decontaminate_ngrams(
+    ds,
+    bench_ds,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    match: str = "string",
+    budget_bytes: int = 1 << 30,
+    batch_size: int = 4096,
+    concurrency=None,
+):
+    """Drop corpus rows sharing ANY word n-gram with the benchmark side
+    (keeps full rows; docs with < n words — including null text — are
+    always kept). The id column must uniquely identify rows; the drop
+    set is (contaminated ids), broadcast via the same budget-checked
+    ``filter_not_in_ds`` path as exact dedup."""
+    stats = contamination_stats(
+        ds, bench_ds, text_col, bench_text_col, n=n, id_col=id_col,
+        match=match, budget_bytes=budget_bytes, batch_size=batch_size,
+        concurrency=concurrency,
+    ).filter(expr="contaminated")
+    return filter_not_in_ds(ds, id_col, stats, id_col)
