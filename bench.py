@@ -742,6 +742,35 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["ngram_decontam_600k"], _ = _timed(ngram_decontam_bench)
 
+        # round 4: BPE tokenizer train + token accounting over 600k
+        # pages — corpus-scale work is ONE (word, count) exchange, merge
+        # loop driver-side over the vocabulary table, then the actor-pool
+        # encode pass with per-batch unique-word dictionary encoding
+        # (engine/bpe.py)
+        from medea_ray.engine import bpe as _bpe
+
+        def bpe_bench():
+            corpus = rd.read_parquet(pages_dir, columns=["url", "text"])
+            model = _bpe.train_bpe(
+                corpus, "text", num_merges=200, min_count=2, batch_size=8192
+            )
+            assert model.merges, "corpus must support merges"
+            out = _bpe.token_stats(corpus, model, "text", id_col="url")
+            n_rows, total_tokens, total_words = 0, 0, 0
+            import pyarrow.compute as pc
+
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n_rows += b.num_rows
+                total_tokens += pc.sum(b.column("n_tokens")).as_py() or 0
+                total_words += pc.sum(b.column("n_words")).as_py() or 0
+            assert n_rows == n_pages, n_rows
+            # merges compress: strictly fewer tokens than characters,
+            # at least one token per word
+            assert total_tokens >= total_words > 0
+            return total_tokens
+
+        results["bpe_600k"], _ = _timed(bpe_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),
