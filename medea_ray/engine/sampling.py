@@ -115,3 +115,143 @@ def train_test_split(ds, id_col: str, test_threshold_hex: str,
         return t.append_column(split_name, split)
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def mixture_rates(
+    counts: dict,
+    *,
+    target_rows: int,
+    weights: dict | None = None,
+    temperature: float | None = None,
+    prefix_len: int = 6,
+) -> dict:
+    """Per-source md5-prefix thresholds realizing a target corpus
+    mixture (the data-mixing verb: Pile-style explicit ``weights``, or
+    multilingual ``temperature`` reweighting p_s ∝ n_s^τ — τ<1
+    upweights low-resource sources, XLM-R arXiv:1911.02116 §3.1).
+
+    Desired take per source = ``target_rows * p_s``; the sampling rate
+    is ``min(1, take/n_s)`` — hash sampling cannot upsample, so a
+    capped source keeps everything and the realized total undershoots
+    the target (deterministic closed form, NOT re-normalized; raise
+    ``target_rows`` or adjust weights if the shortfall matters — the
+    per-source expected takes are returned by the companion
+    ``mixture_plan`` and logged).
+
+    Thresholds are ``prefix_len``-digit hex strings for the standard
+    ``md5-prefix < threshold`` rule; a full-keep source gets the
+    sentinel ``"g"`` (lexicographically above every hex prefix, and
+    replayable in SQL with the same ``<`` comparison)."""
+    if (weights is None) == (temperature is None):
+        raise ValueError("exactly one of weights / temperature required")
+    if not counts:
+        raise ValueError("mixture_rates: empty source counts")
+    if target_rows < 0:
+        raise ValueError("target_rows must be >= 0")
+    if weights is not None:
+        unknown = set(weights) - set(counts)
+        if unknown:
+            raise ValueError(
+                f"weights name sources absent from the data: {sorted(unknown)}"
+            )
+        if any(w < 0 for w in weights.values()):
+            raise ValueError("weights must be >= 0")
+        tot = float(sum(weights.values()))
+        if tot <= 0:
+            raise ValueError("weights must sum > 0")
+        probs = {s: weights.get(s, 0.0) / tot for s in counts}
+    else:
+        if temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        pw = {s: float(n) ** temperature for s, n in counts.items() if n > 0}
+        tot = sum(pw.values())
+        if tot <= 0:
+            raise ValueError("mixture_rates: no source has rows")
+        probs = {s: pw.get(s, 0.0) / tot for s in counts}
+
+    scale = 16 ** prefix_len
+    out = {}
+    for s, n in counts.items():
+        take = target_rows * probs[s]
+        if n <= 0 or take <= 0:
+            out[s] = "0" * prefix_len
+        elif take >= n:
+            out[s] = "g"  # keep-all sentinel (sorts above every hex prefix)
+        else:
+            out[s] = format(int(take / n * scale), "x").rjust(prefix_len, "0")
+    return out
+
+
+def mixture_plan(counts: dict, thresholds: dict, prefix_len: int = 6) -> dict:
+    """Expected take per source under the given thresholds (exact
+    expectation of the md5-prefix rule: rate = t/16^k, keep-all = n)."""
+    scale = 16 ** prefix_len
+    plan = {}
+    for s, n in counts.items():
+        t = thresholds[s]
+        plan[s] = int(n) if t == "g" else int(n) * int(t, 16) // scale
+    return plan
+
+
+def mixture_sample(
+    ds,
+    id_col: str,
+    source_col: str,
+    *,
+    target_rows: int,
+    weights: dict | None = None,
+    temperature: float | None = None,
+    prefix_len: int = 6,
+    batch_size: int = 8192,
+):
+    """Deterministically re-mix a corpus to a target per-source
+    composition: one tiny integer groupby for the observed counts, then
+    the embarrassingly-parallel md5-prefix filter (no shuffle of data,
+    no RNG state — the same row keeps/drops on every run and cluster
+    shape). Null sources and null ids are never sampled."""
+    import logging
+
+    from ray.data.aggregate import Sum
+
+    def cnt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # count only SAMPLEABLE rows (non-null id AND source) — a
+        # null-id row can never be kept, so counting it would deflate
+        # its source's rate below the requested mixture
+        keep = pc.and_(
+            pc.is_valid(t.column(source_col)), pc.is_valid(t.column(id_col))
+        )
+        vc = t.column(source_col).filter(keep).value_counts()
+        return pa.table({"s": vc.field("values"), "n": vc.field("counts")})
+
+    rows = (
+        ds.map_batches(cnt, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {r["s"]: int(r["n"]) for r in rows}
+    thresholds = mixture_rates(
+        counts, target_rows=target_rows, weights=weights,
+        temperature=temperature, prefix_len=prefix_len,
+    )
+    plan = mixture_plan(counts, thresholds, prefix_len)
+    logging.getLogger(__name__).info(
+        "mixture_sample: counts=%s expected_take=%s (total %d / target %d)",
+        counts, plan, sum(plan.values()), target_rows,
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        pref = _hex_prefixes(t.column(id_col).to_pylist(), prefix_len)
+        srcs = t.column(source_col).to_pylist()
+        mask = pa.array(
+            [
+                p is not None and s is not None and p < thresholds.get(s, "0")
+                for p, s in zip(pref, srcs)
+            ],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)
