@@ -771,6 +771,57 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
 
         results["bpe_600k"], _ = _timed(bpe_bench)
 
+        # round 4: the COMPOSED pretraining prep chain over 600k pages —
+        # C4 clean → Gopher filter → exact dedup → 13-gram decontam →
+        # mixture re-sample → BPE token accounting (engine/pretrain.py).
+        # Fixture lines carry no terminal punctuation, so a "." is
+        # appended per text (one Arrow kernel) and min_lines=1.
+        from medea_ray.engine import pretrain as _pretrain
+
+        def pretrain_bench():
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # a distinct-vocabulary benchmark sentence planted into
+            # ~0.5% of pages (sampled pages would share the tiny fixture
+            # vocab's 13-gram cycles and contaminate everything)
+            plant = (
+                "benchmark holdout sentence apple pear plum peach cherry "
+                "grape melon stone brick glass timber."
+            )
+
+            def dot(t: pa.Table) -> pa.Table:
+                txt = pc.cast(pc.fill_null(t.column("text"), ""), pa.string())
+                # no pc.modulo in this pyarrow: power-of-two mask via
+                # bit_wise_and selects ~1/256 of rows by text length
+                tail = pc.if_else(
+                    pc.equal(pc.bit_wise_and(pc.utf8_length(txt), 255), 0),
+                    ". " + plant, ".",
+                )
+                txt = pc.binary_join_element_wise(txt, tail, "")
+                return t.set_column(
+                    t.schema.get_field_index("text"), "text", txt
+                )
+
+            corpus = rd.read_parquet(
+                pages_dir, columns=["url", "lang", "text"]
+            ).map_batches(dot, batch_format="pyarrow")
+            bench_side = rd.from_items([{"text": plant}])
+            out, rep = _pretrain.prepare_corpus(
+                corpus, bench_side, target_rows=n_pages // 2,
+                temperature=0.7, min_lines=1, bpe_merges=100,
+            )
+            assert rep["n_input"] == n_pages, rep
+            assert (
+                rep["n_input"] >= rep["n_after_c4"] >= rep["n_after_gopher"]
+                >= rep["n_after_dedup"] >= rep["n_after_decontam"]
+                >= rep["n_after_mixture"] > 0
+            ), rep
+            assert rep["n_tokens"] >= rep["n_words"] > 0, rep
+            return rep["n_after_mixture"]
+
+        results["pretrain_pipeline_600k"], _ = _timed(pretrain_bench)
+
     return {
         "metric": "medea_ray bench suite wall time",
         "value": round(sum(results.values()), 3),
