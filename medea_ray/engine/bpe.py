@@ -37,6 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from medea_ray.engine.arrow_util import as_array as _as_array
+from medea_ray.engine.arrow_util import as_filled_strings
 
 _log = logging.getLogger(__name__)
 
@@ -52,7 +53,7 @@ def word_counts(ds, text_col: str, *, min_count: int = 1, batch_size: int = 8192
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(_as_array(t.column(text_col)), "")
+        texts = as_filled_strings(t.column(text_col))
         flat = _as_array(_as_array(pc.split_pattern(texts, " ")).flatten())
         vc = flat.value_counts()
         if len(vc) == 0:
@@ -111,19 +112,35 @@ class BpeModel:
                     merged.append(syms[i])
                     i += 1
             syms = merged
-        out = []
-        for s in syms:
-            if s == EOW:
-                continue
-            out.append(s[: -len(EOW)] if s.endswith(EOW) else s)
-        return [s for s in out if s]
+        # Marker-derived chars only ever live in the LAST symbol (the
+        # marker starts as the final symbol and merges preserve
+        # position), so strip POSITIONALLY: a literal "</w>" occurring
+        # in the text itself is preserved verbatim in the output and
+        # round-trips (''.join(tokens) == word for every input).
+        if syms and syms[-1] == EOW:
+            syms = syms[:-1]
+        elif syms and syms[-1].endswith(EOW):
+            syms = syms[:-1] + [syms[-1][: -len(EOW)]]
+        return [s for s in syms if s]
 
 
 def _train_from_counts(pairs_wc: list[tuple[str, int]], num_merges: int) -> list:
     """Driver-side merge loop over the (word, count) table. Exact
     integer pair counts, deterministic (count desc, pair asc) choice,
     stops early when no pair occurs >= 2 times (merging singletons
-    teaches nothing)."""
+    teaches nothing).
+
+    Per-merge cost is proportional to the AFFECTED pairs, not the live
+    pair set: counts update incrementally (entries deleted at zero) and
+    the argmax is a lazy max-heap — stale heap entries are skipped by
+    comparing against the current count, so (-count, pair) heap order
+    realizes the (count desc, pair asc) tie-break exactly. A symbol
+    equal to the "</w>" marker built from literal text chars conflates
+    with the marker in pair statistics (a count-level bias on
+    adversarial text; encoding round-trips regardless — see
+    ``encode_word``)."""
+    import heapq
+
     words: list[list[str]] = []
     counts: list[int] = []
     for w, c in pairs_wc:
@@ -133,31 +150,47 @@ def _train_from_counts(pairs_wc: list[tuple[str, int]], num_merges: int) -> list
 
     pair_counts: dict[tuple, int] = {}
     pair_words: dict[tuple, set] = {}
+    heap: list = []
 
     def add_word(idx: int, sign: int):
         syms, c = words[idx], counts[idx] * sign
         for i in range(len(syms) - 1):
             p = (syms[i], syms[i + 1])
-            pair_counts[p] = pair_counts.get(p, 0) + c
+            nc = pair_counts.get(p, 0) + c
+            if nc:
+                pair_counts[p] = nc
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
             if sign > 0:
                 pair_words.setdefault(p, set()).add(idx)
+                if nc >= 2:
+                    heapq.heappush(heap, (-nc, p))
 
     for idx in range(len(words)):
         add_word(idx, +1)
 
     merges: list = []
     for _ in range(num_merges):
-        best_pair, best_count = None, 1
-        for p, c in pair_counts.items():
-            if c > best_count or (c == best_count and best_pair is not None and p < best_pair):
-                best_pair, best_count = p, c
+        best_pair = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            c = pair_counts.get(p, 0)
+            if c < 2:
+                continue  # dead or decayed below the merge floor
+            if -negc == c:
+                best_pair = p
+                break
+            heapq.heappush(heap, (-c, p))  # stale entry: requeue current
         if best_pair is None:
             break
         merges.append(best_pair)
         a, b = best_pair
         ab = a + b
-        affected = pair_words.pop(best_pair, set())
-        for idx in sorted(affected):
+        # the add_word(-1) pass zeroes best_pair's count naturally —
+        # popping it here first would make the decrement go negative
+        affected = sorted(pair_words.get(best_pair, set()))
+        for idx in affected:
             add_word(idx, -1)
             syms, merged, i = words[idx], [], 0
             while i < len(syms):
@@ -169,10 +202,6 @@ def _train_from_counts(pairs_wc: list[tuple[str, int]], num_merges: int) -> list
                     i += 1
             words[idx] = merged
             add_word(idx, +1)
-        # drop exhausted entries so the scan stays proportional to the
-        # LIVE pair set
-        pair_counts = {p: c for p, c in pair_counts.items() if c > 0}
-        pair_words = {p: s for p, s in pair_words.items() if p in pair_counts}
     return merges
 
 
@@ -223,7 +252,7 @@ class BpeEncoder:
         self.cache_cap = cache_cap
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(_as_array(t.column(self.text_col)), "")
+        texts = as_filled_strings(t.column(self.text_col))
         la = _as_array(pc.split_pattern(texts, " "))
         cnts = pc.list_value_length(la).to_numpy().astype(np.int64)
         # the merge loop runs over per-batch UNIQUE words only

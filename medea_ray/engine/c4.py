@@ -36,6 +36,7 @@ TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
 from medea_ray.engine.arrow_util import as_array as _as_array
+from medea_ray.engine.arrow_util import as_filled_strings
 
 
 def clean_batch(
@@ -46,7 +47,7 @@ def clean_batch(
     """Pure kernel: text column → (n_lines, n_kept_lines, kept,
     clean_text). Null text behaves as the empty string (1 empty line,
     0 kept, dropped)."""
-    texts = pc.fill_null(_as_array(texts), "")
+    texts = as_filled_strings(texts)
     nrows = len(texts)
     la = _as_array(pc.split_pattern(texts, "\n"))
     cnts = pc.list_value_length(la).to_numpy().astype(np.int64)

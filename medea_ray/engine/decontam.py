@@ -328,11 +328,46 @@ def benchmark_gram_set(
         _, first_pos = np.unique(ids, return_index=True)
         return pa.table({"gram": _gram_strings(flat, starts[first_pos], n)})
 
+    stream = bench_ds.map_batches(batch_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    )
+
+    if match == "hashed":
+        # hash per batch and only keep int64s driver-side, so both the
+        # budget accounting AND peak driver memory really are 8 B/gram
+        # (the budget error's own remedy) — never the string set
+        from medea_ray.engine.uniqueness import _hash64
+
+        acc = np.empty(0, np.int64)
+        pending, pend_n = [], 0
+
+        def compact(acc, pending):
+            acc = np.unique(np.concatenate([acc, *pending])) if pending else acc
+            if acc.size * 8 > budget_bytes:
+                raise ValueError(
+                    f"benchmark_gram_set: {acc.size} hashed grams exceed "
+                    f"budget_bytes={budget_bytes}; raise the budget "
+                    "(truncating would silently keep leaked docs)"
+                )
+            return acc
+
+        for b in stream:
+            col = b.column("gram")
+            if len(col):
+                pending.append(np.asarray(_hash64(col)).view(np.int64))
+                pend_n += len(col)
+            if pend_n >= 1 << 20:
+                acc, pending, pend_n = compact(acc, pending), [], 0
+        acc = compact(acc, pending)
+        _log.info(
+            "benchmark_gram_set: %d distinct %d-gram hashes (%d bytes, hashed)",
+            acc.size, n, acc.size * 8,
+        )
+        return acc, int(acc.size)
+
     grams: set[str] = set()
     nbytes = 0
-    for b in bench_ds.map_batches(batch_grams, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in stream:
         for g in b.column("gram").to_pylist():
             if g not in grams:
                 grams.add(g)
@@ -345,17 +380,9 @@ def benchmark_gram_set(
                         "(truncating would silently keep leaked docs)"
                     )
     _log.info(
-        "benchmark_gram_set: %d distinct %d-grams (~%d bytes, match=%s)",
-        len(grams), n, nbytes, match,
+        "benchmark_gram_set: %d distinct %d-grams (~%d bytes, string)",
+        len(grams), n, nbytes,
     )
-    if match == "hashed":
-        from medea_ray.engine.uniqueness import _hash64
-
-        if not grams:
-            return np.empty(0, np.int64), 0
-        arr = pa.array(sorted(grams), pa.string())
-        h = np.unique(np.asarray(_hash64(arr)).view(np.int64))
-        return h, len(grams)
     return pa.array(sorted(grams), pa.string()), len(grams)
 
 
@@ -363,13 +390,15 @@ class _GramProbe:
     """Actor-pool stage: per-doc n-gram hit counts vs the broadcast
     benchmark gram set (materialized once per actor in ``__init__``)."""
 
-    def __init__(self, set_ref, text_col: str, id_col: str, n: int, match: str):
+    def __init__(self, set_ref, text_col: str, id_col: str, n: int, match: str,
+                 mode: str = "stats"):
         import ray
 
         self.text_col = text_col
         self.id_col = id_col
         self.n = n
         self.match = match
+        self.mode = mode
         self.value_set = ray.get(set_ref) if not isinstance(
             set_ref, (pa.Array, np.ndarray)
         ) else set_ref
@@ -405,6 +434,10 @@ class _GramProbe:
             n_hits = np.bincount(
                 gram_docs[hit_per_start], minlength=ndocs
             ).astype(np.int64)
+        if self.mode == "drop":
+            # single-pass row filter: keep full rows with zero hits (no
+            # separate id anti-join pass, no id-uniqueness requirement)
+            return t.filter(pa.array(n_hits == 0))
         return pa.table(
             {
                 self.id_col: t.column(self.id_col),
@@ -432,11 +465,20 @@ def contamination_stats(
     ``(id_col, n_grams, n_hits, contaminated)``. A doc with fewer than
     ``n`` words has 0 grams and is never contaminated; null text counts
     as the empty string (0 grams)."""
+    return _probe_stage(
+        ds, bench_ds, text_col, bench_text_col, n=n, id_col=id_col,
+        match=match, budget_bytes=budget_bytes, batch_size=batch_size,
+        concurrency=concurrency, mode="stats",
+    )
+
+
+def _probe_stage(ds, bench_ds, text_col, bench_text_col, *, n, id_col, match,
+                 budget_bytes, batch_size, concurrency, mode):
     import ray
 
     from medea_ray.engine.pipeline import ACTOR_NUM_CPUS, default_pool
 
-    value_set, n_set = benchmark_gram_set(
+    value_set, _ = benchmark_gram_set(
         bench_ds, bench_text_col or text_col, n, match=match,
         budget_bytes=budget_bytes,
     )
@@ -446,6 +488,7 @@ def contamination_stats(
         _GramProbe,
         fn_constructor_kwargs=dict(
             set_ref=ref, text_col=text_col, id_col=id_col, n=n, match=match,
+            mode=mode,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -469,12 +512,11 @@ def decontaminate_ngrams(
 ):
     """Drop corpus rows sharing ANY word n-gram with the benchmark side
     (keeps full rows; docs with < n words — including null text — are
-    always kept). The id column must uniquely identify rows; the drop
-    set is (contaminated ids), broadcast via the same budget-checked
-    ``filter_not_in_ds`` path as exact dedup."""
-    stats = contamination_stats(
+    always kept). Single pass: the probe stage filters rows in place
+    (no separate id anti-join, no id-uniqueness requirement — the
+    ``_Decontaminator`` pattern)."""
+    return _probe_stage(
         ds, bench_ds, text_col, bench_text_col, n=n, id_col=id_col,
         match=match, budget_bytes=budget_bytes, batch_size=batch_size,
-        concurrency=concurrency,
-    ).filter(expr="contaminated")
-    return filter_not_in_ds(ds, id_col, stats, id_col)
+        concurrency=concurrency, mode="drop",
+    )

@@ -58,6 +58,7 @@ GOPHER_MAX_FRAC = {
 
 
 from medea_ray.engine.arrow_util import as_array as _as_array
+from medea_ray.engine.arrow_util import as_filled_strings
 
 
 def _split_words(texts: pa.Array, pattern: str = " "):
@@ -89,7 +90,7 @@ def repetition_kernel(
         # dup_line_stats' job
         raise ValueError("repetition n-gram sizes must be >= 2")
     texts = _as_array(texts)
-    texts = pc.fill_null(texts, "")
+    texts = as_filled_strings(texts)
     cnts, flat, offsets = _split_words(texts)
     ndocs = len(texts)
     total = int(offsets[-1])
@@ -166,7 +167,7 @@ def dup_line_stats(
     - ``dup_line_chars``: their character count (repeat occurrences
       only, matching "fraction of characters in duplicate lines").
     """
-    texts = pc.fill_null(_as_array(texts), "")
+    texts = as_filled_strings(texts)
     cnts, flat, offsets = _split_words(texts, sep)
     ndocs = len(texts)
     total = int(offsets[-1])
@@ -202,7 +203,7 @@ def repetition_stats(
     fraction denominator alongside the raw integers."""
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(_as_array(t.column(text_col)), "")
+        texts = as_filled_strings(t.column(text_col))
         rep = repetition_kernel(texts, top_ns, dup_ns)
         cols: dict[str, pa.Array] = {}
         if id_col is not None:

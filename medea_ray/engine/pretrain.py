@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from medea_ray.engine.arrow_util import as_array as _as_array
+from medea_ray.engine.arrow_util import as_filled_strings
 
 _log = logging.getLogger(__name__)
 
@@ -101,7 +102,7 @@ def prepare_corpus(
     th = GOPHER_MAX_FRAC if gopher_thresholds is None else gopher_thresholds
 
     def gopher_stage(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(_as_array(t.column(text_col)), "")
+        texts = as_filled_strings(t.column(text_col))
         stats = repetition_kernel(texts)
         denom = pc.utf8_length(texts).to_numpy().astype(np.float64)
         bad = np.zeros(len(t), bool)

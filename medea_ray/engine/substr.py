@@ -51,8 +51,11 @@ from medea_ray.engine.arrow_util import as_array as _as_array
 
 
 def _split(texts: pa.Array):
-    """(counts, flat_words, offsets) for single-space word splitting."""
-    la = _as_array(pc.split_pattern(pc.fill_null(_as_array(texts), ""), " "))
+    """(counts, flat_words, offsets) for single-space word splitting.
+    All-null blocks (Arrow null type) coalesce to '' like any null."""
+    from medea_ray.engine.arrow_util import as_filled_strings
+
+    la = _as_array(pc.split_pattern(as_filled_strings(texts), " "))
     cnts = pc.list_value_length(la).to_numpy().astype(np.int64)
     flat = _as_array(la.flatten())
     offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])

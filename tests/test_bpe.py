@@ -62,8 +62,13 @@ def naive_encode(word, merges):
                 merged.append(syms[i])
                 i += 1
         syms = merged
-    out = [s[: -len(EOW)] if s.endswith(EOW) else s for s in syms if s != EOW]
-    return [s for s in out if s]
+    # positional strip, mirroring encode_word: the marker only ever
+    # lives in the last symbol
+    if syms and syms[-1] == EOW:
+        syms = syms[:-1]
+    elif syms and syms[-1].endswith(EOW):
+        syms = syms[:-1] + [syms[-1][: -len(EOW)]]
+    return [s for s in syms if s]
 
 
 SENNRICH = (
@@ -159,6 +164,32 @@ def test_encode_matches_sequential_merges(ray_session):
     # round-trip: concatenated tokens reproduce the word
     for w in ["low", "newest", "unseen"]:
         assert "".join(model.encode_word(w)) == w
+
+
+def test_literal_eow_marker_in_text_round_trips(ray_session):
+    # adversarial web text containing the literal "</w>" marker string:
+    # positional stripping must preserve it (review finding, this pass)
+    texts = ["a</w> a</w> a</w> b</w>x b</w>x </w> </w>"]
+    model = bpe.train_bpe(_mk(texts), num_merges=20, min_count=1)
+    for w in ["a</w>", "b</w>x", "</w>", "x</w></w>", "</w>y"]:
+        assert "".join(model.encode_word(w)) == w, w
+    got = bpe.token_stats(_mk(texts), model).to_pandas()
+    # 7 words, each at least one token
+    assert got.loc[0, "n_words"] == 7
+    assert got.loc[0, "n_tokens"] >= 7
+
+
+def test_all_null_text_block(ray_session):
+    # an all-null block degrades the column to Arrow null type; the
+    # split kernels must coalesce instead of crashing (review finding)
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 0, "text": None}, {"doc_id": 1, "text": None}])
+    assert bpe.word_counts(ds, "text").count() == 0
+    model = bpe.BpeModel(merges=[], n_words_table=0)
+    got = bpe.token_stats(ds, model).to_pandas()
+    assert got["n_tokens"].tolist() == [0, 0]
+    assert got["n_words"].tolist() == [0, 0]
 
 
 def test_token_stats_stage(ray_session):

@@ -160,9 +160,7 @@ def test_decontaminate_drops_exactly_contaminated(ray_session):
         assert r["text"] == corpus[r["doc_id"]]
 
 
-def test_hashed_collision_direction(ray_session):
-    """A forced 64-bit collision may only ADD contamination (drop an
-    innocent doc), never clear a genuinely contaminated one."""
+def test_hashed_matches_string_no_collision(ray_session):
     bench = ["c1 c2 c3"]
     corpus = ["c1 c2 c3 tail", "other words here"]
     got_s = (
@@ -173,10 +171,44 @@ def test_hashed_collision_direction(ray_session):
         decontam.contamination_stats(_mk(corpus), _mk(bench), n=3, match="hashed")
         .to_pandas().sort_values("doc_id")
     )
-    # string verdicts are exact; hashed must dominate them
-    assert (got_h["n_hits"] >= got_s["n_hits"]).all()
     assert got_s["contaminated"].tolist() == [True, False]
-    assert got_h["contaminated"].tolist()[0] is True or got_h["contaminated"].tolist()[0]
+    assert got_h["n_hits"].tolist() == got_s["n_hits"].tolist()
+
+
+def test_hashed_collision_direction_forced():
+    """A 64-bit collision may only ADD contamination (an innocent doc
+    flagged), never clear a genuinely contaminated one. Simulated by
+    injecting a corpus-only gram's hash into the probe's value set —
+    exactly the post-collision state — and calling the probe kernel
+    directly (no Ray actors, so no cross-process monkeypatching)."""
+    import numpy as np
+
+    from medea_ray.engine.uniqueness import _hash64
+
+    grams = pa.array(["c1 c2 c3", "x1 x2 x3"], pa.string())  # bench + collided
+    vs = np.unique(np.asarray(_hash64(grams)).view(np.int64))
+    probe = decontam._GramProbe(vs, "text", "doc_id", 3, "hashed")
+    t = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["c1 c2 c3 tail",      # genuinely contaminated
+                 "pre x1 x2 x3 post",  # innocent, collided -> extra flag
+                 "clean words only here"],
+    })
+    out = probe(t)
+    assert out.column("contaminated").to_pylist() == [True, True, False]
+    # the dangerous regression (membership logic flip) would clear row 0
+    assert out.column("n_hits").to_pylist()[0] == 1
+
+
+def test_all_null_text_block_probe(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 0, "text": None}, {"doc_id": 1, "text": None}])
+    got = decontam.contamination_stats(
+        ds, _mk(["b1 b2 b3"]), n=3
+    ).to_pandas().sort_values("doc_id")
+    assert got["n_grams"].tolist() == [0, 0]
+    assert got["contaminated"].tolist() == [False, False]
 
 
 def test_budget_raises_loudly(ray_session):
