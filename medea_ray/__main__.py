@@ -402,6 +402,46 @@ def _cmd_check(args) -> int:
     return 0 if bool(out["passed"].all()) else 1
 
 
+def _cmd_pretrain(args) -> int:
+    """Run the composed pretraining corpus-prep chain
+    (engine/pretrain.py): C4 clean → Gopher filter → exact dedup →
+    n-gram decontam → mixture re-sample → BPE token accounting. Writes
+    the surviving corpus as parquet and prints the per-stage report."""
+    files, fmt = _resolve_inputs(args.input)
+    if files is None:
+        print(fmt, file=sys.stderr)
+        return 2
+    bench_files, bench_fmt = _resolve_inputs(args.bench)
+    if bench_files is None:
+        print(bench_fmt, file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+
+    from medea_ray.engine import pretrain as pt
+
+    ds = _read_table(files, fmt, columns=[args.id_col, args.source_col, args.text_col])
+    bench_ds = _read_table(bench_files, bench_fmt, columns=[args.text_col])
+    try:
+        corpus, report = pt.prepare_corpus(
+            ds, bench_ds,
+            id_col=args.id_col, text_col=args.text_col,
+            source_col=args.source_col, target_rows=args.target_rows,
+            temperature=args.temperature, ngram_n=args.ngram_n,
+            min_lines=args.min_lines, bpe_merges=args.bpe_merges,
+        )
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    corpus.write_parquet(args.out)
+    report["out"] = args.out
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from medea_ray.fixtures.gen import write_pages
 
@@ -501,6 +541,25 @@ def main(argv=None) -> int:
     sg.add_argument("--enum-cap", type=int, default=16)
     sg.add_argument("--range-slack", type=float, default=0.0)
     sg.set_defaults(fn=_cmd_suggest_suite)
+
+    pt = sub.add_parser(
+        "pretrain",
+        help="composed corpus prep: C4 → Gopher → dedup → decontam → "
+        "mixture → BPE token accounting",
+    )
+    pt.add_argument("--input", required=True, help="corpus parquet/jsonl dir or glob")
+    pt.add_argument("--bench", required=True,
+                    help="benchmark-suite table to decontaminate against")
+    pt.add_argument("--out", required=True, help="output parquet dir")
+    pt.add_argument("--target-rows", type=int, required=True)
+    pt.add_argument("--id-col", default="url")
+    pt.add_argument("--source-col", default="lang")
+    pt.add_argument("--text-col", default="text")
+    pt.add_argument("--temperature", type=float, default=0.7)
+    pt.add_argument("--ngram-n", type=int, default=13)
+    pt.add_argument("--min-lines", type=int, default=3)
+    pt.add_argument("--bpe-merges", type=int, default=200)
+    pt.set_defaults(fn=_cmd_pretrain)
 
     g = sub.add_parser("gen-pages", help="generate the synthetic pages table")
     g.add_argument("--out", required=True)

@@ -360,3 +360,54 @@ def test_cli_suggest_suite_roundtrip(tmp_path):
     r = _run("suggest-suite", "--input", str(tmp_path / "nope"),
              "--columns", "url", "--out", str(suite))
     assert r.returncode == 2
+
+
+def test_cli_pretrain(tmp_path):
+    # tiny corpus: clean multi-line docs + a planted benchmark overlap
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = "\n".join(
+        [
+            "alpha beta gamma delta epsilon zeta.",
+            "one two three four five six.",
+            "seven eight nine ten eleven twelve more.",
+            "red orange yellow green blue indigo violet done.",
+            "north south east west upward downward sideways still.",
+        ]
+    )
+    rows = {
+        "url": [f"u{i}" for i in range(6)] + ["u_bad"],
+        "lang": ["en", "de", "en", "de", "en", "de", "en"],
+        "text": [good + f"\nunique tail line number {i} end." for i in range(6)]
+        + [good + "\nleaked question text from bench suite."],
+    }
+    corpus_dir = tmp_path / "corpus"; corpus_dir.mkdir()
+    pq.write_table(pa.table(rows), corpus_dir / "part0.parquet")
+    bench_dir = tmp_path / "bench"; bench_dir.mkdir()
+    pq.write_table(
+        pa.table({"text": ["leaked question text from bench suite."]}),
+        bench_dir / "bench.parquet",
+    )
+    out = tmp_path / "out"
+    r = _run(
+        "pretrain", "--input", str(corpus_dir), "--bench", str(bench_dir),
+        "--out", str(out), "--target-rows", "1000", "--temperature", "1.0",
+        "--ngram-n", "5", "--bpe-merges", "5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_input"] == 7
+    assert rep["n_after_decontam"] == 6  # u_bad dropped
+    assert rep["n_after_mixture"] == 6
+    assert rep["n_tokens"] > 0
+    import pyarrow.parquet as pq2
+
+    got = pq2.read_table(str(out))
+    assert got.num_rows == 6
+    assert set(got.column_names) == {"url", "lang", "text"}
+
+    # bad input exits 2 before Ray starts
+    r = _run("pretrain", "--input", str(tmp_path / "nope"), "--bench",
+             str(bench_dir), "--out", str(out), "--target-rows", "10")
+    assert r.returncode == 2
