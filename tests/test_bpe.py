@@ -211,3 +211,48 @@ def test_token_stats_stage(ray_session):
     assert got["n_tokens"].tolist() == exp_tokens
     # merges compress: fewer tokens than characters for trained words
     assert got.loc[0, "n_tokens"] < sum(len(w) for w in texts[0].split(" "))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# words never contain the split separator; everything else (including
+# the literal EOW marker chars < / w >) is fair game
+_word = st.text(
+    alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=30), st.integers(0, 30))
+def test_encode_round_trip_property(words, num_merges):
+    """For ANY trained model and ANY word (seen or unseen, including
+    marker-like text), concatenating encode_word's tokens reproduces
+    the word exactly, and every token is non-empty."""
+    wc = {}
+    for w in words:
+        if w:
+            wc[w] = wc.get(w, 0) + 2  # count 2 so pairs are mergeable
+    model = bpe.BpeModel(
+        merges=bpe._train_from_counts(sorted(wc.items()), num_merges),
+        n_words_table=len(wc),
+    )
+    for w in words + ["", "</w>", "x</w>", "</w></w>"]:
+        toks = model.encode_word(w)
+        assert "".join(toks) == w, (w, toks)
+        assert all(toks), (w, toks)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=20), st.integers(1, 25))
+def test_incremental_trainer_equals_naive_property(words, num_merges):
+    """The heap/incremental trainer must equal the recount-from-scratch
+    reference for arbitrary word tables (pins the lazy-heap argmax and
+    zero-deletion bookkeeping)."""
+    wc = {}
+    for w in words:
+        if w:
+            wc[w] = wc.get(w, 0) + 1
+    table = sorted(wc.items())
+    assert bpe._train_from_counts(table, num_merges) == naive_train(table, num_merges)
