@@ -339,6 +339,8 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
         # cosine dedup (engine/semdedup.py)
         from medea_ray.engine import cluster as _cl, semdedup as _sd
 
+        shared_vecs = {}
+
         def semdedup_bench():
             import pyarrow as pa
 
@@ -376,6 +378,7 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             vecs = rd.range(200_000).map_batches(
                 to_vecs, batch_format="pyarrow", batch_size=8192
             ).materialize()  # fit streams it per iteration; don't re-synth
+            shared_vecs["vecs"] = vecs  # reused by semantic_decontam_200k
             cent, _ = _cl.fit(vecs, k=K, n_iters=2)
             out = _sd.semantic_dedup(
                 vecs, centroids=cent, threshold=0.9, margins=False
@@ -392,6 +395,33 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             return n_dropped
 
         results["semdedup_200k"], _ = _timed(semdedup_bench)
+
+        # round 4: embedding-based benchmark decontamination over the
+        # same 200k-vector corpus — bench side = 512 corpus members, so
+        # those rows (and their planted twins) must be flagged; one
+        # matmul per batch against the broadcast normalized bench matrix
+        # (engine/similarity.py semantic_decontaminate)
+        from medea_ray.engine import similarity as _sim
+
+        def semantic_decontam_bench():
+            vecs = shared_vecs["vecs"]
+            bench_side = vecs.limit(512)
+            out = _sim.semantic_decontaminate(
+                vecs, bench_side, threshold=0.99, mode="stats",
+                batch_size=8192,
+            )
+            n = 0
+            n_bad = 0
+            for b in out.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+                n_bad += int(np.count_nonzero(
+                    b.column("contaminated").to_numpy(zero_copy_only=False)
+                ))
+            assert n == 200_000, n
+            assert 512 <= n_bad < 200_000, n_bad
+            return n_bad
+
+        results["semantic_decontam_200k"], _ = _timed(semantic_decontam_bench)
 
         # round 4: CCNet-style LM quality scoring — exact unigram train
         # over the full 600k-page corpus (one token-partial groupby),

@@ -400,3 +400,122 @@ def embedding_near_dup(
 
     # a pair found in several tables collapses to one row
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+class _SemanticProbe:
+    """Actor-pool stage for embedding-based decontamination: holds the
+    normalized benchmark matrix (fetched once per actor), each batch is
+    one matmul + row-max. Rows with a NULL vector never match (no
+    content to compare) and are kept in drop mode."""
+
+    def __init__(self, bench_ref, id_col: str, vec_col: str,
+                 threshold: float, mode: str):
+        import ray
+
+        b = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        self.bench = np.asarray(b, dtype=np.float64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.mode = mode
+
+    def _max_sims(self, batch: pa.Table) -> np.ndarray:
+        arr = batch.column(self.vec_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        sims = np.full(len(arr), -2.0)  # below any cosine: null never matches
+        if valid.any() and len(self.bench):
+            m = _normalize(_batch_matrix(batch.filter(pa.array(valid)),
+                                         self.vec_col)).astype(np.float64)
+            sims[valid] = (m @ self.bench.T).max(axis=1)
+        return sims
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and self.mode == "stats":
+            return pa.schema(
+                [(self.id_col, batch.schema.field(self.id_col).type),
+                 ("max_cosine", pa.float64()),
+                 ("contaminated", pa.bool_())]
+            ).empty_table()
+        sims = self._max_sims(batch)
+        if self.mode == "drop":
+            return batch.filter(pa.array(sims < self.threshold))
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "max_cosine": pa.array(sims, pa.float64()),
+                "contaminated": pa.array(sims >= self.threshold),
+            }
+        )
+
+
+def _bench_matrix(bench_ds, vec_col: str, budget_rows: int) -> np.ndarray:
+    """Collect + L2-normalize the benchmark embedding matrix on the
+    driver (small by the decontamination contract; loud budget — null
+    vectors contribute nothing)."""
+    parts, n = [], 0
+    for b in bench_ds.iter_batches(batch_format="pyarrow"):
+        col = b.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        if not valid.any():
+            continue
+        parts.append(_batch_matrix(b.filter(pa.array(valid)), vec_col))
+        n += parts[-1].shape[0]
+        if n > budget_rows:
+            raise ValueError(
+                f"semantic_decontaminate: benchmark side exceeds "
+                f"bench_budget_rows={budget_rows}; raise the budget "
+                "(truncating would silently keep leaked docs)"
+            )
+    if not parts:
+        return np.empty((0, 1), np.float64)
+    return _normalize(np.vstack(parts).astype(np.float64))
+
+
+def semantic_decontaminate(
+    ds,
+    bench_ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    mode: str = "drop",
+    bench_budget_rows: int = 1 << 20,
+    batch_size: int = 4096,
+    concurrency=None,
+):
+    """Embedding-based benchmark decontamination (the semantic tier
+    above exact digests and 13-gram overlap: a paraphrased benchmark
+    row shares no n-gram but sits next to it in embedding space). Drop
+    (``mode="drop"``) or flag (``mode="stats"`` →
+    ``(id, max_cosine, contaminated)``) corpus rows whose vector's max
+    cosine against ANY benchmark vector reaches ``threshold``.
+
+    Scale shape: the benchmark matrix is collected under a loud row
+    budget, L2-normalized once, broadcast once per actor; each corpus
+    batch costs ONE matmul — the corpus is never shuffled. The same
+    per-row determinism as knn_bruteforce (float64 accumulation,
+    row-independent) makes the flags layout-invariant."""
+    import ray
+
+    from medea_ray.engine.pipeline import ACTOR_NUM_CPUS, default_pool
+
+    if mode not in ("drop", "stats"):
+        raise ValueError(f"mode must be 'drop' or 'stats', got {mode!r}")
+    bench = _bench_matrix(bench_ds, vec_col, bench_budget_rows)
+    ref = ray.put(bench)
+    pool = concurrency if concurrency is not None else default_pool()
+    return ds.map_batches(
+        _SemanticProbe,
+        fn_constructor_kwargs=dict(
+            bench_ref=ref, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, mode=mode,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool,
+        num_cpus=ACTOR_NUM_CPUS,
+    )
