@@ -255,3 +255,51 @@ def mixture_sample(
         return t.filter(mask)
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)
+
+
+def score_weighted_sample(
+    ds,
+    id_col: str,
+    num_col: str,
+    denom_col: str | None = None,
+    *,
+    denom: int | None = None,
+    prefix_len: int = 6,
+    batch_size: int = 8192,
+):
+    """Quality-weighted acceptance sampling (the GPT-3 appendix-A verb,
+    determinized): keep each row with probability ``num/denom`` where
+    ``num`` is the row's integer score column and ``denom`` a per-row
+    column or constant — higher-quality rows survive proportionally
+    more often, but the decision is a pure function of the row (no RNG
+    state, stable across runs and cluster shapes).
+
+    Exact integer rule, replayable verbatim in SQL: keep iff
+    ``int(md5(id)[:k], 16) * denom < num * 16**k`` (cross-multiplied,
+    so no float boundary rows can flip between numpy and SQL). num <= 0
+    never keeps, num >= denom always keeps; null ids, null scores and
+    null/zero denominators never keep."""
+    if (denom_col is None) == (denom is None):
+        raise ValueError("exactly one of denom_col / denom required")
+    if denom is not None and denom <= 0:
+        raise ValueError("denom must be > 0")
+    scale = 16 ** prefix_len
+
+    def sample(t: pa.Table) -> pa.Table:
+        pref = _hex_prefixes(t.column(id_col).to_pylist(), prefix_len)
+        nums = t.column(num_col).to_pylist()
+        dens = (
+            t.column(denom_col).to_pylist() if denom_col is not None
+            else [denom] * len(t)
+        )
+        mask = pa.array(
+            [
+                p is not None and n is not None and d is not None and d > 0
+                and int(p, 16) * d < n * scale
+                for p, n, d in zip(pref, nums, dens)
+            ],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)

@@ -131,3 +131,70 @@ def test_expected_take_accuracy(ray_session):
     by = got.groupby("source").size()
     assert by.get("books", 0) == 200  # capped: keep-all
     assert 600 <= by.get("web", 0) <= 1000  # expect ~800
+
+
+def test_score_weighted_sample_vs_duckdb(ray_session):
+    """Exact integer cross-multiplication rule replayed in SQL: keep iff
+    int(md5(id)[:6], 16) * denom < num * 16^6."""
+    import duckdb
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "score": i % 11, "den": 10} for i in range(400)]
+    rows += [{"doc_id": None, "score": 5, "den": 10},
+             {"doc_id": 900, "score": None, "den": 10},
+             {"doc_id": 901, "score": 5, "den": None},
+             {"doc_id": 902, "score": 5, "den": 0},
+             {"doc_id": 903, "score": 0, "den": 10},   # never kept
+             {"doc_id": 904, "score": 99, "den": 10}]  # always kept
+    ds = rd.from_items(rows).repartition(4)
+    got = (
+        sampling.score_weighted_sample(ds, "doc_id", "score", "den")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("c", pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "score": [r["score"] for r in rows],
+        "den": [r["den"] for r in rows],
+    }))
+    oracle = con.execute(
+        """
+        SELECT doc_id FROM c
+        WHERE doc_id IS NOT NULL AND score IS NOT NULL
+          AND den IS NOT NULL AND den > 0
+          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+              * den < score * 16777216
+        ORDER BY doc_id
+        """
+    ).fetch_df()
+    assert got["doc_id"].tolist() == oracle["doc_id"].tolist()
+    ids = set(got["doc_id"])
+    assert 903 not in ids and 904 in ids
+    assert 0 < len(got) < len(rows)  # non-vacuous both directions
+
+
+def test_score_weighted_sample_rate_band(ray_session):
+    import ray.data as rd
+
+    # constant denom: score 3/10 -> ~30% survival, score 9/10 -> ~90%
+    rows = [{"doc_id": i, "score": 3} for i in range(2000)]
+    rows += [{"doc_id": i + 10_000, "score": 9} for i in range(2000)]
+    got = sampling.score_weighted_sample(
+        rd.from_items(rows), "doc_id", "score", denom=10
+    ).to_pandas()
+    lo = (got["doc_id"] < 10_000).sum()
+    hi = (got["doc_id"] >= 10_000).sum()
+    assert 450 <= lo <= 750       # ~600 expected
+    assert 1650 <= hi <= 1950     # ~1800 expected
+
+
+def test_score_weighted_sample_bad_args(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 1, "score": 1}])
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.score_weighted_sample(ds, "doc_id", "score")
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.score_weighted_sample(ds, "doc_id", "score", "den", denom=10)
+    with pytest.raises(ValueError, match="denom must be"):
+        sampling.score_weighted_sample(ds, "doc_id", "score", denom=0)
