@@ -422,6 +422,7 @@ def _run_suite_inner(num_cpus: int, scaling_only: bool) -> dict:
             return n_bad
 
         results["semantic_decontam_200k"], _ = _timed(semantic_decontam_bench)
+        shared_vecs.clear()  # release the 200k-vector blocks before later benches
 
         # round 4: CCNet-style LM quality scoring — exact unigram train
         # over the full 600k-page corpus (one token-partial groupby),

@@ -146,6 +146,8 @@ def mixture_rates(
         raise ValueError("exactly one of weights / temperature required")
     if not counts:
         raise ValueError("mixture_rates: empty source counts")
+    if not 1 <= prefix_len <= 32:
+        raise ValueError(f"prefix_len must be in [1, 32], got {prefix_len}")
     if target_rows < 0:
         raise ValueError("target_rows must be >= 0")
     if weights is not None:
@@ -283,6 +285,10 @@ def score_weighted_sample(
         raise ValueError("exactly one of denom_col / denom required")
     if denom is not None and denom <= 0:
         raise ValueError("denom must be > 0")
+    if not 1 <= prefix_len <= 32:
+        # md5 hex is 32 chars: a longer prefix_len would silently compare
+        # a 32-char prefix against a bigger scale (rate drifts to ~100%)
+        raise ValueError(f"prefix_len must be in [1, 32], got {prefix_len}")
     scale = 16 ** prefix_len
 
     def sample(t: pa.Table) -> pa.Table:

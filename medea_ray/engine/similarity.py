@@ -428,7 +428,13 @@ class _SemanticProbe:
         if valid.any() and len(self.bench):
             m = _normalize(_batch_matrix(batch.filter(pa.array(valid)),
                                          self.vec_col)).astype(np.float64)
-            sims[valid] = (m @ self.bench.T).max(axis=1)
+            s = (m @ self.bench.T).max(axis=1)
+            # a NaN element inside a corpus vector (null list element /
+            # NaN float) makes its similarity NaN; treat it like a null
+            # vector — never contaminated, KEPT in drop mode — so drop
+            # stays the exact complement of stats
+            s[~np.isfinite(s)] = -2.0
+            sims[valid] = s
         return sims
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -441,10 +447,15 @@ class _SemanticProbe:
         sims = self._max_sims(batch)
         if self.mode == "drop":
             return batch.filter(pa.array(sims < self.threshold))
+        # -2.0 is an internal sentinel (null / non-finite vector): emit a
+        # NULL max_cosine, never a fabricated out-of-range similarity
+        cos = pa.array(
+            [None if v == -2.0 else float(v) for v in sims], pa.float64()
+        )
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "max_cosine": pa.array(sims, pa.float64()),
+                "max_cosine": cos,
                 "contaminated": pa.array(sims >= self.threshold),
             }
         )
@@ -472,7 +483,15 @@ def _bench_matrix(bench_ds, vec_col: str, budget_rows: int) -> np.ndarray:
             )
     if not parts:
         return np.empty((0, 1), np.float64)
-    return _normalize(np.vstack(parts).astype(np.float64))
+    m = _normalize(np.vstack(parts).astype(np.float64))
+    if not np.isfinite(m).all():
+        # one NaN benchmark vector would poison max-cosine for EVERY
+        # corpus row (silently dropping the whole corpus in drop mode)
+        raise ValueError(
+            "semantic_decontaminate: benchmark embeddings contain NaN/"
+            "null elements; clean the benchmark side first"
+        )
+    return m
 
 
 def semantic_decontaminate(
@@ -506,7 +525,9 @@ def semantic_decontaminate(
     if mode not in ("drop", "stats"):
         raise ValueError(f"mode must be 'drop' or 'stats', got {mode!r}")
     bench = _bench_matrix(bench_ds, vec_col, bench_budget_rows)
-    ref = ray.put(bench)
+    # small matrices ride in the constructor args directly (object-store
+    # refs in constructor args make actor restarts fragile, ray#53727)
+    ref = bench if bench.nbytes < (1 << 20) else ray.put(bench)
     pool = concurrency if concurrency is not None else default_pool()
     return ds.map_batches(
         _SemanticProbe,

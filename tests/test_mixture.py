@@ -198,3 +198,18 @@ def test_score_weighted_sample_bad_args(ray_session):
         sampling.score_weighted_sample(ds, "doc_id", "score", "den", denom=10)
     with pytest.raises(ValueError, match="denom must be"):
         sampling.score_weighted_sample(ds, "doc_id", "score", denom=0)
+
+
+def test_prefix_len_validated(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 1, "score": 1, "source": "a"}])
+    with pytest.raises(ValueError, match="prefix_len"):
+        sampling.score_weighted_sample(ds, "doc_id", "score", denom=10,
+                                       prefix_len=40)
+    with pytest.raises(ValueError, match="prefix_len"):
+        sampling.score_weighted_sample(ds, "doc_id", "score", denom=10,
+                                       prefix_len=0)
+    with pytest.raises(ValueError, match="prefix_len"):
+        sampling.mixture_rates({"a": 1}, target_rows=1, temperature=1.0,
+                               prefix_len=0)

@@ -125,3 +125,38 @@ def test_layout_invariance(ray_session):
         ).to_pandas().sort_values("vec_id")
         flags.append(got["contaminated"].tolist())
     assert flags[0] == flags[1]
+
+
+def test_nan_bench_vector_raises_loudly(ray_session):
+    vecs, _ = _corpus(n=6)
+    bad_bench = [[1.0, float("nan")] + [0.0] * 6]
+    with pytest.raises(Exception, match="NaN"):
+        similarity.semantic_decontaminate(
+            _mk(range(len(vecs)), vecs), _mk([0], bad_bench), threshold=0.5
+        ).to_pandas()
+
+
+def test_nan_corpus_vector_kept_and_null_cosine(ray_session):
+    # a NaN element in a CORPUS vector behaves like a null vector: never
+    # contaminated, kept in drop mode, NULL max_cosine in stats (the
+    # -2.0 sentinel must not leak)
+    vecs, bench = _corpus(seed=2, n=6)
+    rows = list(vecs) + [[float("nan")] + [0.0] * 7]
+    ids = list(range(6)) + [99]
+    stats = similarity.semantic_decontaminate(
+        _mk(ids, rows), _mk(range(len(bench)), bench),
+        threshold=0.98, mode="stats",
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    row99 = stats[stats["vec_id"] == 99].iloc[0]
+    assert not bool(row99["contaminated"])
+    assert row99["max_cosine"] != row99["max_cosine"]  # NULL -> NaN in pandas
+    # finite rows carry real cosines in [-1, 1]
+    finite = stats[stats["vec_id"] != 99]["max_cosine"]
+    assert ((finite >= -1.0) & (finite <= 1.0)).all()
+    kept_ds = similarity.semantic_decontaminate(
+        _mk(ids, rows), _mk(range(len(bench)), bench), threshold=0.98
+    )
+    kept_ids = set()
+    for b in kept_ds.iter_batches(batch_format="pyarrow"):
+        kept_ids.update(b.column("vec_id").to_pylist())
+    assert 99 in kept_ids
