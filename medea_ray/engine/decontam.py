@@ -199,15 +199,20 @@ def filter_not_in_ds(
     budget_rows: int = 1 << 22,
     n_buckets: int | None = None,
     concurrency=(1, 8),
+    stats_out: dict | None = None,
 ):
     """Budget-aware anti-join: drop rows of ``ds`` whose ``col`` appears
     in ``values_ds[value_col]``. While the value set fits ``budget_rows``
     it is broadcast once (``filter_not_in``); above the budget the filter
     runs in hash-bucket passes (``anti_filter_bucketed``). Cardinality and
     bytes are always logged, never silent — the 100-TB guard the
-    broadcast-only path lacks."""
+    broadcast-only path lacks. When ``stats_out`` is a dict, the value-set
+    cardinality is stored as ``stats_out["n_dropped"]`` (== rows dropped
+    iff ``col`` is unique per row and every value occurs in ``ds``)."""
     values_ds = values_ds.materialize()  # value column only — never payloads
     n = values_ds.count()
+    if stats_out is not None:
+        stats_out["n_dropped"] = n
     _log.info(
         "filter_not_in_ds: anti-join value set: %d rows, %d bytes (budget %d rows)",
         n, values_ds.size_bytes() or 0, budget_rows,
@@ -371,7 +376,10 @@ def benchmark_gram_set(
         for g in b.column("gram").to_pylist():
             if g not in grams:
                 grams.add(g)
-                nbytes += len(g) + 56  # str object overhead estimate
+                # UTF-8 byte length, not len(g): multibyte gram text would
+                # undercount real memory and trip the loud budget guard
+                # too late on non-ASCII benchmark suites
+                nbytes += len(g.encode()) + 56  # + str object overhead
                 if nbytes > budget_bytes:
                     raise ValueError(
                         f"benchmark_gram_set: gram set exceeds budget_bytes="

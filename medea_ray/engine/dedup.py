@@ -149,6 +149,7 @@ def dedup_exact(
     concurrency=(1, 8),
     drop_budget_rows: int = 1 << 22,
     n_buckets: int | None = None,
+    stats_out: dict | None = None,
 ):
     """Keep one row per distinct text (min-``id_col`` survivor). Returns
     the deduplicated Dataset (all original columns).
@@ -178,6 +179,11 @@ def dedup_exact(
     within a group — every row sharing the survivor's id value is kept,
     never dropped — but an id duplicated across two *different* texts can
     drop more than intended; pre-assign a unique id upstream in that case.
+
+    When ``stats_out`` is a dict, ``stats_out["n_dropped"]`` receives the
+    dropped id-set cardinality (== rows dropped under the unique-id
+    precondition) so callers can derive the survivor count without an
+    extra pass over the output (pretrain.prepare_corpus's accounting).
     """
     import pyarrow.compute as pc
 
@@ -224,6 +230,7 @@ def dedup_exact(
         budget_rows=drop_budget_rows,
         n_buckets=n_buckets,
         concurrency=concurrency,
+        stats_out=stats_out,
     )
 
 

@@ -14,12 +14,28 @@ adds only the composition and its per-stage accounting):
   5. domain-mixture re-sampling   (sampling.mixture_sample)
   6. BPE train + token accounting (bpe.train_bpe / token_stats)
 
-Each stage materializes its (id, source, text) survivor set before the
-next — at real scale these are the parquet checkpoint boundaries a
-resumable run writes anyway (engine/pipeline.py's manifest layout),
-and materializing keeps every count a metadata read instead of a
-re-execution. Only ids/digests/gram sets ever cross an exchange; the
-text column moves exclusively through stateless map_batches stages.
+Scale shape — the full corpus is materialized exactly TWICE end to end
+(the two multi-consumption boundaries), never per stage:
+
+- Stages 1–2 are adjacent stateless filters, fused into ONE
+  ``map_batches`` pass; their per-stage survivor counts ride along as
+  one tiny counter row per batch (the integer-partial pattern of
+  ``engine/infer.py``) instead of a ``materialize().count()`` each.
+- Materialization #1 (post-Gopher) feeds dedup, which consumes its
+  input twice (digest groupby + anti-filter) — both re-scans of the
+  materialized blocks.
+- The dedup survivor count is derived arithmetically from the dropped
+  id-set cardinality (``stats_out``; exact under dedup_exact's
+  documented unique-``id_col`` precondition) so the dedup→decontam leg
+  stays one streaming pass.
+- Materialization #2 (post-decontam) feeds the mixture sampler, which
+  consumes its input twice (source-count pass + filter pass — its
+  documented double-consumption contract).
+- The mixture output (already shrunk to ~``target_rows``) is
+  materialized for the BPE trainer's two passes and returned.
+
+Only ids/digests/gram sets ever cross an exchange; the text column
+moves exclusively through stateless map_batches stages.
 
 The reference (juspay/medea) has no corpus surface; this composition
 is the north rule's training-data engine scope end-to-end.
@@ -37,6 +53,10 @@ from medea_ray.engine.arrow_util import as_array as _as_array
 from medea_ray.engine.arrow_util import as_filled_strings
 
 _log = logging.getLogger(__name__)
+
+# sidecar column carrying the per-batch (n_in, n_after_c4,
+# n_after_gopher) integer partials; null on every survivor row
+_COUNTS_COL = "_pp_counts"
 
 
 def prepare_corpus(
@@ -60,9 +80,13 @@ def prepare_corpus(
     ``id_col``, ``source_col``, ``text_col``); ``bench_ds`` is the
     evaluation suite to decontaminate against (its ``text_col``).
 
+    ``id_col`` must be unique per row (dedup_exact's keep-one
+    precondition; the dedup survivor count is derived from the dropped
+    id-set cardinality).
+
     Returns ``(corpus, report)``: the surviving ``(id, source, text)``
-    Dataset (cleaned text) and an integer report with per-stage
-    survivor counts plus the final token accounting."""
+    Dataset (cleaned text, materialized) and an integer report with
+    per-stage survivor counts plus the final token accounting."""
     from medea_ray.engine import bpe as _bpe
     from medea_ray.engine import dedup as _dedup
     from medea_ray.engine import decontam as _decontam
@@ -70,65 +94,114 @@ def prepare_corpus(
     from medea_ray.engine.c4 import clean_batch
     from medea_ray.engine.gopher import GOPHER_MAX_FRAC, repetition_kernel
 
-    report: dict = {}
-    cur = ds.select_columns([id_col, source_col, text_col]).materialize()
-    report["n_input"] = cur.count()
+    th = GOPHER_MAX_FRAC if gopher_thresholds is None else gopher_thresholds
 
-    # 1. C4 line cleaning: keep docs passing the line/doc rules, text
-    # becomes the kept-lines re-join; id/source carried through
-    def c4_stage(t: pa.Table) -> pa.Table:
+    # Stages 1+2 fused: C4 line cleaning (keep docs passing the
+    # line/doc rules; text becomes the kept-lines re-join) then the
+    # Gopher repetition filter (drop docs whose top/dup n-gram char
+    # FRACTION exceeds the Table A1 thresholds — the exact
+    # ``v / denom > mx`` comparison form of gopher.flag_repetitive, so
+    # the composed stage agrees with the standalone filter on boundary
+    # rows; zero-char docs are never flagged). Each batch additionally
+    # emits ONE counter row holding its integer partials.
+    def c4_gopher_stage(t: pa.Table) -> pa.Table:
         out = clean_batch(
             t.column(text_col),
             min_words_per_line=min_words_per_line,
             min_lines=min_lines,
         )
         kept = _as_array(out.column("kept"))
-        return pa.table(
-            {
-                id_col: _as_array(t.column(id_col)).filter(kept),
-                source_col: _as_array(t.column(source_col)).filter(kept),
-                text_col: _as_array(out.column("clean_text")).filter(kept),
-            }
-        )
+        ids = _as_array(t.column(id_col)).filter(kept)
+        srcs = _as_array(t.column(source_col)).filter(kept)
+        texts = _as_array(out.column("clean_text")).filter(kept)
+        n_in, n_c4 = len(t), len(ids)
 
-    cur = cur.map_batches(
-        c4_stage, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()
-    report["n_after_c4"] = cur.count()
-
-    # 2. Gopher repetition filter: drop docs whose top/dup n-gram char
-    # coverage exceeds the Table A1 fractions (zero-char docs never
-    # flagged — same rule as gopher.flag_repetitive)
-    th = GOPHER_MAX_FRAC if gopher_thresholds is None else gopher_thresholds
-
-    def gopher_stage(t: pa.Table) -> pa.Table:
-        texts = as_filled_strings(t.column(text_col))
-        stats = repetition_kernel(texts)
-        denom = pc.utf8_length(texts).to_numpy().astype(np.float64)
-        bad = np.zeros(len(t), bool)
+        filled = as_filled_strings(texts)
+        stats = repetition_kernel(filled)
+        denom = pc.utf8_length(filled).to_numpy().astype(np.float64)
+        bad = np.zeros(n_c4, bool)
         nz = denom > 0
         for metric, frac in th.items():
             if metric in stats:
-                bad[nz] |= stats[metric][nz] > frac * denom[nz]
-        return t.filter(pa.array(~bad))
+                v = stats[metric].astype(np.float64)
+                bad[nz] |= v[nz] / denom[nz] > frac
+        keep2 = pa.array(~bad)
+        ids, srcs, texts = ids.filter(keep2), srcs.filter(keep2), texts.filter(keep2)
+        n_gopher = len(ids)
 
-    cur = cur.map_batches(
-        gopher_stage, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()
-    report["n_after_gopher"] = cur.count()
+        counts_t = pa.list_(pa.int64())
+        surv = pa.table({
+            id_col: ids,
+            source_col: srcs,
+            text_col: texts,
+            _COUNTS_COL: pa.nulls(n_gopher, counts_t),
+        })
+        counter = pa.table({
+            id_col: pa.nulls(1, ids.type),
+            source_col: pa.nulls(1, srcs.type),
+            text_col: pa.nulls(1, texts.type),
+            _COUNTS_COL: pa.array([[n_in, n_c4, n_gopher]], counts_t),
+        })
+        return pa.concat_tables([surv, counter])
 
-    # 3. exact dedup (keep-first by id; digest-only exchange)
-    cur = _dedup.dedup_exact(cur, id_col, text_col).materialize()
-    report["n_after_dedup"] = cur.count()
+    # materialization #1 (of 2): the multi-consumption boundary for the
+    # counter roll-up + dedup's two passes
+    mat1 = (
+        ds.select_columns([id_col, source_col, text_col])
+        .map_batches(c4_gopher_stage, batch_format="pyarrow", batch_size=batch_size)
+        .materialize()
+    )
 
-    # 4. n-gram benchmark decontamination
+    def counter_rows(t: pa.Table) -> pa.Table:
+        lists = _as_array(
+            t.column(_COUNTS_COL).filter(pc.is_valid(t.column(_COUNTS_COL)))
+        )
+        flat = np.asarray(lists.flatten()).reshape(-1, 3)
+        return pa.table({
+            "n_in": pa.array(flat[:, 0], pa.int64()),
+            "n_c4": pa.array(flat[:, 1], pa.int64()),
+            "n_gopher": pa.array(flat[:, 2], pa.int64()),
+        })
+
+    sums = mat1.map_batches(counter_rows, batch_format="pyarrow").sum(
+        ["n_in", "n_c4", "n_gopher"]
+    )
+    report: dict = {
+        "n_input": int(sums["sum(n_in)"]),
+        "n_after_c4": int(sums["sum(n_c4)"]),
+        "n_after_gopher": int(sums["sum(n_gopher)"]),
+    }
+
+    def survivor_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(_COUNTS_COL))).drop_columns(
+            [_COUNTS_COL]
+        )
+
+    survivors = mat1.map_batches(survivor_rows, batch_format="pyarrow")
+
+    # 3. exact dedup (keep-first by id; digest-only exchange) chained
+    # lazily into 4. n-gram benchmark decontamination — one streaming
+    # pass over the materialized survivors, no boundary materialization
+    # (the dedup survivor count comes from the drop-set cardinality)
+    dedup_stats: dict = {}
+    cur = _dedup.dedup_exact(
+        survivors, id_col, text_col, stats_out=dedup_stats
+    )
     cur = _decontam.decontaminate_ngrams(
         cur, bench_ds, text_col, n=ngram_n, id_col=id_col,
         batch_size=batch_size,
-    ).materialize()
+    )
+    # materialization #2 (of 2): the multi-consumption boundary for the
+    # mixture sampler's count + filter passes
+    cur = cur.materialize()
+    report["n_after_dedup"] = report["n_after_gopher"] - int(
+        dedup_stats["n_dropped"]
+    )
     report["n_after_decontam"] = cur.count()
 
-    # 5. domain-mixture re-sampling (temperature reweighting)
+    # 5. domain-mixture re-sampling (temperature reweighting) — the
+    # output is already shrunk toward target_rows, so materializing it
+    # for the BPE trainer's two passes is a small-corpus materialize
     cur = _sampling.mixture_sample(
         cur, id_col, source_col, target_rows=target_rows,
         temperature=temperature, batch_size=batch_size,

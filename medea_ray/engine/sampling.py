@@ -210,7 +210,14 @@ def mixture_sample(
     composition: one tiny integer groupby for the observed counts, then
     the embarrassingly-parallel md5-prefix filter (no shuffle of data,
     no RNG state — the same row keeps/drops on every run and cluster
-    shape). Null sources and null ids are never sampled."""
+    shape). Null sources and null ids are never sampled.
+
+    CONSUMES ``ds`` TWICE (the count pass, then the filter pass on the
+    returned dataset) — the same re-consumption contract as
+    ``substr.mask_dup_spans``. Pass a materialized Dataset (as
+    ``pretrain.prepare_corpus`` does): a lazy expensive upstream would
+    re-execute in full, and a nondeterministic one could be counted on
+    different rows than it filters."""
     import logging
 
     from ray.data.aggregate import Sum
