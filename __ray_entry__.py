@@ -66,23 +66,20 @@ def _pii_flag_sql(expr: str) -> str:
     )
 
 
-def _gopher_sql() -> str:
-    """From-scratch DuckDB recomputation of every Gopher repetition
-    integer (engine/gopher.py contract): words via string_split(' '),
-    n-grams via list_slice + array_to_string, top{n}_chars =
-    max(count*gram_chars), dup{n}_chars = span-union covered word chars
-    of within-doc duplicated n-grams. Built FROM gopher.TOP_NS/DUP_NS
-    and queries.GOPHER_PLANT so a constant edit can never desynchronize
-    the two sides."""
+def _gopher_stats_fragment() -> str:
+    """WITH-body fragment computing per-doc Gopher repetition integers
+    over an upstream CTE ``d(doc_id, text)``: words via
+    string_split(' '), n-grams via list_slice + array_to_string,
+    top{n}_chars = max(count*gram_chars), dup{n}_chars = span-union
+    covered word chars of within-doc duplicated n-grams. Built FROM
+    gopher.TOP_NS/DUP_NS so a constant edit can never desynchronize the
+    two sides. Exposes the final per-doc stats as a CTE named ``gst``
+    (doc_id, n_text_chars, n_words, top*/dup* columns); reserves the
+    CTE names s, w, g{n}, c{n}, top{n}, cov{n}, dup{n}."""
     from medea_ray.engine.gopher import DUP_NS, TOP_NS
 
     parts = [
-        f"""
-        d AS (SELECT doc_id,
-                COALESCE(text,'') ||
-                  CASE WHEN doc_id % 5 = 1 THEN '{q.GOPHER_PLANT}' ELSE '' END
-                  AS text
-              FROM documents WHERE doc_id IS NOT NULL),
+        """
         s AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM d),
         w AS (SELECT doc_id, i, length(ws[i]) AS wl
               FROM (SELECT doc_id, ws,
@@ -124,12 +121,154 @@ def _gopher_sql() -> str:
         sel.append(f"CAST(COALESCE(dup{n}.v, 0) AS BIGINT) AS dup{n}_chars")
         joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = s.doc_id")
     return (
-        "WITH "
-        + ",".join(parts)
-        + " SELECT "
+        ",".join(parts)
+        + ", gst AS (SELECT "
         + ", ".join(sel)
         + " FROM s "
         + " ".join(joins)
+        + ")"
+    )
+
+
+def _gopher_sql() -> str:
+    """Standalone gopher_repetition_stats oracle: the planted documents
+    corpus (queries.GOPHER_PLANT on doc_id % 5 == 1) fed through the
+    shared repetition fragment."""
+    return (
+        f"""WITH d AS (SELECT doc_id,
+                COALESCE(text,'') ||
+                  CASE WHEN doc_id % 5 = 1 THEN '{q.GOPHER_PLANT}' ELSE '' END
+                  AS text
+              FROM documents WHERE doc_id IS NOT NULL), """
+        + _gopher_stats_fragment()
+        + " SELECT * FROM gst"
+    )
+
+
+def _pretrain_prep_sql() -> str:
+    """From-scratch DuckDB replay of the SIX-stage pretrain.prepare_corpus
+    composition over the planted corpus (queries._pretrain_plant_batch):
+
+    1. the shared C4 plant (7-word lines, punct by (doc_id+ln)%5,
+       lorem/brace victims) with SPAM/DUP CASE overrides;
+    2. C4 line cleaning via list_filter (byte-exact clean text);
+    3. Gopher repetition stats via the shared fragment, flagged with the
+       engine's exact v/denom > frac comparison per GOPHER_MAX_FRAC;
+    4. exact dedup: md5(clean_text) groups, min-doc_id survivor;
+    5. 5-gram decontamination vs the raw planted texts of doc_id % 20;
+    6. the closed-form md5-prefix mixture thresholds (integer weights,
+       every float op an exact IEEE division both sides) and the final
+       corpus word count.
+
+    BPE cannot be replayed in SQL: n_merges is pinned as the requested
+    constant (the trainer must complete all merges on this corpus) and
+    tokens_ok is engine-side (independent rank-order re-encode)."""
+    from medea_ray.engine.gopher import GOPHER_MAX_FRAC
+
+    flag = " OR ".join(
+        f"CAST(gst.{m} AS DOUBLE) / gst.n_text_chars > {frac!r}"
+        for m, frac in GOPHER_MAX_FRAC.items()
+    )
+    n = q.PRETRAIN_NGRAM_N
+    wts = ", ".join(f"('{s}', {w})" for s, w in q.PRETRAIN_MIX_WEIGHTS.items())
+    wsum = float(sum(q.PRETRAIN_MIX_WEIGHTS.values()))
+    target = q.PRETRAIN_TARGET_ROWS
+    take = f"{target} * (CAST(wt.w AS DOUBLE) / {wsum!r})"
+    return (
+        f"""WITH base AS (
+          SELECT doc_id, lang, string_split(COALESCE(text,''), ' ') AS bws
+          FROM documents WHERE doc_id IS NOT NULL
+        ), lns AS (
+          SELECT doc_id, bws,
+                 unnest(generate_series(0, CAST((len(bws)-1)//7 AS BIGINT))) AS ln
+          FROM base
+        ), plin AS (
+          SELECT doc_id, ln,
+                 array_to_string(bws[ln*7+1 : ln*7+7], ' ')
+                 || CASE CAST((doc_id + ln) % 5 AS INTEGER)
+                      WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+                      WHEN 3 THEN '"' ELSE '' END AS line
+          FROM lns
+        ), nat AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY ln)
+                 || CASE WHEN doc_id % 97 = 0
+                         THEN chr(10) || '{q._C4_LOREM}' ELSE '' END
+                 || CASE WHEN doc_id % 89 = 0
+                         THEN chr(10) || '{q._C4_BRACE}' ELSE '' END AS text
+          FROM plin GROUP BY doc_id
+        ), planted AS (
+          SELECT b.doc_id, b.lang,
+                 CASE WHEN b.doc_id % {q.PRETRAIN_SPAM_MOD} = 0
+                        THEN '{q.PRETRAIN_SPAM}'
+                      WHEN b.doc_id % {q.PRETRAIN_DUP_MOD} = 0
+                        THEN '{q.PRETRAIN_DUP}'
+                      ELSE n.text END AS text
+          FROM base b JOIN nat n USING (doc_id)
+        ), c4t AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split(text, chr(10)),
+                             l -> right(l,1) IN ('.','!','?','"')
+                                  AND len(string_split(l,' ')) >= 5) AS kept_ls
+          FROM planted
+        ), surv1 AS (
+          SELECT doc_id, lang, array_to_string(kept_ls, chr(10)) AS text
+          FROM c4t
+          WHERE len(kept_ls) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')
+        ), d AS (SELECT doc_id, text FROM surv1), """
+        + _gopher_stats_fragment()
+        + f""", surv2 AS (
+          SELECT s1.doc_id, s1.lang, s1.text
+          FROM surv1 s1 JOIN gst ON gst.doc_id = s1.doc_id
+          WHERE NOT (gst.n_text_chars > 0 AND ({flag}))
+        ), ded AS (
+          SELECT md5(text) AS key, min(doc_id) AS sdoc FROM surv2 GROUP BY 1
+        ), surv3 AS (
+          SELECT s2.* FROM surv2 s2 JOIN ded ON ded.sdoc = s2.doc_id
+        ), bw AS (
+          SELECT string_split(COALESCE(text,''), ' ') AS w
+          FROM planted WHERE doc_id % {q.PRETRAIN_BENCH_MOD} = 0
+        ), bgrams AS (
+          SELECT DISTINCT array_to_string(list_slice(w, i, i+{n - 1}), ' ') AS g
+          FROM (SELECT w, unnest(generate_series(1, len(w) - {n} + 1)) AS i FROM bw)
+        ), cgrams AS (
+          SELECT doc_id, array_to_string(list_slice(w, i, i+{n - 1}), ' ') AS g
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n} + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM surv3))
+        ), hits AS (
+          SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+        ), surv4 AS (
+          SELECT * FROM surv3 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ), cnts AS (
+          SELECT lang AS s, CAST(count(*) AS BIGINT) AS cnt FROM surv4
+          WHERE lang IS NOT NULL GROUP BY 1
+        ), wt(s, w) AS (VALUES {wts}),
+        th AS (
+          SELECT c.s,
+                 CASE WHEN c.cnt <= 0 OR {take} <= 0 THEN '000000'
+                      WHEN {take} >= c.cnt THEN 'g'
+                      ELSE printf('%06x',
+                             CAST(trunc({take} / c.cnt * 16777216) AS BIGINT))
+                 END AS t
+          FROM cnts c JOIN wt ON wt.s = c.s
+        ), surv5 AS (
+          SELECT s4.* FROM surv4 s4 JOIN th ON th.s = s4.lang
+          WHERE substr(md5(CAST(s4.doc_id AS VARCHAR)), 1, 6) < th.t
+        )
+        SELECT
+          CAST((SELECT count(*) FROM planted) AS BIGINT) AS n_input,
+          CAST((SELECT count(*) FROM surv1) AS BIGINT) AS n_after_c4,
+          CAST((SELECT count(*) FROM surv2) AS BIGINT) AS n_after_gopher,
+          CAST((SELECT count(*) FROM surv3) AS BIGINT) AS n_after_dedup,
+          CAST((SELECT count(*) FROM surv4) AS BIGINT) AS n_after_decontam,
+          CAST((SELECT count(*) FROM surv5) AS BIGINT) AS n_after_mixture,
+          CAST({q.PRETRAIN_BPE_MERGES} AS BIGINT) AS n_merges,
+          CAST((SELECT COALESCE(SUM(
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))), 0)
+                FROM surv5) AS BIGINT) AS n_words,
+          TRUE AS tokens_ok
+        """
     )
 
 
@@ -369,8 +508,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-green), and the callable stays pytest-covered. Its slot
         # holds the TF-IDF top-keyword query.
         "doc_top_keyword": q.doc_top_keyword,
-        # composed corpus-prep flagship (filter→dedup→decontaminate→sample)
-        "corpus_prep": q.corpus_prep,
+        # corpus_prep retired round 5 for the SIX-stage composed
+        # pretraining report (pretrain_prep_report): the new row
+        # transitively pins C4 cleaning, Gopher filtering, exact dedup
+        # (min-id survivor via the same budget-aware filter_not_in_ds
+        # anti-join corpus_prep exercised), n-gram decontamination,
+        # weighted-mixture sampling (md5-prefix machinery also green via
+        # doc_stratified_sample) and BPE accounting in ONE oracle row —
+        # strictly more composition than corpus_prep's four stages. The
+        # corpus_prep callable stays in engine.queries, pytest-covered
+        # and still driven by entry().
+        "pretrain_prep_report": q.pretrain_prep_report,
         # ordered / windowed operators (engine/window.py)
         "user_sessions": q.user_sessions,
         "clicks_last_purchase": q.clicks_last_purchase,
@@ -625,20 +773,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         """,
-        "corpus_prep": """
-            WITH filtered AS (
-              SELECT doc_id, md5(substr(text, 1, 40)) AS key
-              FROM documents
-              WHERE text IS NOT NULL AND n_chars BETWEEN 100 AND 400),
-            deduped AS (
-              SELECT key, min(doc_id) AS doc_id FROM filtered GROUP BY key),
-            banned AS (
-              SELECT DISTINCT md5(substr(text, 1, 40)) AS key FROM documents
-              WHERE doc_id % 20 = 0 AND text IS NOT NULL)
-            SELECT doc_id FROM deduped
-            WHERE key NOT IN (SELECT key FROM banned)
-              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
-        """,
+        "pretrain_prep_report": _pretrain_prep_sql(),
         # distinguishing keyword: candidates under the df ceiling
         # (df*5 <= n_docs*4 == df <= floor(0.8*N), integer-only), winner
         # by (tf desc, df asc, token asc) row_number — recomputed from

@@ -68,6 +68,7 @@ def prepare_corpus(
     source_col: str = "lang",
     target_rows: int,
     temperature: float = 0.7,
+    mixture_weights: dict | None = None,
     ngram_n: int = 13,
     min_words_per_line: int = 5,
     min_lines: int = 3,
@@ -75,6 +76,7 @@ def prepare_corpus(
     bpe_merges: int = 200,
     bpe_min_count: int = 2,
     batch_size: int = 4096,
+    artifacts_out: dict | None = None,
 ):
     """Run the six-stage pretraining prep over ``ds`` (columns
     ``id_col``, ``source_col``, ``text_col``); ``bench_ds`` is the
@@ -202,9 +204,14 @@ def prepare_corpus(
     # 5. domain-mixture re-sampling (temperature reweighting) — the
     # output is already shrunk toward target_rows, so materializing it
     # for the BPE trainer's two passes is a small-corpus materialize
+    # explicit integer weights (Pile-style) take precedence over the
+    # temperature form when provided — mixture_sample requires exactly
+    # one of the two
     cur = _sampling.mixture_sample(
         cur, id_col, source_col, target_rows=target_rows,
-        temperature=temperature, batch_size=batch_size,
+        weights=mixture_weights,
+        temperature=None if mixture_weights is not None else temperature,
+        batch_size=batch_size,
     ).materialize()
     report["n_after_mixture"] = cur.count()
 
@@ -213,6 +220,10 @@ def prepare_corpus(
         cur, text_col, num_merges=bpe_merges, min_count=bpe_min_count,
         batch_size=batch_size,
     )
+    if artifacts_out is not None:
+        # non-JSON artifacts ride separately from the integer report
+        # (the CLI json.dumps the report verbatim)
+        artifacts_out["bpe_model"] = model
     report["n_merges"] = len(model.merges)
     stats_ds = _bpe.token_stats(
         cur, model, text_col, id_col=id_col, batch_size=batch_size

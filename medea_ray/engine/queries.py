@@ -1537,6 +1537,54 @@ def _chunk(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _c4_plant_batch(t: pa.Table, carry_cols: tuple = ()) -> pa.Table:
+    """Shared C4 planting kernel (see c4_clean_docs docstring): chunk
+    the fixture words into 7-word lines, append '.', '!', '?', '\"' or
+    nothing by (doc_id + line_no) % 5, and add lorem-ipsum /
+    curly-brace victim lines on doc_id % 97 / % 89. Null doc_ids are
+    dropped (no stable plant). ``carry_cols`` ride through unchanged
+    (same row mask)."""
+    t = t.filter(pc.is_valid(t.column("doc_id")))
+    idn = _chunk(t.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = pc.fill_null(_chunk(t.column("text")), "")
+    la = _chunk(pc.split_pattern(texts, " "))
+    cnts = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = pc.cast(_chunk(la.flatten()), pa.string())
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])
+    word_pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], cnts)
+    lines_per_doc = (cnts - 1) // 7 + 1
+    line_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lines_per_doc)])
+    total_lines = int(line_offsets[-1])
+    global_line = np.repeat(line_offsets[:-1], cnts) + word_pos // 7
+    lw = np.bincount(global_line, minlength=total_lines).astype(np.int64)
+    lo = np.concatenate([np.zeros(1, np.int64), np.cumsum(lw)])
+    line_arr = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(lo, pa.int32()), flat), " "
+    )
+    ln = np.arange(total_lines, dtype=np.int64) - np.repeat(
+        line_offsets[:-1], lines_per_doc
+    )
+    mod = ((np.repeat(idn, lines_per_doc) + ln) % 5).astype(np.int64)
+    punct = pa.array(
+        np.array([".", "!", "?", '"', ""], dtype=object)[mod], pa.string()
+    )
+    planted_line = pc.binary_join_element_wise(line_arr, punct, "")
+    doc_text = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(line_offsets, pa.int32()), planted_line),
+        "\n",
+    )
+    for mask, extra in ((idn % 97 == 0, _C4_LOREM), (idn % 89 == 0, _C4_BRACE)):
+        doc_text = pc.if_else(
+            pa.array(mask),
+            pc.binary_join_element_wise(doc_text, "\n" + extra, ""),
+            doc_text,
+        )
+    cols = {"doc_id": pa.array(idn, pa.int64()), "text": doc_text}
+    for c in carry_cols:
+        cols[c] = t.column(c)
+    return pa.table(cols)
+
+
 def c4_clean_docs(sf_dir: str):
     """C4-style line-level cleaning (engine/c4.py, arXiv:1910.10683
     §2.2): keep lines ending in terminal punctuation with >= 5 words,
@@ -1554,47 +1602,156 @@ def c4_clean_docs(sf_dir: str):
     from medea_ray.engine import c4
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def plant(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("doc_id")))
-        idn = _chunk(t.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = pc.fill_null(_chunk(t.column("text")), "")
-        la = _chunk(pc.split_pattern(texts, " "))
-        cnts = pc.list_value_length(la).to_numpy().astype(np.int64)
-        flat = pc.cast(_chunk(la.flatten()), pa.string())
-        offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])
-        word_pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], cnts)
-        lines_per_doc = (cnts - 1) // 7 + 1
-        line_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lines_per_doc)])
-        total_lines = int(line_offsets[-1])
-        global_line = np.repeat(line_offsets[:-1], cnts) + word_pos // 7
-        lw = np.bincount(global_line, minlength=total_lines).astype(np.int64)
-        lo = np.concatenate([np.zeros(1, np.int64), np.cumsum(lw)])
-        line_arr = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(lo, pa.int32()), flat), " "
-        )
-        ln = np.arange(total_lines, dtype=np.int64) - np.repeat(
-            line_offsets[:-1], lines_per_doc
-        )
-        mod = ((np.repeat(idn, lines_per_doc) + ln) % 5).astype(np.int64)
-        punct = pa.array(
-            np.array([".", "!", "?", '"', ""], dtype=object)[mod], pa.string()
-        )
-        planted_line = pc.binary_join_element_wise(line_arr, punct, "")
-        doc_text = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(line_offsets, pa.int32()), planted_line),
-            "\n",
-        )
-        for mask, extra in ((idn % 97 == 0, _C4_LOREM), (idn % 89 == 0, _C4_BRACE)):
-            doc_text = pc.if_else(
-                pa.array(mask),
-                pc.binary_join_element_wise(doc_text, "\n" + extra, ""),
-                doc_text,
-            )
-        return pa.table({"doc_id": pa.array(idn, pa.int64()), "text": doc_text})
-
-    planted = ds.map_batches(plant, batch_format="pyarrow")
+    planted = ds.map_batches(_c4_plant_batch, batch_format="pyarrow")
     return c4.c4_line_clean(planted, text_col="text", id_col="doc_id")
+
+
+# -- composed pretraining prep report (the training-data flagship) -----------
+
+# Plant constants shared verbatim with the DuckDB oracle (CASE order:
+# spam wins over dup wins over the natural C4 plant). SPAM passes C4
+# (6-word '.'-terminated lines, 3 of them) but is massively repetitive
+# -> Gopher victim; DUP passes both (42 distinct words, every
+# repetition fraction far below Table A1) and is shared by all its
+# docs -> exact-dedup victims (min-doc_id survivor).
+PRETRAIN_SPAM = (
+    "spam spam spam spam spam spam.\n"
+    "spam spam spam spam spam spam.\n"
+    "spam spam spam spam spam spam."
+)
+PRETRAIN_DUP = (
+    "alpha beta gamma delta epsilon zeta eta.\n"
+    "theta iota kappa lam mu nu xi.\n"
+    "omicron pi rho sigma tau upsilon phi.\n"
+    "chi psi omega aleph bet gimel dalet.\n"
+    "he vav zayin het tet yod kaf.\n"
+    "lamed mem nun samekh ayin pe tsadi."
+)
+PRETRAIN_SPAM_MOD = 11
+PRETRAIN_DUP_MOD = 17
+PRETRAIN_BENCH_MOD = 20  # benchmark suite = raw planted texts of these docs
+PRETRAIN_TARGET_ROWS = 100
+PRETRAIN_NGRAM_N = 5  # one interior 5-gram per kept 7-word line
+PRETRAIN_BPE_MERGES = 30
+# integer weights -> every mixture float op is exact (w/10, take/n are
+# deterministic IEEE divisions the oracle replays bit-for-bit; a float
+# temperature would make the normalizing SUM order-dependent)
+PRETRAIN_MIX_WEIGHTS = {"en": 3, "de": 2, "es": 2, "fr": 2, "zh": 1}
+
+
+def _pretrain_plant_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, lang, text) pretraining corpus: the shared C4 plant with
+    SPAM/DUP overrides on doc_id % 11 / % 17 (spam precedence)."""
+    out = _c4_plant_batch(t, carry_cols=("lang",))
+    idn = _chunk(out.column("doc_id")).to_numpy()
+    spam = idn % PRETRAIN_SPAM_MOD == 0
+    dup = (idn % PRETRAIN_DUP_MOD == 0) & ~spam
+    txt = _chunk(out.column("text"))
+    txt = pc.if_else(pa.array(spam), pa.scalar(PRETRAIN_SPAM), txt)
+    txt = pc.if_else(pa.array(dup), pa.scalar(PRETRAIN_DUP), txt)
+    return pa.table({
+        "doc_id": out.column("doc_id"),
+        "lang": out.column("lang"),
+        "text": txt,
+    })
+
+
+def _pretrain_bench_batch(t: pa.Table) -> pa.Table:
+    """Benchmark side: the raw planted texts of doc_id % 20 == 0 docs
+    (the decontamination suite is drawn from the corpus, so hits are
+    guaranteed deterministic)."""
+    out = _pretrain_plant_batch(t)
+    idn = _chunk(out.column("doc_id")).to_numpy()
+    return out.filter(pa.array(idn % PRETRAIN_BENCH_MOD == 0)).select(["text"])
+
+
+def _pretrain_ref_encode_count(word: str, merges: list) -> int:
+    """Independent BPE re-encode: apply merges in RANK ORDER, each over
+    all adjacent occurrences left-to-right — the textbook formulation
+    equivalent to BpeModel.encode_word's rank-greedy loop (a later merge
+    can never enable an earlier-rank pair: the merged symbol postdates
+    it in training order). Same positional EOW strip."""
+    from medea_ray.engine.bpe import EOW
+
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    if syms and syms[-1] == EOW:
+        syms = syms[:-1]
+    elif syms and syms[-1].endswith(EOW):
+        syms = syms[:-1] + [syms[-1][: -len(EOW)]]
+    return len([s for s in syms if s])
+
+
+def pretrain_prep_report(sf_dir: str) -> pd.DataFrame:
+    """End-to-end pretrain.prepare_corpus over the planted corpus: C4
+    clean -> Gopher filter -> exact dedup -> 5-gram decontam -> weighted
+    mixture -> BPE accounting, returning ONE integer row of per-stage
+    survivor counts. The DuckDB oracle replays stages 1-5 from scratch
+    (list_filter C4, full n-gram repetition stats, md5 dedup, distinct
+    gram anti-join, the closed-form md5-prefix mixture thresholds) and
+    the final corpus word count; the BPE side is pinned by ``n_merges``
+    (must complete all requested merges) plus ``tokens_ok`` — the
+    distributed token_stats total vs an independently-written
+    rank-order re-encode on the driver (kmeans_guard pattern; loud cap
+    refuses oracle-scale misuse)."""
+    from medea_ray.engine import pretrain as _pt
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    planted = docs.map_batches(_pretrain_plant_batch, batch_format="pyarrow")
+    bench = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+        _pretrain_bench_batch, batch_format="pyarrow"
+    )
+    arts: dict = {}
+    corpus, rep = _pt.prepare_corpus(
+        planted,
+        bench,
+        id_col="doc_id",
+        text_col="text",
+        source_col="lang",
+        target_rows=PRETRAIN_TARGET_ROWS,
+        mixture_weights=PRETRAIN_MIX_WEIGHTS,
+        ngram_n=PRETRAIN_NGRAM_N,
+        bpe_merges=PRETRAIN_BPE_MERGES,
+        bpe_min_count=2,
+        batch_size=2048,
+        artifacts_out=arts,
+    )
+    if rep["n_after_mixture"] > 500_000:
+        raise ValueError(
+            "pretrain_prep_report: driver-side token recount is an "
+            f"oracle-scale guard; refusing {rep['n_after_mixture']} rows "
+            "(> 500k). Use engine.bpe.token_stats directly at scale."
+        )
+    merges = arts["bpe_model"].merges
+    ref_tokens = 0
+    for b in corpus.iter_batches(batch_format="pyarrow"):
+        for txt in b.column("text").to_pylist():
+            for w in (txt or "").split(" "):
+                ref_tokens += _pretrain_ref_encode_count(w, merges)
+    return pd.DataFrame(
+        [
+            {
+                "n_input": rep["n_input"],
+                "n_after_c4": rep["n_after_c4"],
+                "n_after_gopher": rep["n_after_gopher"],
+                "n_after_dedup": rep["n_after_dedup"],
+                "n_after_decontam": rep["n_after_decontam"],
+                "n_after_mixture": rep["n_after_mixture"],
+                "n_merges": rep["n_merges"],
+                "n_words": rep["n_words"],
+                "tokens_ok": bool(ref_tokens == rep["n_tokens"]),
+            }
+        ]
+    )
 
 
 def nb_classify_docs(sf_dir: str):

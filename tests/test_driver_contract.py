@@ -216,6 +216,14 @@ RETIRED = [
     # shuffle stays oracle-green via lm_unigram_stats / dup_span_removal
     # / doc_top_keyword / nb_classify_docs (all token-keyed groupbys)
     "top_tokens",
+    # round 5: the four-stage corpus_prep flagship replaced by the
+    # SIX-stage pretrain_prep_report (C4 -> Gopher -> dedup -> n-gram
+    # decontam -> weighted mixture -> BPE accounting, every stage
+    # replayed in ONE DuckDB oracle); corpus_prep's unique code paths
+    # stay oracle-green there (filter_not_in_ds anti-join inside
+    # dedup_exact, md5-prefix sampling via the mixture thresholds and
+    # doc_stratified_sample)
+    "corpus_prep",
 ]
 
 
