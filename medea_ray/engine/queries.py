@@ -1831,6 +1831,62 @@ def doc_top_keyword(sf_dir: str):
     )
 
 
+# key/FD discovery (engine/constraints.py) — single source of truth
+# for the key_fd_profile query AND its DuckDB oracle builder
+KEYFD_TABLE = "orders"
+KEYFD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus"]
+KEYFD_EXTRA_SETS = [
+    ["o_custkey", "o_orderstatus"],  # composite non-key
+    ["o_orderkey", "o_custkey"],  # composite key (superset of a key)
+]
+
+
+def key_fd_profile(sf_dir: str) -> pd.DataFrame:
+    """Candidate-key + functional-dependency discovery over the orders
+    table (engine/constraints.py — the Deequ-style relational half of
+    constraint suggestion): exact distinct-tuple counts for 3 singles +
+    2 composite sets via suggest_keys (ONE (set_id, digest) exchange;
+    prescreen off so every count is exact and SQL-replayable) and all 6
+    ordered pairwise FDs via discover_fds. One row per verdict:
+    ``kind`` 'key' rows carry (cols, distinct_cnt, n_rows, is-key
+    verdict); 'fd' rows carry (lhs, rhs, holds verdict; distinct_cnt
+    -1 — the pair count is internal). Integer/boolean/string only.
+    DuckDB recomputes every count with SELECT DISTINCT subqueries
+    (nulls collide, the engine's GROUP BY convention)."""
+    from medea_ray.engine import constraints
+
+    ds = _read(sf_dir, KEYFD_TABLE, columns=KEYFD_COLS)
+    sets = [[c] for c in KEYFD_COLS] + [list(s) for s in KEYFD_EXTRA_SETS]
+    keys = constraints.suggest_keys(ds, sets)
+    fds = constraints.discover_fds(ds, KEYFD_COLS)
+    rows = []
+    for cs in sets:
+        info = keys[tuple(cs)]
+        rows.append(
+            {
+                "kind": "key",
+                "lhs": ",".join(cs),
+                "rhs": "",
+                "distinct_cnt": int(info["distinct"]),
+                "n_rows": int(info["n_rows"]),
+                "verdict": bool(info["is_key"]),
+            }
+        )
+    n_rows = rows[0]["n_rows"]
+    for fd in fds:
+        rows.append(
+            {
+                "kind": "fd",
+                "lhs": fd["lhs"],
+                "rhs": fd["rhs"],
+                "distinct_cnt": -1,
+                "n_rows": n_rows,
+                "verdict": bool(fd["holds"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def doc_chunks(sf_dir: str):
     """Overlapping document chunking (engine/chunk.py — the RAG /
     context-window verb): 64-token windows with 16-token overlap

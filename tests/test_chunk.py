@@ -98,3 +98,53 @@ def test_param_validation():
         chunk.chunk_docs(None, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="overlap"):
         chunk.chunk_docs(None, chunk_tokens=4, overlap=-1)
+
+# retired round 5 from the 50-slot driver registry (its slot holds
+# key_fd_profile); the DuckDB lockstep that used to run in the driver
+# sweep lives on here, byte-exact per chunk row
+DOC_CHUNKS_SQL = """
+    WITH d AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+      FROM documents WHERE doc_id IS NOT NULL
+    ), k AS (
+      SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+             unnest(generate_series(0,
+               CAST(CASE WHEN len(ws) <= 64 THEN 0
+                         ELSE (len(ws) - 64 + 47) // 48 END AS BIGINT)))
+               AS ck
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ck AS BIGINT) AS chunk_id,
+           CAST(least(ck*48 + 64, n) - ck*48 AS BIGINT) AS n_chunk_tokens,
+           COALESCE(array_to_string(ws[ck*48 + 1 : ck*48 + 64], ' '), '')
+             AS chunk_text
+    FROM k
+"""
+
+
+def test_doc_chunks_duckdb_lockstep(ray_session):
+    import duckdb
+
+    from medea_ray.engine import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q.doc_chunks(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exp = (
+        con.execute(DOC_CHUNKS_SQL)
+        .df()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c

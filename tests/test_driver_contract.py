@@ -224,6 +224,11 @@ RETIRED = [
     # dedup_exact, md5-prefix sampling via the mixture thresholds and
     # doc_stratified_sample)
     "corpus_prep",
+    # round 5: the overlapping-chunking slot replaced by key/FD
+    # discovery (key_fd_profile — VERDICT r4 item 3); doc_chunks keeps
+    # its full DuckDB lockstep in test_chunk.py (byte-exact per chunk
+    # row) plus the geometry/coverage pytests
+    "doc_chunks",
 ]
 
 
