@@ -666,10 +666,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (LSH recall is 1.0 on this corpus, so the verified pair set
         # equals the exact all-pairs word-3-gram Jaccard >= 0.5 set)
         "minhash_verified_pairs": q.minhash_verified_pairs,
-        # transitive closure of that pair set via distributed connected
-        # components (engine/graph.py large-star/small-star); the oracle
-        # recomputes pairs AND closure (recursive CTE) from scratch
-        "near_dup_clusters": q.near_dup_clusters,
+        # near_dup_clusters retired round 5 for the FULL near-dedup
+        # composition (dedup_near_docs = pairs -> connected components ->
+        # min-id survivor -> budget-aware anti-filter): its oracle
+        # replays the SAME pair set + recursive-CTE closure and
+        # additionally pins the survivor anti-join, so the clustering
+        # coverage is a strict superset. The labels-emitting callable
+        # stays in engine.queries, pytest-covered.
+        "dedup_near_docs": q.dedup_near_docs,
         # embedding_near_dup_pairs (rows-only) upgraded round 4 to an
         # oracle-checked precision/recall guard over the same code path;
         # the pair-emitting callable stays pytest-covered.
@@ -1389,11 +1393,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE 3 * i >= sa.n + sb.n
         """,
         # transitive closure of the exact near-dup pair set (same CTEs as
-        # minhash_verified_pairs) via a recursive reachability CTE;
-        # cluster_id = min doc_id reachable. Pins BOTH the distributed pair
-        # emission and the large-star/small-star connected-components
-        # operator: splitting or merging any component changes cluster_id.
-        "near_dup_clusters": """
+        # minhash_verified_pairs) via a recursive reachability CTE, then
+        # the survivor selection: every doc_id except nodes above their
+        # component minimum. Pins pair emission, the large-star/small-star
+        # connected-components operator AND the anti-join survivor drop:
+        # any split/merged component or mis-dropped id changes the list.
+        "dedup_near_docs": """
             WITH RECURSIVE w AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
               FROM documents WHERE text IS NOT NULL),
@@ -1425,8 +1430,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT u, v FROM edges
               UNION
               SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-            FROM reach GROUP BY u
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u)
         """,
         # simhash / embedding near-dup guards: the Ray side computes the
         # booleans against exact sides (brute-force share-a-block set,

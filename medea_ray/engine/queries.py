@@ -2366,6 +2366,28 @@ def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return labels.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_near_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-duplicate dedup (dedup.dedup_near): the verified
+    MinHash pair set (exact-Jaccard contract of minhash_verified_pairs)
+    -> large-star/small-star connected components -> min-doc_id cluster
+    survivor -> budget-aware anti-filter of the corpus. Output: every
+    surviving doc_id.
+
+    The DuckDB oracle recomputes the pair set from scratch (integer-only
+    Jaccard threshold), closes it transitively with a recursive CTE and
+    drops every node above its component minimum — so the pair emission,
+    the distributed clustering AND the survivor anti-join are pinned by
+    one value hash (a split/merged component or a mis-broadcast drop set
+    changes the survivor list)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    surv = dedup.dedup_near(
+        ds, "doc_id", threshold=0.5, verify="exact", concurrency=(1, 4)
+    )
+    df = surv.to_pandas()[["doc_id"]].copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Near-duplicate embedding pairs via multi-table LSH + exact cosine
     verify. The testdata embeddings are isotropic random vectors (max

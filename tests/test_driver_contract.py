@@ -229,6 +229,11 @@ RETIRED = [
     # its full DuckDB lockstep in test_chunk.py (byte-exact per chunk
     # row) plus the geometry/coverage pytests
     "doc_chunks",
+    # round 5: the cluster-labels slot replaced by the FULL near-dedup
+    # composition (dedup_near_docs); its oracle replays the same pair
+    # set + recursive closure and additionally pins the survivor
+    # anti-join, so clustering coverage is a strict superset
+    "near_dup_clusters",
 ]
 
 
