@@ -472,9 +472,11 @@ def main(argv=None) -> int:
     r.add_argument("--wave-size", type=int, default=64)
     r.add_argument("--no-resume", action="store_true")
     r.add_argument(
-        "--partition-unit", choices=("file", "fragment"), default="file",
-        help="resume granularity: manifest keyed per input file (default) "
-        "or per parquet row-group range (bounds lost work on huge files)",
+        "--partition-unit", choices=("file", "fragment"), default=None,
+        help="resume granularity: manifest keyed per input file or per "
+        "parquet row-group range (bounds lost work on huge files). "
+        "Default: fragment for parquet (also measured faster), file for "
+        "jsonl",
     )
     r.add_argument(
         "--fragment-rows", type=int, default=1 << 20,

@@ -342,7 +342,7 @@ def run_validation_pipeline(
     schema_version: str = "v1",
     actor_num_cpus: float = ACTOR_NUM_CPUS,
     input_format: str = "parquet",
-    partition_unit: str = "file",
+    partition_unit: str | None = None,
     fragment_rows: int = 1 << 20,
     on_corrupt: str = "fail",
 ) -> dict:
@@ -362,14 +362,19 @@ def run_validation_pipeline(
     source).
 
     ``partition_unit`` picks the resume granularity (VERDICT r03 item 9):
-    ``"file"`` (default) keys the manifest by input path; ``"fragment"``
-    keys it by consecutive row-group ranges of ~``fragment_rows`` rows
+    ``"file"`` keys the manifest by input path; ``"fragment"`` keys it
+    by consecutive row-group ranges of ~``fragment_rows`` rows
     (``path#rgLO-HI``), so a resumed run over multi-GB files loses at most
     one fragment of work, not a whole file. Fragment planning reads only
     parquet footers (driver-side, one metadata fetch per file — for
     million-file inputs shard the planning itself by calling the pipeline
     per input directory). Parquet only: JSONL has no row groups. The
     report's ``n_files``/``n_files_skipped`` then count fragments.
+    Default (``None``): ``"fragment"`` for parquet — measured FASTER
+    than file mode at the 600k-row bench shape (round-5 note in
+    BENCH/BASELINE.md: the contiguous row-group read task beats the
+    per-file read path) on top of the finer resume loss — and
+    ``"file"`` for jsonl.
 
     ``on_corrupt`` picks the bad-shard policy. ``"fail"`` (default)
     surfaces the first read/decode error and aborts — nothing is committed
@@ -387,6 +392,8 @@ def run_validation_pipeline(
         raise PipelineUsageError(f"input_format must be 'parquet' or 'jsonl', got {input_format!r}")
     if on_corrupt not in ("fail", "skip"):
         raise PipelineUsageError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
+    if partition_unit is None:
+        partition_unit = "fragment" if input_format == "parquet" else "file"
     if partition_unit not in ("file", "fragment"):
         raise PipelineUsageError(
             f"partition_unit must be 'file' or 'fragment', got {partition_unit!r}"

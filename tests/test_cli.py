@@ -250,14 +250,24 @@ def test_cli_run_fragment_partition_unit(tmp_path):
     report = json.loads(r.stdout.strip().splitlines()[-1])
     assert report["n_files_skipped"] == 4 and report["n_rows"] == 2000
 
-    # contract error (unit switch on a populated out_dir): clean exit 2,
+    # contract error (unit switch on a populated out_dir — explicit file
+    # mode; the bare default is fragment since round 5): clean exit 2,
     # message on stderr, no worker traceback
+    r = _run(
+        "run", "--input", str(pages), "--schema", FLAGSHIP_SCHEMA_PATH,
+        "--out", str(out), "--wave-size", "3", "--partition-unit", "file",
+    )
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    assert "partition_unit" in r.stderr and "Traceback" not in r.stderr
+
+    # same contract for a fragment_rows change under the (default)
+    # fragment unit: disjoint keys would double-count, so it refuses
     r = _run(
         "run", "--input", str(pages), "--schema", FLAGSHIP_SCHEMA_PATH,
         "--out", str(out), "--wave-size", "3",
     )
     assert r.returncode == 2, (r.stdout, r.stderr)
-    assert "partition_unit" in r.stderr and "Traceback" not in r.stderr
+    assert "fragment_rows" in r.stderr and "Traceback" not in r.stderr
 
 
 def test_cli_infer_schema_and_check(tmp_path):

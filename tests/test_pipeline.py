@@ -34,6 +34,16 @@ def pages_dir(tmp_path_factory):
     return str(d)
 
 
+def _mkey(manifest: dict, path: str) -> str:
+    """Manifest key for an input file under either partition unit (the
+    round-5 default keys parquet by fragment: 'path#rgLO-HI')."""
+    if path in manifest:
+        return path
+    ks = [k for k in manifest if k.startswith(path + "#")]
+    assert len(ks) == 1, (path, ks)
+    return ks[0]
+
+
 def _expected_violation_set():
     return {
         (url, path, spec)
@@ -202,7 +212,7 @@ def test_resume_pid_stable_when_input_set_changes(ray_session, pages_dir, tmp_pa
     manifest = load_manifest(out)
     for p, pid in first.items():
         assert manifest[p]["partition_id"] == pid  # unchanged
-    new_pid = manifest[files[0]]["partition_id"]
+    new_pid = manifest[_mkey(manifest, files[0])]["partition_id"]
     assert new_pid == max(first.values()) + 1  # fresh id, no renumbering
     assert report["n_rows"] == N_ROWS
 
@@ -471,7 +481,8 @@ def test_fresh_run_clears_stale_manifest(ray_session, pages_dir, tmp_path):
         resume=False,
     )
     manifest = load_manifest(out)
-    assert set(manifest) == set(files[:1])
+    # keys are fragment-qualified under the round-5 default
+    assert {k.split("#")[0] for k in manifest} == set(files[:1])
     assert report["n_files_skipped"] == 0
     verdicts = read_verdicts(out)
     assert verdicts.num_rows == 1
@@ -519,9 +530,11 @@ def test_report_scoped_to_this_runs_inputs(ray_session, pages_dir, tmp_path):
     )
     assert sub["n_files"] == 1
     assert sub["n_files_skipped"] == 1
-    assert sub["n_rows"] == load_manifest(out)[files[0]]["n_rows"]
+    man = load_manifest(out)
+    assert sub["n_rows"] == man[_mkey(man, files[0])]["n_rows"]
     assert sub["n_rows"] < full["n_rows"]
-    assert [r["input_path"] for r in sub["partitions"]] == [files[0]]
+    paths = [r["input_path"] for r in sub["partitions"]]
+    assert len(paths) == 1 and paths[0].split("#")[0] == files[0]
 
 
 # -- fragment-level partitions (VERDICT r03 item 9) ---------------------------
@@ -631,7 +644,7 @@ def test_summarize_run_and_report_cli(ray_session, pages_dir, tmp_path):
     assert s["n_rows"] == rep["n_rows"] == N_ROWS
     assert s["n_invalid"] == rep["n_invalid"]
     assert s["n_waves"] == 2
-    assert s["partition_units"] == ["file"]
+    assert s["partition_units"] == ["fragment"]  # the round-5 default
     assert len(s["schema_digests"]) == 1
     assert s["failed_unresolved"] == []
     # the CLI surface needs NO Ray session (pure file reads)
@@ -776,9 +789,11 @@ def test_fragment_mode_guards(ray_session, big_file_dir, tmp_path):
             partition_unit="rowgroup",
         )
     # switching units on a populated out_dir is refused, not mixed
+    # (explicit file mode first: the default is fragment since round 5)
     out = str(tmp_path / "mixed")
     run_validation_pipeline(
-        big, flagship_schema_text(), out, wave_size=2, concurrency=2
+        big, flagship_schema_text(), out, wave_size=2, concurrency=2,
+        partition_unit="file",
     )
     with pytest.raises(PipelineUsageError, match="partition_unit"):
         run_validation_pipeline(
