@@ -124,6 +124,60 @@ class ValidatorKernel:
                 violations.append((i, e.path, e.code, e.detail))
         return valid, violations
 
+    def validate_column(self, col):
+        """``validate_payloads`` fed straight off the Arrow buffers: each
+        payload reaches orjson as a zero-copy memoryview slice of the
+        column's data buffer instead of a materialized Python str, so the
+        batch's bytes cross the memory bus once (parse) rather than twice
+        (``to_pylist`` copy + parse). Identical verdicts/violations —
+        orjson validates UTF-8 on bytes input and Arrow string columns
+        are valid UTF-8 by construction; the json-module fallback decodes
+        explicitly. Measured: ~3% single-core, **+18% aggregate at 16
+        contended cores** (the validation stage is bus-bound at high
+        parallelism — BENCH/BASELINE.md round-5 note). Non-string /
+        null-typed columns fall back to the list path."""
+        import numpy as np
+
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(a) == 0:
+            return [], []
+        if not (pa.types.is_string(a.type) or pa.types.is_large_string(a.type)):
+            return self.validate_payloads(a.to_pylist())
+        wide = pa.types.is_large_string(a.type)
+        bufs = a.buffers()
+        offsets = np.frombuffer(
+            bufs[1],
+            dtype=np.int64 if wide else np.int32,
+            count=len(a) + 1,
+            offset=a.offset * (8 if wide else 4),
+        )
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        null_mask = (
+            a.is_null().to_numpy(zero_copy_only=False) if a.null_count else None
+        )
+        graph = self.graph
+        fast = self.fast
+        validate, loads = validate_obj, loads_json
+        valid = []
+        append = valid.append
+        violations = []
+        for i in range(len(a)):
+            try:
+                if null_mask is not None and null_mask[i]:
+                    raise MedeaValidationError("not_json", None, "$", "null payload")
+                obj = loads(data[offsets[i] : offsets[i + 1]])
+                try:
+                    ok = fast(obj)
+                except RecursionError:  # pragma: no cover - backstop only
+                    ok = False
+                if not ok:
+                    validate(graph, obj)
+                append(True)
+            except MedeaValidationError as e:
+                append(False)
+                violations.append((i, e.path, e.code, e.detail))
+        return valid, violations
+
 
 class ValidatorActor:
     """map_batches callable-class: per-row validation over Arrow batches.
@@ -148,8 +202,9 @@ class ValidatorActor:
         self.path_to_pid = path_to_pid or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column(self.kernel.payload_col).to_pylist()
-        valid, violations = self.kernel.validate_payloads(payloads)
+        valid, violations = self.kernel.validate_column(
+            batch.column(self.kernel.payload_col)
+        )
         bad_idx = [v[0] for v in violations]
         # ids only materialise for the (rare) violation rows — Arrow take,
         # never a full-column to_pylist.

@@ -157,9 +157,9 @@ def loads_json(payload):
     def _reject_const(_s):
         raise ValueError("non-standard JSON constant")
 
-    if isinstance(payload, (bytes, bytearray)):
+    if isinstance(payload, (bytes, bytearray, memoryview)):
         try:
-            payload = payload.decode("utf-8")
+            payload = bytes(payload).decode("utf-8")
         except UnicodeDecodeError:
             raise MedeaValidationError("not_json", None, "$", "invalid utf-8") from None
     try:

@@ -529,3 +529,43 @@ def test_codegen_entry_keeps_depth_calling_convention():
     fast = compile_fast_codegen(graph)
     assert fast(_nest(5, []), 0) is True
     assert fast(_nest(5, 1), 0) is False
+
+
+def test_validate_column_buffer_path_matches_pylist():
+    """validate_column (zero-copy Arrow-buffer parse, round 5) must be
+    verdict- and violation-identical to validate_payloads across every
+    input layout: plain/large string, nulls, chunked, sliced (non-zero
+    offset), empty, and a non-string fallback column."""
+    import pyarrow as pa
+
+    from medea_ray.engine.pipeline import ValidatorKernel
+
+    schema = open("/root/repo/medea_ray/fixtures/pages.medea").read()
+    k = ValidatorKernel(schema, "payload", "url")
+    rows = [
+        '{"url":"https://a.example.com/x","lang":"en","meta":{"len":3},"tags":["t"]}',
+        '{"url":"https://a.example.com/y","lang":"en","meta":{"len":"oops"},"tags":[]}',
+        None,
+        "not json at all",
+        '{"url":"https://a.example.com/z","lang":"de","meta":{"len":0},"tags":[]}',
+        "",
+        '{"extra": true}',
+        "üñïçødé",  # multibyte non-JSON
+    ]
+    expected = k.validate_payloads(rows)
+    layouts = {
+        "string": pa.array(rows, pa.string()),
+        "large": pa.array(rows, pa.large_string()),
+        "chunked": pa.chunked_array(
+            [pa.array(rows[:3], pa.string()), pa.array(rows[3:], pa.string())]
+        ),
+        "sliced": pa.array(["skip0", "skip1"] + rows, pa.string()).slice(2),
+    }
+    for name, col in layouts.items():
+        got = k.validate_column(col)
+        assert got == expected, name
+    assert k.validate_column(pa.array([], pa.string())) == ([], [])
+    # all-null blocks degrade to Arrow null type -> list fallback path
+    assert k.validate_column(pa.array([None, None])) == k.validate_payloads(
+        [None, None]
+    )
