@@ -379,8 +379,23 @@ def suggest_suite(
             suite.append(not_null(c))
         if _is_numeric(c) and s["min"] is not None:
             lo, hi = s["min"], s["max"]
-            pad = (hi - lo) * range_slack
-            suite.append(in_range(c, min=lo - pad, max=hi + pad))
+            # fuzz-found (round 5): ±inf observed bounds poison the pad
+            # arithmetic — (inf - -inf) * slack and inf * 0.0 are both
+            # NaN, and an in_range(nan, nan) check passes VACUOUSLY
+            # (every comparison with NaN is False), silently asserting
+            # nothing on tomorrow's data. Infinite endpoints are emitted
+            # unpadded; a NaN endpoint (defensive — the sketch strips
+            # NaN values) suppresses the range check entirely.
+            import math as _math
+
+            fl = [v for v in (lo, hi) if isinstance(v, float)]
+            if any(_math.isnan(v) for v in fl):
+                pass
+            elif any(_math.isinf(v) for v in fl):
+                suite.append(in_range(c, min=lo, max=hi))
+            else:
+                pad = (hi - lo) * range_slack
+                suite.append(in_range(c, min=lo - pad, max=hi + pad))
         if key_candidates and distinct[c] == n_rows and n_rows > 0:
             suite.append(unique(c))
         # a null-free requirement is NOT implied: accepted_values
