@@ -14,6 +14,35 @@ def as_array(col) -> pa.Array:
     return col
 
 
+def string_buffer_parts(col):
+    """Zero-copy access to a string column's raw UTF-8 storage:
+    ``(data: memoryview, offsets: np.ndarray[len+1], null_mask | None)``,
+    or ``None`` when the column is not (large_)string — callers fall
+    back to ``to_pylist``. ``data[offsets[i]:offsets[i+1]]`` is row i's
+    exact UTF-8 bytes (Arrow string storage IS the value's encoding), so
+    per-row parse/hash consumers can skip the Python-str materialization
+    entirely — measured bus-bound win, BENCH/BASELINE.md round-5 note.
+    Handles chunked and sliced (non-zero offset) inputs."""
+    import numpy as np
+
+    a = as_array(col)
+    if not (pa.types.is_string(a.type) or pa.types.is_large_string(a.type)):
+        return None
+    wide = pa.types.is_large_string(a.type)
+    bufs = a.buffers()
+    if len(a) == 0 or bufs[1] is None:
+        return memoryview(b""), np.zeros(1, np.int64), None
+    offsets = np.frombuffer(
+        bufs[1],
+        dtype=np.int64 if wide else np.int32,
+        count=len(a) + 1,
+        offset=a.offset * (8 if wide else 4),
+    )
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    null_mask = a.is_null().to_numpy(zero_copy_only=False) if a.null_count else None
+    return data, offsets, null_mask
+
+
 def as_filled_strings(col) -> pa.Array:
     """Text column → contiguous string Array with nulls as ``''``.
 

@@ -244,11 +244,29 @@ class _Decontaminator:
         self.tag_name = tag_name
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column(self.text_col).to_pylist()
-        hit = [
-            x is not None and _digest(x, self.prefix_len) in self.digests
-            for x in texts
-        ]
+        col = t.column(self.text_col)
+        parts = None
+        if self.prefix_len is None:
+            # full-text digests hash straight off the Arrow buffer (a
+            # char-prefix digest must slice the DECODED str, so only the
+            # whole-doc mode can skip materialization)
+            from medea_ray.engine.arrow_util import as_array, string_buffer_parts
+
+            parts = string_buffer_parts(as_array(col))
+        if parts is not None:
+            data, offsets, null_mask = parts
+            digests, md5 = self.digests, hashlib.md5
+            hit = [
+                (null_mask is None or not null_mask[i])
+                and md5(data[offsets[i] : offsets[i + 1]]).digest() in digests
+                for i in range(t.num_rows)
+            ]
+        else:
+            texts = col.to_pylist()
+            hit = [
+                x is not None and _digest(x, self.prefix_len) in self.digests
+                for x in texts
+            ]
         if self.mode == "tag":
             return t.append_column(self.tag_name, pa.array(hit, pa.bool_()))
         return t.filter(pc.invert(pa.array(hit, pa.bool_())))

@@ -120,11 +120,38 @@ def md5_hex(texts: list) -> list:
     return [None if t is None else hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
+def md5_hex_col(col) -> pa.Array:
+    """md5 hexdigests of a string column, hashed straight off the Arrow
+    data buffer (zero-copy memoryview slices — the text payload is never
+    materialized as Python strs; the same bus-traffic lever as
+    pipeline.ValidatorKernel.validate_column). Identical output to
+    ``md5_hex(col.to_pylist())``: Arrow string storage IS each value's
+    UTF-8 encoding. Nulls stay null; non-string columns fall back to the
+    list path."""
+    from medea_ray.engine.arrow_util import string_buffer_parts
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(a) == 0:
+        return pa.array([], pa.string())
+    parts = string_buffer_parts(a)
+    if parts is None:
+        return pa.array(md5_hex(a.to_pylist()), pa.string())
+    data, offsets, null_mask = parts
+    _md5 = hashlib.md5
+    return pa.array(
+        [
+            None
+            if (null_mask is not None and null_mask[i])
+            else _md5(data[offsets[i] : offsets[i + 1]]).hexdigest()
+            for i in range(len(a))
+        ],
+        pa.string(),
+    )
+
+
 def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
     def fn(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            out_col, pa.array(md5_hex(batch.column(text_col).to_pylist()), pa.string())
-        )
+        return batch.append_column(out_col, md5_hex_col(batch.column(text_col)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -192,7 +219,7 @@ def dedup_exact(
     def to_key_id(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(text_col)))
         return pa.table({
-            "content_md5": pa.array(md5_hex(t.column(text_col).to_pylist()), pa.string()),
+            "content_md5": md5_hex_col(t.column(text_col)),
             id_col: t.column(id_col),
         })
 

@@ -136,25 +136,15 @@ class ValidatorKernel:
         contended cores** (the validation stage is bus-bound at high
         parallelism — BENCH/BASELINE.md round-5 note). Non-string /
         null-typed columns fall back to the list path."""
-        import numpy as np
+        from medea_ray.engine.arrow_util import string_buffer_parts
 
         a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if len(a) == 0:
             return [], []
-        if not (pa.types.is_string(a.type) or pa.types.is_large_string(a.type)):
+        parts = string_buffer_parts(a)
+        if parts is None:
             return self.validate_payloads(a.to_pylist())
-        wide = pa.types.is_large_string(a.type)
-        bufs = a.buffers()
-        offsets = np.frombuffer(
-            bufs[1],
-            dtype=np.int64 if wide else np.int32,
-            count=len(a) + 1,
-            offset=a.offset * (8 if wide else 4),
-        )
-        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-        null_mask = (
-            a.is_null().to_numpy(zero_copy_only=False) if a.null_count else None
-        )
+        data, offsets, null_mask = parts
         graph = self.graph
         fast = self.fast
         validate, loads = validate_obj, loads_json

@@ -116,9 +116,7 @@ def _text_digests_only(ds, text_col: str = "text"):
 
     def to_digest(t: pa.Table) -> pa.Table:
         t = t.drop_null()
-        return pa.table(
-            {"content_md5": pa.array(dedup.md5_hex(t.column(text_col).to_pylist()), pa.string())}
-        )
+        return pa.table({"content_md5": dedup.md5_hex_col(t.column(text_col))})
 
     return ds.map_batches(to_digest, batch_format="pyarrow")
 

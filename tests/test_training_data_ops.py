@@ -1340,3 +1340,57 @@ def test_avi_mjpeg_container_roundtrip():
         feat = builtin_decode(p)
         assert feat["ok"] and feat["format"] == "avi"
         assert feat["feature"][0] == float(fps) and feat["feature"][1] == float(nf)
+
+
+def test_md5_hex_col_buffer_path_matches_pylist():
+    """md5_hex_col (zero-copy Arrow-buffer hashing, round 5) must equal
+    md5_hex(to_pylist()) across layouts: nulls, unicode, empty strings,
+    large_string, chunked, sliced, non-string fallback."""
+    import pyarrow as pa
+
+    from medea_ray.engine import dedup
+
+    rows = ["abc", None, "", "üñïçødé 漢字", "x" * 1000, "tail"]
+    expected = dedup.md5_hex(rows)
+    layouts = {
+        "string": pa.array(rows, pa.string()),
+        "large": pa.array(rows, pa.large_string()),
+        "chunked": pa.chunked_array(
+            [pa.array(rows[:2], pa.string()), pa.array(rows[2:], pa.string())]
+        ),
+        "sliced": pa.array(["s0", "s1"] + rows, pa.string()).slice(2),
+    }
+    for name, col in layouts.items():
+        assert dedup.md5_hex_col(col).to_pylist() == expected, name
+    assert dedup.md5_hex_col(pa.array([], pa.string())).to_pylist() == []
+    # int column falls back through the str() -> encode path? No: md5_hex
+    # expects strings — non-string columns surface via to_pylist parity
+    assert dedup.md5_hex_col(pa.array([None, None])).to_pylist() == [None, None]
+
+
+def test_decontaminate_digest_buffer_path(ray_session):
+    """Whole-doc digest decontamination (prefix_len=None) takes the
+    Arrow-buffer fast path; verdicts must match the prefix-mode str path
+    and handle nulls/unicode."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medea_ray.engine import decontam
+
+    corpus = ["keep me", "drop me ü", None, "", "also kept"]
+    banned = ["drop me ü", ""]
+    ds = rd.from_arrow(pa.table({"text": pa.array(corpus, pa.string())}))
+    bds = rd.from_arrow(pa.table({"text": pa.array(banned, pa.string())}))
+    out = decontam.decontaminate(ds, "text", bds).to_pandas()
+    # null text is KEPT (no content), '' matches the banned '' digest
+    assert sorted(out["text"].fillna("<null>")) == ["<null>", "also kept", "keep me"]
+    # prefix mode (str path) agrees where prefixes coincide with whole text
+    out2 = decontam.decontaminate(
+        rd.from_arrow(pa.table({"text": pa.array(corpus, pa.string())})),
+        "text",
+        rd.from_arrow(pa.table({"text": pa.array(banned, pa.string())})),
+        prefix_len=64,
+    ).to_pandas()
+    assert sorted(out2["text"].fillna("<null>")) == sorted(
+        out["text"].fillna("<null>")
+    )
