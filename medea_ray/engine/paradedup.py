@@ -51,8 +51,53 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from medea_ray.engine.arrow_util import as_array as _as_array
+from medea_ray.engine.arrow_util import string_buffer_parts
 
 _log = logging.getLogger(__name__)
+
+
+def _split_paras(texts: pa.Array, ids: np.ndarray, sep: str, idx_bits: int):
+    """Vectorized paragraph explode: Arrow ``split_pattern`` (same
+    non-overlapping left-to-right semantics as ``str.split(sep)``) →
+    ``(flat_paras, per_row_counts, flat_ranks)``; null texts contribute
+    zero paragraphs (their count reads 0). Ranks are the pinned
+    ``doc_id << idx_bits | position`` instance order; the per-doc
+    paragraph-count cap raises with the offending doc id."""
+    la = _as_array(pc.split_pattern(texts, sep))
+    cnts = pc.fill_null(pc.list_value_length(la), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    cap = 1 << idx_bits
+    if (cnts > cap).any():
+        bad = int(np.argmax(cnts > cap))
+        raise ValueError(
+            f"dedup_paragraphs: doc {int(ids[bad])} has {int(cnts[bad])} "
+            f"paragraphs > 2**{idx_bits}; raise idx_bits"
+        )
+    flat = _as_array(la.flatten())
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnts)])
+    idx_in_doc = np.arange(offsets[-1], dtype=np.int64) - np.repeat(
+        offsets[:-1], cnts
+    )
+    ranks = (np.repeat(ids, cnts) << np.int64(idx_bits)) + idx_in_doc
+    return flat, cnts, ranks
+
+
+def _flat_digests(flat: pa.Array, take: np.ndarray) -> list[bytes]:
+    """Raw md5 per selected flat paragraph, hashed off the Arrow buffer
+    (no Python-str materialization of the corpus text — the
+    string_buffer_parts lever; hexdigest == digest.hex() when a hex key
+    is needed)."""
+    parts = string_buffer_parts(flat)
+    _md5 = hashlib.md5
+    if parts is None:  # non-string flat (can't happen for split output)
+        vals = flat.take(pa.array(take, pa.int64())).to_pylist()
+        return [_md5(v.encode()).digest() for v in vals]
+    data, off, _ = parts
+    return [_md5(data[off[i] : off[i + 1]]).digest() for i in take]
 
 # Per-worker-process cache of the deserialized owner map. ray.get of a
 # dict re-deserializes on EVERY call (only buffer types are zero-copy),
@@ -83,37 +128,39 @@ def _check_rank_parts(ids: np.ndarray, idx_bits: int) -> None:
 
 def _explode_uniques(text_col: str, id_col: str, sep: str, min_chars: int, idx_bits: int):
     def fn(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
+        texts = _as_array(t.column(text_col))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         _check_rank_parts(ids, idx_bits)
-        best: dict[str, list] = {}
-        for did, txt in zip(ids.tolist(), texts):
-            if txt is None:
-                continue
-            paras = txt.split(sep)
-            if len(paras) > 1 << idx_bits:
-                raise ValueError(
-                    f"dedup_paragraphs: doc {did} has {len(paras)} paragraphs"
-                    f" > 2**{idx_bits}; raise idx_bits"
-                )
-            base = did << idx_bits
-            for i, p in enumerate(paras):
-                if len(p) < min_chars:
-                    continue
-                h = hashlib.md5(p.encode()).hexdigest()
-                e = best.get(h)
-                if e is None:
-                    best[h] = [base + i, 1]
-                else:
-                    # batches are not id-sorted: keep the batch-local min
-                    if base + i < e[0]:
-                        e[0] = base + i
-                    e[1] += 1
+        flat, _cnts, ranks = _split_paras(texts, ids, sep, idx_bits)
+        cand = np.nonzero(
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= min_chars
+        )[0]
+        if cand.size == 0:
+            return pa.table({
+                "md5": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        digs = _flat_digests(flat, cand)
+        arr = np.frombuffer(b"".join(digs), dtype="<i8").reshape(-1, 2)
+        rk = ranks[cand]
+        # batch-local combiner: one row per distinct paragraph with its
+        # min rank + instance count (vectorized lexsort + reduceat — the
+        # dict loop this replaces decoded every text to a Python str)
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        sa, sr = arr[order], rk[order]
+        seg = np.nonzero(
+            np.concatenate([[True], (sa[1:] != sa[:-1]).any(axis=1)])
+        )[0]
+        min_rank = np.minimum.reduceat(sr, seg)
+        n_inst = np.diff(np.concatenate([seg, [len(sr)]]))
+        uniq = sa[seg]
+        hexes = [uniq[i].tobytes().hex() for i in range(len(seg))]
         return pa.table(
             {
-                "md5": pa.array(list(best.keys()), pa.string()),
-                "rank": pa.array([v[0] for v in best.values()], pa.int64()),
-                "n": pa.array([v[1] for v in best.values()], pa.int64()),
+                "md5": pa.array(hexes, pa.string()),
+                "rank": pa.array(min_rank, pa.int64()),
+                "n": pa.array(n_inst.astype(np.int64), pa.int64()),
             }
         )
 
@@ -182,35 +229,49 @@ def dedup_paragraphs(
 
     def rejoin(t: pa.Table) -> pa.Table:
         omap = _cached_owner_map(ref)
-        texts = t.column(text_col).to_pylist()
+        texts = _as_array(t.column(text_col))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         _check_rank_parts(ids, idx_bits)
-        n_paras = np.zeros(len(texts), np.int64)
-        n_kept = np.zeros(len(texts), np.int64)
-        out = []
-        for row, (did, txt) in enumerate(zip(ids.tolist(), texts)):
-            if txt is None:
-                out.append(None)
-                continue
-            paras = txt.split(sep)
-            base = did << idx_bits
-            kept = []
-            for i, p in enumerate(paras):
-                if len(p) >= min_chars:
-                    h = hashlib.md5(p.encode()).hexdigest()
-                    owner = omap.get(h)
-                    if owner is not None and owner != base + i:
-                        continue
-                kept.append(p)
-            n_paras[row] = len(paras)
-            n_kept[row] = len(kept)
-            out.append(sep.join(kept))
+        nrows = len(t)
+        flat, cnts, ranks = _split_paras(texts, ids, sep, idx_bits)
+        keep = np.ones(len(flat), bool)
+        cand = np.nonzero(
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= min_chars
+        )[0]
+        if cand.size:
+            # the owner-map probe is the one remaining per-paragraph
+            # loop (dict probe on the hex digest — md5 has no Arrow
+            # kernel); the text itself is hashed off the buffer and
+            # never decoded
+            digs = _flat_digests(flat, cand)
+            get = omap.get
+            drop = [
+                j
+                for j, (i, d) in enumerate(zip(cand, digs))
+                if (o := get(d.hex())) is not None and o != ranks[i]
+            ]
+            if drop:
+                keep[cand[np.asarray(drop, np.int64)]] = False
+        doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), cnts)
+        n_kept = np.bincount(doc_idx[keep], minlength=nrows).astype(np.int64)
+        new_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(n_kept)])
+        rejoined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()), flat.filter(pa.array(keep))
+            ),
+            sep,
+        )
+        # null text stays null (split gave it zero paragraphs; a zero-
+        # kept NON-null doc must still re-join to '')
+        null_mask = pc.is_null(texts)
+        clean = pc.if_else(null_mask, pa.nulls(nrows, pa.string()), rejoined)
+        n_paras = pa.array(cnts, pa.int64())
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "n_paras": pa.array(n_paras),
-                "n_kept_paras": pa.array(n_kept),
-                "clean_text": pa.array(out, pa.string()),
+                "n_paras": n_paras,
+                "n_kept_paras": pa.array(n_kept, pa.int64()),
+                "clean_text": clean,
             }
         )
 
