@@ -163,7 +163,27 @@ class JsonProfile:
 
 def _profile_partial(col: str, enum_cap: int, enum_max_len: int, on_invalid: str):
     def partial(t: pa.Table) -> pa.Table:
-        payloads = t.column(col).to_pylist()
+        from medea_ray.engine.arrow_util import as_array, string_buffer_parts
+
+        a = as_array(t.column(col))
+        parts = string_buffer_parts(a)
+        if parts is None:
+            payloads = a.to_pylist()
+        else:
+            # parse straight off the Arrow buffer (the validate_column
+            # lever): orjson takes the zero-copy memoryview slice; the
+            # json-module fallback needs bytes
+            data, off, nm = parts
+            payloads = [
+                None
+                if (nm is not None and nm[i])
+                else (
+                    data[off[i] : off[i + 1]]
+                    if _fastjson is not None
+                    else bytes(data[off[i] : off[i + 1]])
+                )
+                for i in range(len(a))
+            ]
         type_counts: dict[tuple[str, str], int] = {}
         root_counts: dict[str, int] = {}
         enum_vals: dict[str, set] = {}
@@ -183,9 +203,14 @@ def _profile_partial(col: str, enum_cap: int, enum_max_len: int, on_invalid: str
                     doc, bad = None, True
             if bad:
                 if on_invalid == "raise":
+                    disp = (
+                        p
+                        if isinstance(p, (str, type(None)))
+                        else bytes(p).decode("utf-8", "replace")
+                    )
                     raise ValueError(
                         f"profile_json: unparseable JSON in column {col!r} "
-                        f"(pass on_invalid='skip' to count instead): {p!r:.120}"
+                        f"(pass on_invalid='skip' to count instead): {disp!r:.120}"
                     )
                 n_invalid += 1
                 continue
