@@ -255,9 +255,13 @@ def dedup_paragraphs(
         doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), cnts)
         n_kept = np.bincount(doc_idx[keep], minlength=nrows).astype(np.int64)
         new_offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(n_kept)])
+        # binary_join only has a list<string> kernel — cast the KEPT
+        # values (post-filter, the smaller side) when the input column
+        # arrived as large_string (parquet readers emit it for big text)
+        kept_vals = pc.cast(flat.filter(pa.array(keep)), pa.string())
         rejoined = pc.binary_join(
             pa.ListArray.from_arrays(
-                pa.array(new_offsets, pa.int32()), flat.filter(pa.array(keep))
+                pa.array(new_offsets, pa.int32()), kept_vals
             ),
             sep,
         )

@@ -145,3 +145,29 @@ def test_owner_map_cached_per_process(ray_session):
     m2 = paradedup._cached_owner_map(ref2)
     assert m2 == {"b": 2}
     assert len(paradedup._OWNER_CACHE) == 1  # old map evicted
+
+
+def test_large_string_text_column(ray_session):
+    """Parquet readers emit large_string for big text columns; both
+    passes must handle it (binary_join only has a list<string> kernel —
+    regression found by the sf0.1 bench fixture)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medea_ray.engine import paradedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(
+            ["dup line\nuniq a", "dup line\nuniq b", None], pa.large_string()
+        ),
+    })
+    out = (
+        paradedup.dedup_paragraphs(rd.from_arrow(t), "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist()[:2] == ["dup line\nuniq a", "uniq b"]
+    assert out["clean_text"].isna().tolist() == [False, False, True]
+    assert out["n_kept_paras"].tolist() == [2, 1, 0]
