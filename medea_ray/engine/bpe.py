@@ -66,10 +66,12 @@ def word_counts(ds, text_col: str, *, min_count: int = 1, batch_size: int = 8192
             "n": vc.field("counts").filter(keep),
         })
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+        ["word"],
+        [("n", "sum", "n")],
     )
     if min_count > 1:
         out = out.filter(expr=f"n >= {int(min_count)}")

@@ -138,12 +138,13 @@ def train_nb(
     # materialize: the reduced (key, n) table is consumed twice (budget
     # count + take_all) — without it the corpus tokenize + groupby
     # shuffle would re-execute for each consumption
-    reduced = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("key")
-        .sum("n")
-        .materialize()
-    )
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    reduced = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["key"],
+        [("n", "sum", "sum(n)")],
+    ).materialize()
     n_keys = reduced.count()
     if n_keys > vocab_budget:
         raise ValueError(

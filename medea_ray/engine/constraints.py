@@ -121,7 +121,7 @@ def tuple_digests(
 
 def distinct_counts(
     ds, col_sets: list[list[str]], batch_size: int = 8192,
-    n_buckets: int = 256,
+    n_buckets: int = 64,
 ) -> list[int]:
     """Exact distinct-tuple count for every column set, in ONE pass and
     ONE (set_id, digest) exchange (per-batch pre-dedup; 16-byte digests
@@ -135,7 +135,8 @@ def distinct_counts(
     global count, and uniform digests keep buckets balanced). SCALE
     CONTRACT: one bucket's rows must fit a worker's heap — size
     ``n_buckets`` ≥ total exchanged rows × 24 B / worker budget (the
-    default 256 holds ~10^9 exchanged rows at ~1 GB/bucket)."""
+    default 64 suits one node; scale it with cluster size and
+    exchanged-row count — ~1 GB/bucket at 64 buckets × 10^9 rows)."""
     import numpy as np
 
     from ray.data.aggregate import Sum

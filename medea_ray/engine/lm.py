@@ -113,12 +113,13 @@ def train_unigram(
     # materialize: the reduced (token, n) table is consumed twice
     # (budget count + take_all) — without it the whole corpus tokenize
     # + groupby shuffle would re-execute for each consumption
-    reduced = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .sum("n")
-        .materialize()
-    )
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    reduced = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("n", "sum", "sum(n)")],
+    ).materialize()
     n_vocab = reduced.count()
     if n_vocab > vocab_budget:
         raise ValueError(

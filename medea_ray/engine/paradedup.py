@@ -179,15 +179,15 @@ def duplicated_paragraph_owners(
     """(md5, owner_rank, n) for every paragraph with a global instance
     count > 1 — the reduced table pass 2 broadcasts. One groupby(md5)
     exchange over per-batch-unique combiner rows."""
-    from ray.data.aggregate import Min, Sum
+    from medea_ray.engine.exchange import bucketed_group_agg
 
     fn = _explode_uniques(text_col, id_col, sep, min_chars, idx_bits)
     uniques = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
-    return (
-        uniques.groupby("md5")
-        .aggregate(Min("rank", alias_name="owner_rank"), Sum("n", alias_name="n"))
-        .filter(expr="n > 1")
-    )
+    return bucketed_group_agg(
+        uniques,
+        ["md5"],
+        [("rank", "min", "owner_rank"), ("n", "sum", "n")],
+    ).filter(expr="n > 1")
 
 
 def dedup_paragraphs(

@@ -142,12 +142,13 @@ def duplicated_grams(
             grams, ucnt = batch_unique(t)
             return pa.table({"gram": grams, "cnt": pa.array(ucnt, pa.int64())})
 
-        return (
-            ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-            .groupby("gram")
-            .aggregate(Sum("cnt", alias_name="n"))
-            .filter(expr=f"n >= {int(min_count)}")
-        )
+        from medea_ray.engine.exchange import bucketed_group_agg
+
+        return bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size),
+            ["gram"],
+            [("cnt", "sum", "n")],
+        ).filter(expr=f"n >= {int(min_count)}")
     if exchange != "hashed":
         raise ValueError(f"unknown exchange {exchange!r}")
 
@@ -166,12 +167,13 @@ def duplicated_grams(
         g = g.group_by(["h"]).aggregate([("cnt", "sum")])
         return pa.table({"h": g.column("h"), "cnt": g.column("cnt_sum")})
 
-    dup_h = (
-        ds.map_batches(partial_hashed, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("h")
-        .aggregate(Sum("cnt", alias_name="n"))
-        .filter(expr=f"n >= {int(min_count)}")
-    )
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    dup_h = bucketed_group_agg(
+        ds.map_batches(partial_hashed, batch_format="pyarrow", batch_size=batch_size),
+        ["h"],
+        [("cnt", "sum", "n")],
+    ).filter(expr=f"n >= {int(min_count)}")
     cands = [
         b.column("h").to_numpy()
         for b in dup_h.iter_batches(batch_format="pyarrow")
@@ -204,12 +206,13 @@ def duplicated_grams(
         return pa.table({"gram": grams.filter(keep),
                          "cnt": pa.array(ucnt[is_cand], pa.int64())})
 
-    return (
-        ds.map_batches(partial_candidates, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("gram")
-        .aggregate(Sum("cnt", alias_name="n"))
-        .filter(expr=f"n >= {int(min_count)}")
-    )
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ds.map_batches(partial_candidates, batch_format="pyarrow", batch_size=batch_size),
+        ["gram"],
+        [("cnt", "sum", "n")],
+    ).filter(expr=f"n >= {int(min_count)}")
 
 
 class _SpanMasker:

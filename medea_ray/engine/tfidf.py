@@ -95,10 +95,12 @@ def document_frequencies(ds, text_col: str = "text", _with_doc_count: bool = Fal
             dfs = pa.concat_arrays([dfs, pa.array([n_docs], pa.int64())])
         return pa.table({"token": toks, "df_part": dfs})
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
+    from medea_ray.engine.exchange import bucketed_group_agg
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"],
+        [("df_part", "sum", "df")],
     )
 
 

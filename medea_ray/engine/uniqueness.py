@@ -45,47 +45,20 @@ def _partial_counts_fn(key: str):
     return partial
 
 
-def group_count(ds, key: str, batch_size: int = 8192, n_buckets: int = 256):
-    """(key, n) counts: in-batch partial aggregation, then ONE
-    single-int64-key bucket shuffle (``hash64(key) & (n_buckets-1)``)
-    with a vectorized Arrow ``group_by`` per bucket — every distinct key
-    lands in exactly one bucket, so per-bucket sums are exact, and the
-    generic multi-key sort-aggregate (measured 14× slower on digest
-    exchanges, see constraints.distinct_counts) never runs. Null keys
-    bucket with the empty string but keep their own group row. SCALE
-    CONTRACT: one bucket's distinct keys must fit a worker's heap —
-    size ``n_buckets`` accordingly (uniform hash keeps buckets even)."""
-    if n_buckets < 1 or n_buckets & (n_buckets - 1):
-        raise ValueError(
-            f"group_count: n_buckets must be a power of two, got {n_buckets}"
-        )
-    mask = np.int64(n_buckets - 1)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.select([key]).group_by([key]).aggregate([([], "count_all")])
-        kc = t.column(key)
-        s = (
-            kc
-            if pa.types.is_string(kc.type) or pa.types.is_large_string(kc.type)
-            else kc.cast(pa.string())
-        )
-        b = np.asarray(_hash64(pc.fill_null(s, ""))).view(np.int64) & mask
-        return pa.table({
-            "b": pa.array(b, pa.int64()),
-            key: kc,
-            "cnt": t.column("count_all"),
-        })
-
-    def per_bucket(t: pa.Table) -> pa.Table:
-        g = t.select([key, "cnt"]).group_by([key]).aggregate([("cnt", "sum")])
-        return pa.table({key: g.column(key), "n": g.column("cnt_sum")})
+def group_count(ds, key: str, batch_size: int = 8192, n_buckets: int = 64):
+    """(key, n) counts: in-batch partial aggregation, then the shared
+    adaptive reduce (exchange.bucketed_group_agg — one hash-bucket
+    shuffle + vectorized per-bucket Arrow group_by for large exchanges,
+    generic sort-aggregate below the crossover; dup_urls measured
+    4.2 s → 0.9 s at the 600k-page shape)."""
+    from medea_ray.engine.exchange import bucketed_group_agg
 
     partials = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=batch_size
+        _partial_counts_fn(key), batch_format="pyarrow", batch_size=batch_size
     )
-    return partials.groupby("b").map_groups(per_bucket, batch_format="pyarrow")
+    return bucketed_group_agg(
+        partials, [key], [("cnt", "sum", "n")], n_buckets=n_buckets
+    )
 
 
 def duplicates(ds, key: str, batch_size: int = 8192):
