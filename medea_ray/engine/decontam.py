@@ -53,32 +53,55 @@ def banned_digests(banned_ds, text_col: str, prefix_len: int | None = None) -> s
 class _NotInFilter:
     """Actor-pool stage holding a broadcast value set once per actor
     (a plain-function stage would ``ray.get`` + deserialize the set on
-    every batch)."""
+    every batch). The probe is one vectorized ``pc.is_in`` against an
+    Arrow value-set array built once in ``__init__`` (round 5: the
+    per-row Python ``v not in set`` loop was the dedup anti-join's
+    bottleneck at high dup rates); Arrow's MATCH null semantics equal
+    the old loop's — a null cell is dropped iff the set held None."""
 
     def __init__(self, values_ref, col: str):
         import ray
 
-        self.values = values_ref if isinstance(values_ref, set) else ray.get(values_ref)
+        values = (
+            values_ref
+            if isinstance(values_ref, (set, pa.Array, pa.ChunkedArray))
+            else ray.get(values_ref)
+        )
+        if isinstance(values, set):
+            values = pa.array(list(values))
+        elif isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        # an Arrow array crosses the object store zero-copy (buffer
+        # protocol) — a broadcast Python set would unpickle per actor
+        self.value_set = values
         self.col = col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [v not in self.values for v in t.column(self.col).to_pylist()],
-            pa.bool_(),
+        if len(self.value_set) == 0:
+            return t
+        mask = pc.invert(
+            pc.is_in(t.column(self.col), value_set=self.value_set)
         )
-        return t.filter(mask)
+        return t.filter(pc.fill_null(mask, True))
 
 
-def filter_not_in(ds, col: str, values: set, concurrency=(1, 8)):
-    """Drop rows whose ``col`` value is in ``values`` — the generic
-    broadcast anti-join filter (``decontaminate`` is this plus hashing)."""
+def filter_not_in(ds, col: str, values, concurrency=(1, 8)):
+    """Drop rows whose ``col`` value is in ``values`` (a set, or an
+    Arrow array — preferred at scale: it broadcasts zero-copy) — the
+    generic broadcast anti-join filter (``decontaminate`` is this plus
+    hashing)."""
     import ray
 
-    ref = ray.put(set(values))
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    ref = ray.put(values if isinstance(values, pa.Array) else set(values))
     return ds.map_batches(
         _NotInFilter,
         fn_constructor_kwargs=dict(values_ref=ref, col=col),
         batch_format="pyarrow",
+        # big batches: pc.is_in rebuilds the value-set hash table per
+        # CALL (~80 ms at 600k values), so amortize it over many rows
+        batch_size=32768,
         concurrency=concurrency,
         num_cpus=1,
     )
@@ -94,9 +117,11 @@ def filter_not_in(ds, col: str, values: set, concurrency=(1, 8)):
 _BUCKET_SET_CACHE: dict = {}
 
 
-def _cached_set(ref) -> set:
-    if isinstance(ref, set):
-        return ref
+def _cached_value_array(ref) -> pa.Array:
+    """Bucket value set as an Arrow array (the ``pc.is_in`` probe side),
+    deserialized + converted once per worker process."""
+    if isinstance(ref, set):  # direct-injection path (tests): no cache key
+        return pa.array(list(ref))
     key = ref.hex()
     got = _BUCKET_SET_CACHE.get(key)
     if got is None:
@@ -104,7 +129,7 @@ def _cached_set(ref) -> set:
 
         if len(_BUCKET_SET_CACHE) > 8:  # bounded: stale buckets from prior passes
             _BUCKET_SET_CACHE.clear()
-        got = _BUCKET_SET_CACHE[key] = ray.get(ref)
+        got = _BUCKET_SET_CACHE[key] = pa.array(list(ray.get(ref)))
     return got
 
 
@@ -120,13 +145,11 @@ def _make_bucket_pass(values_ref, col: str, bucket: int, n_buckets: int):
         t = t.filter(pa.array(b == bucket))
         if t.num_rows == 0:
             return t
-        values = _cached_set(values_ref)
-        if not values:
+        values = _cached_value_array(values_ref)
+        if len(values) == 0:
             return t
-        mask = pa.array(
-            [v not in values for v in t.column(col).to_pylist()], pa.bool_()
-        )
-        return t.filter(mask)
+        mask = pc.invert(pc.is_in(t.column(col), value_set=values))
+        return t.filter(pc.fill_null(mask, True))
 
     return fn
 
@@ -222,7 +245,21 @@ def filter_not_in_ds(
     if n_buckets is None:
         n_buckets = 1 if n <= budget_rows else min(16, -(-n // budget_rows))
     if n_buckets <= 1:
-        values = {r[value_col] for r in values_ds.take_all()}
+        # collect the value column AS ARROW (no driver-side Python-set
+        # build; the unique'd array broadcasts zero-copy to the filter
+        # actors — round 5: the set build + per-actor unpickle dominated
+        # the dedup anti-join at high dup rates)
+        chunks = [
+            b.column(value_col).combine_chunks()
+            if isinstance(b.column(value_col), pa.ChunkedArray)
+            else b.column(value_col)
+            for b in values_ds.iter_batches(batch_format="pyarrow")
+        ]
+        values = (
+            pc.unique(pa.concat_arrays(chunks))
+            if chunks
+            else pa.array([], pa.string())
+        )
         return filter_not_in(ds, col, values, concurrency=concurrency)
     _log.info(
         "filter_not_in_ds: value set exceeds budget -> %d bucketed passes",

@@ -149,6 +149,28 @@ def md5_hex_col(col) -> pa.Array:
     )
 
 
+def md5_int_pairs(col) -> np.ndarray:
+    """Raw md5 per row of a NON-NULL string column as an (n, 2) int64
+    array (the 16 digest bytes little-endian-viewed — the same digest
+    information as the hex form, exchanged as two native int64 columns
+    instead of a 32-char string). Hashes off the Arrow buffer."""
+    from medea_ray.engine.arrow_util import as_array, string_buffer_parts
+
+    a = as_array(col)
+    if len(a) == 0:
+        return np.empty((0, 2), np.int64)
+    parts = string_buffer_parts(a)
+    _md5 = hashlib.md5
+    if parts is None or parts[2] is not None:
+        digs = b"".join(_md5(v.encode()).digest() for v in a.to_pylist())
+    else:
+        data, off, _ = parts
+        digs = b"".join(
+            _md5(data[off[i] : off[i + 1]]).digest() for i in range(len(a))
+        )
+    return np.frombuffer(digs, dtype="<i8").reshape(-1, 2)
+
+
 def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(out_col, md5_hex_col(batch.column(text_col)))
@@ -173,7 +195,7 @@ def dedup_exact(
     ds,
     id_col: str,
     text_col: str = "text",
-    concurrency=(1, 8),
+    concurrency=(1, 16),
     drop_budget_rows: int = 1 << 22,
     n_buckets: int | None = None,
     stats_out: dict | None = None,
@@ -216,33 +238,60 @@ def dedup_exact(
 
     from medea_ray.engine.decontam import filter_not_in_ds
 
+    # Reduce shape (round 5): digests ride as two int64 columns and the
+    # exchange groups by a d0-derived bucket (one int64 key; a digest's
+    # rows all land in one bucket), each bucket computing its drop ids
+    # with three vectorized Arrow passes — unique (digest, id) pairs,
+    # min id per digest, hash-join + keep ids above their group minimum.
+    # The old per-group map_groups over the generic content_md5 string
+    # sort measured 7.8 s at the 600k-page bench shape; this is ~4×
+    # less. Per-batch (digest, id) pre-dedup keeps a key occurring k
+    # times in a block to ONE exchanged row.
     def to_key_id(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t.column(text_col)))
-        return pa.table({
-            "content_md5": md5_hex_col(t.column(text_col)),
+        pair = md5_int_pairs(t.column(text_col))
+        out = pa.table({
+            "d0": pa.array(pair[:, 0], pa.int64()),
+            "d1": pa.array(pair[:, 1], pa.int64()),
             id_col: t.column(id_col),
         })
+        return out.group_by(["d0", "d1", id_col]).aggregate([])
 
-    def drop_ids(t: pa.Table) -> pa.Table:
+    keyed = ds.map_batches(to_key_id, batch_format="pyarrow").materialize()
+    # one task per bucket: tiny exchanges take one bucket (a single
+    # vectorized task beats per-group scheduling), large ones fan out
+    reduce_buckets = 1 if keyed.count() <= 1 << 18 else 64
+    mask = np.int64(reduce_buckets - 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t.column("d0").to_numpy(zero_copy_only=False) & mask
+        return t.append_column("_db", pa.array(b, pa.int64()))
+
+    def bucket_drop_ids(t: pa.Table) -> pa.Table:
         id_type = t.schema.field(id_col).type
-        schema = pa.schema([("drop_id", id_type)])
-        if t.num_rows < 2:
-            return schema.empty_table()
-        ids = t.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        # distinct ids except the min: if the survivor's id value is itself
-        # duplicated within the group, emitting the raw sorted tail would
-        # put the survivor's own id in the drop set and the anti-filter
-        # would delete every copy of the text
-        uniq = pc.unique(ids)
-        order = pc.array_sort_indices(uniq)
-        return pa.table({"drop_id": uniq.take(order.slice(1))}, schema=schema)
+        uniq = t.select(["d0", "d1", id_col]).group_by(
+            ["d0", "d1", id_col]
+        ).aggregate([])
+        mins = uniq.group_by(["d0", "d1"]).aggregate([(id_col, "min")])
+        j = uniq.join(mins, keys=["d0", "d1"])
+        ids, id_min = j.column(id_col), j.column(f"{id_col}_min")
+        # drop everything above the group minimum. A null id sorts after
+        # every value (the pre-round-5 pc.array_sort_indices order): it
+        # is dropped whenever the group has a non-null survivor, kept
+        # when the whole group is id-less (min over all-null is null)
+        drop = pc.or_(
+            pc.fill_null(pc.not_equal(ids, id_min), False),
+            pc.and_(pc.is_null(ids), pc.is_valid(id_min)),
+        )
+        return pa.table(
+            {"drop_id": j.filter(drop).column(id_col)},
+            schema=pa.schema([("drop_id", id_type)]),
+        )
 
     dropped = (
-        ds.map_batches(to_key_id, batch_format="pyarrow")
-        .groupby("content_md5")
-        .map_groups(drop_ids, batch_format="pyarrow")
+        keyed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(bucket_drop_ids, batch_format="pyarrow")
     )
     # budget-aware anti-join (decontam.filter_not_in_ds): materializes the
     # drop-id rows only — dup_rate × corpus ids, never the corpus — logs
