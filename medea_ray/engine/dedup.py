@@ -180,15 +180,25 @@ def add_content_hash(ds, text_col: str = "text", out_col: str = "content_md5"):
 
 def exact_dup_groups(ds, id_col: str, text_col: str = "text"):
     """(content_md5, n, keep_id): duplicate groups with the survivor
-    (min id). One shuffle on the 16-byte hash, never on the text."""
-    from ray.data.aggregate import Count, Min
+    (min id). One shuffle on the 16-byte hash, never on the text —
+    reduced via the shared adaptive bucket exchange (n counts ROWS per
+    group: the instance count, not non-null ids, so it rides a constant
+    ones column)."""
+    from medea_ray.engine.exchange import bucketed_group_agg
 
-    hashed = add_content_hash(ds, text_col).select_columns(["content_md5", id_col])
-    return (
-        hashed.groupby("content_md5")
-        .aggregate(Count(alias_name="n"), Min(id_col, alias_name="keep_id"))
-        .filter(expr="n > 1")
-    )
+    def with_ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_md5": md5_hex_col(t.column(text_col)),
+            id_col: t.column(id_col),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        })
+
+    hashed = ds.map_batches(with_ones, batch_format="pyarrow")
+    return bucketed_group_agg(
+        hashed,
+        ["content_md5"],
+        [("one", "sum", "n"), (id_col, "min", "keep_id")],
+    ).filter(expr="n > 1")
 
 
 def dedup_exact(

@@ -106,9 +106,12 @@ def bucketed_group_agg(
         return t.append_column("_xb", pa.array(b, pa.int64()))
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        g = t.select(keys + [c for c, _, _ in aggs]).group_by(keys).aggregate(
-            arrow_aggs
+        # dedupe the projection: two aggs over one column (sum+min of v)
+        # or an agg over a key column must not select it twice
+        sel = keys + list(
+            dict.fromkeys(c for c, _, _ in aggs if c not in keys)
         )
+        g = t.select(sel).group_by(keys).aggregate(arrow_aggs)
         cols = {k: g.column(k) for k in keys}
         for gc, out in renames.items():
             cols[out] = g.column(gc)
