@@ -41,48 +41,88 @@ def _collect_bucket_ids(
     key_cols: list[str],
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
     unique_ids: bool = False,
+    bucket_key: str | None = None,
+    n_buckets: int = 64,
 ):
-    """(key..., n, ids, dropped) per bucket with ≥2 members. One
-    hash-partitioned groupby on the (small) key columns; per-group state is
-    the bucket's id column only, truncated to ``max_bucket_size`` smallest
-    ids immediately (``dropped`` records the overflow). The output stays
-    Arrow-native — ``ids`` is ``list<id type>``, the keys keep their input
-    types (round 1's list-concatenating AggregateFn degraded the whole
-    block to pickled ArrowPythonObjectType and held unbounded reducer
-    lists)."""
+    """(key..., n, ids, dropped) per bucket with ≥2 members. The
+    exchange groups by a coarse hash bucket of ``bucket_key`` (default
+    ``key_cols[-1]`` — the highest-cardinality key by convention:
+    band/block VALUES, not block indices), and each coarse group runs
+    fully vectorized Arrow: optional (keys, id) dedup, one sort by
+    (keys..., id), one ``group_by(keys).aggregate([(id, 'list')])``
+    (single-threaded so the sorted id order is preserved), then
+    ``list_slice`` capping to the ``max_bucket_size`` smallest ids
+    (``dropped`` records the overflow — logged in aggregate, never a
+    silent cap). Replaces the per-(band,hash)-group ``map_groups``
+    whose task-per-group scheduling dominated at bench scale. The
+    output stays Arrow-native — ``ids`` is ``list<id type>``, keys keep
+    their input types."""
     import pyarrow.compute as pc
 
-    def per_group(t: pa.Table) -> pa.Table:
+    from medea_ray.engine.uniqueness import _hash64
+
+    bkey = bucket_key or key_cols[-1]
+    mask = np.int64(n_buckets - 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kc = t.column(bkey)
+        if pa.types.is_integer(kc.type):
+            b = pc.fill_null(kc, 0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ) & mask
+        else:
+            s = (
+                kc
+                if pa.types.is_string(kc.type) or pa.types.is_large_string(kc.type)
+                else kc.cast(pa.string())
+            )
+            b = np.asarray(_hash64(pc.fill_null(s, ""))).view(np.int64) & mask
+        return t.append_column("_cb", pa.array(b, pa.int64()))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
         id_type = t.schema.field(id_col).type
         schema = pa.schema(
             [(k, t.schema.field(k).type) for k in key_cols]
             + [("n", pa.int64()), ("ids", pa.list_(id_type)), ("dropped", pa.int64())]
         )
-        ids = t.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
+        t = t.select(key_cols + [id_col])
         if unique_ids:
-            ids = pc.unique(ids)
-        n = len(ids)
-        if n < 2:
+            t = t.group_by(key_cols + [id_col], use_threads=False).aggregate([])
+        t = t.sort_by(
+            [(k, "ascending") for k in key_cols] + [(id_col, "ascending")]
+        )
+        g = t.group_by(key_cols, use_threads=False).aggregate([(id_col, "list")])
+        lists = g.column(f"{id_col}_list")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n = pc.cast(pc.list_value_length(lists), pa.int64())
+        keep = pc.greater_equal(n, 2)
+        g = g.filter(keep)
+        if g.num_rows == 0:
             return schema.empty_table()
-        ids = ids.take(pc.array_sort_indices(ids))
-        dropped = 0
-        if n > max_bucket_size:
-            dropped = n - max_bucket_size
+        lists = lists.filter(keep)
+        n = n.filter(keep)
+        dropped = pc.max_element_wise(pc.subtract(n, max_bucket_size), 0)
+        n_over = pc.sum(pc.cast(pc.greater(dropped, 0), pa.int64())).as_py() or 0
+        if n_over:
             _log.warning(
-                "bucket %s: %d members capped to %d (dropped %d)",
-                {k: t.column(k)[0].as_py() for k in key_cols}, n, max_bucket_size, dropped,
+                "%d bucket(s) over max_bucket_size=%d (largest %d members; "
+                "%d ids dropped total)",
+                n_over, max_bucket_size, pc.max(n).as_py(),
+                pc.sum(dropped).as_py(),
             )
-            ids = ids.slice(0, max_bucket_size)
-        cols = {k: pa.array([t.column(k)[0].as_py()], t.schema.field(k).type) for k in key_cols}
-        cols["n"] = pa.array([n], pa.int64())
-        cols["ids"] = pa.array([ids.to_pylist()], pa.list_(id_type))
-        cols["dropped"] = pa.array([dropped], pa.int64())
+        capped = pc.list_slice(lists, 0, max_bucket_size)
+        cols = {k: g.column(k) for k in key_cols}
+        cols["n"] = n
+        cols["ids"] = pc.cast(capped, pa.list_(id_type))
+        cols["dropped"] = dropped
         return pa.table(cols, schema=schema)
 
-    keys = key_cols[0] if len(key_cols) == 1 else key_cols
-    return exploded.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+    return (
+        exploded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 _M64 = (1 << 64) - 1
 _GOLD = 0x9E3779B97F4A7C15
